@@ -1,0 +1,72 @@
+"""Star-schema derivation: dimensions with surrogate keys + fact assembly.
+
+Spark-first re-expression of the reference's ``criar_dimensoes`` task
+(reference dag.py:215-287): 5 dimensions via projected distinct +
+sequential surrogate key (dag.py:220-237, D2+W1), fact via left joins
+back on the natural keys (dag.py:241-259, J2-J6), fact-grain dedup
+(dag.py:263, D3).
+
+Surrogate keys: the reference uses ``reset_index + 1`` (arbitrary pandas
+row order).  Here the key is ``row_number() OVER (ORDER BY natural_key)``
+— contiguous 1..N AND deterministic.  That global window is a
+single-partition exchange, fine for dimension tables (distinct domains —
+low cardinality even at 100 TB fact scale).  For a *large* dimension use
+``surrogate_keys_scalable`` (zipWithIndex-style: per-partition offsets,
+no single-partition barrier, still contiguous, NOT order-stable).
+
+Fact joins broadcast the dimensions explicitly — 5 broadcast hash joins,
+zero shuffles of the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_dimension(
+    df: DataFrame, natural_key: list[str], id_col: str
+) -> DataFrame:
+    """Distinct natural key + contiguous deterministic surrogate (D2+W1)."""
+    w = Window.orderBy(*natural_key)
+    return (
+        df.select(*natural_key)
+        .distinct()
+        .withColumn(id_col, F.row_number().over(w))
+    )
+
+
+def surrogate_keys_scalable(df: DataFrame, id_col: str) -> DataFrame:
+    """Contiguous 1..N ids without a single-partition window.
+
+    zipWithIndex over the current partitioning: ids are contiguous but
+    their assignment depends on partition layout — use when the dimension
+    itself is big enough that a global sort-window would bottleneck.
+    """
+    schema = df.schema
+    rdd = df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1] + 1))
+    return df.sparkSession.createDataFrame(rdd, schema.add(id_col, "long", False))
+
+
+def attach_fks(
+    fact: DataFrame, dims: dict[str, tuple[DataFrame, list[str]]]
+) -> DataFrame:
+    """Left-join each dimension on its natural key to pull the surrogate FK.
+
+    ``dims`` maps id_col → (dim_df, natural_key_cols).  Dimensions are
+    broadcast (small by construction) — the fact never shuffles (J2-J6,
+    dag.py:241-259).  Null-key caveat per SURVEY §2.3: imputation must
+    run *before* this (nulls already replaced), so Spark's null≠null
+    join semantics can't drop rows the reference kept.
+    """
+    out = fact
+    for _id_col, (dim, keys) in dims.items():
+        out = out.join(F.broadcast(dim), on=keys, how="left")
+    return out
+
+
+def fact_grain_dedup(fact: DataFrame, key_cols: list[str], order_by: list[str]) -> DataFrame:
+    """D3 (dag.py:263): one row per fact grain, deterministic keep-first."""
+    from processo_etl_spark.operators.relational import dedup_keep_first
+
+    return dedup_keep_first(fact, key_cols, order_by)

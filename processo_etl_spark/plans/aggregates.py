@@ -1,0 +1,278 @@
+"""Aggregation plans: the flagship pricing summary plus the notebook's
+EDA/data-quality workload (SURVEY.md §2.5 A1–A10) and OLAP extensions.
+
+Numeric outputs follow the DECIMAL parity convention (plans/__init__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from processo_etl_spark.plans import register
+from processo_etl_spark.plans.common import avg_exact, dec, t
+from processo_etl_spark.quality import audit
+
+
+# --- flagship: scan → filter → derive → agg → sort (M1 slice of SURVEY §7) ---
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(20,4)) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(20,6)) AS sum_charge,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """Flagship (TPC-H Q1 shape): filter → group → 6 aggregates → sort.
+
+    Covers S-scan + F-filter + A-agg + O-sort in one plan; the whole
+    pipeline is one WholeStageCodegen span over a pruned parquet scan
+    with the shipdate predicate pushed down.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    charge = disc_price * (F.lit(1) + dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("decimal(20,2)").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(20,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(20,4)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(20,6)").alias("sum_charge"),
+            avg_exact("l_quantity").alias("avg_qty"),
+            avg_exact("l_extendedprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- A1: exact median ---------------------------------------------------------
+@register(
+    "median_quantity",
+    oracle="""
+    SELECT
+      CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS DOUBLE) AS med_qty,
+      CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS DOUBLE) AS med_price
+    FROM lineitem WHERE l_quantity > 0
+    """,
+)
+def median_quantity(spark, sf_dir):
+    """A1 (dag.py:79,122-123): exact median over a positive-filtered column.
+
+    Exact ``percentile`` (interpolating, pandas-parity) — the engine's
+    imputation path (cleaning.exact_median) uses the same expression.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    return li.select(
+        F.expr("CAST(percentile(l_quantity, 0.5) AS DOUBLE)").alias("med_qty"),
+        F.expr("CAST(percentile(l_extendedprice, 0.5) AS DOUBLE)").alias("med_price"),
+    )
+
+
+# --- A2: single-pass null audit -------------------------------------------------
+@register(
+    "null_audit",
+    oracle="""
+    SELECT
+      COUNT(*) - COUNT(event_id) AS event_id,
+      COUNT(*) - COUNT(ts) AS ts,
+      COUNT(*) - COUNT(user_id) AS user_id,
+      COUNT(*) - COUNT(event_type) AS event_type,
+      COUNT(*) - COUNT(value) AS value,
+      COUNT(*) - COUNT(props) AS props
+    FROM events
+    """,
+)
+def null_audit(spark, sf_dir):
+    """A2 (Análise.ipynb:1089): df.isna().sum() — all columns, ONE pass."""
+    return audit.null_counts(t(spark, sf_dir, "events"))
+
+
+# --- A3: value_counts ------------------------------------------------------------
+@register(
+    "value_counts_event_type",
+    oracle="""
+    SELECT event_type, count(*) AS count FROM events
+    GROUP BY event_type ORDER BY count DESC, event_type
+    """,
+)
+def value_counts_event_type(spark, sf_dir):
+    """A3 (Análise.ipynb:1095+): frequency table, deterministic tie order."""
+    from processo_etl_spark.operators.relational import value_counts
+
+    return value_counts(t(spark, sf_dir, "events"), "event_type")
+
+
+# --- A5: distinct-key invariant ----------------------------------------------------
+@register(
+    "distinct_year_count",
+    oracle="SELECT count(DISTINCT year(o_orderdate)) AS n_years FROM orders",
+)
+def distinct_year_count(spark, sf_dir):
+    """A5 (dag.py:69-73): single-year invariant via countDistinct."""
+    return t(spark, sf_dir, "orders").select(
+        F.countDistinct(F.year("o_orderdate")).alias("n_years")
+    )
+
+
+# --- A6: fixed-range histogram ------------------------------------------------------
+@register(
+    "histogram_hours",
+    oracle="""
+    SELECT LEAST(CAST(FLOOR((hour(ts) - 0) * 24 / 24) AS INT), 23) AS bin,
+           count(*) AS count
+    FROM events GROUP BY 1 ORDER BY bin
+    """,
+)
+def histogram_hours(spark, sf_dir):
+    """A6 (Análise.ipynb:1113-1115): 24-bin hourly histogram."""
+    ev = t(spark, sf_dir, "events").select(F.hour("ts").alias("h"))
+    return audit.histogram_fixed(ev, "h", 0, 24, 24)
+
+
+# --- A7: auto-ranged histogram (two-pass) ---------------------------------------------
+@register(
+    "histogram_auto_price",
+    oracle="""
+    WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+               FROM lineitem)
+    SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) * 10 / (hi - lo)) AS INT), 9) AS bin,
+           count(*) AS count
+    FROM lineitem, b GROUP BY 1 ORDER BY bin
+    """,
+)
+def histogram_auto_price(spark, sf_dir):
+    """A7 (Análise.ipynb:1162-1213): min/max pass then bucket pass."""
+    return audit.histogram_auto(t(spark, sf_dir, "lineitem"), "l_extendedprice", 10)
+
+
+# --- A8: quartiles + IQR outliers ------------------------------------------------------
+@register(
+    "quartiles_quantity",
+    oracle="""
+    SELECT CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS DOUBLE) AS q1,
+           CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS DOUBLE) AS med,
+           CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS DOUBLE) AS q3
+    FROM lineitem
+    """,
+)
+def quartiles_quantity(spark, sf_dir):
+    """A8 (Análise.ipynb:1168-1219): exact boxplot quartiles."""
+    return audit.quartiles(t(spark, sf_dir, "lineitem"), "l_quantity")
+
+
+@register(
+    "iqr_outlier_count",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS q1,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS q3
+      FROM lineitem)
+    SELECT count(*) AS n_outliers
+    FROM lineitem, q
+    WHERE l_extendedprice < q1 - 1.5 * (q3 - q1)
+       OR l_extendedprice > q3 + 1.5 * (q3 - q1)
+    """,
+)
+def iqr_outlier_count(spark, sf_dir):
+    """A8 (boxplot whiskers): count outside 1.5·IQR — two-pass."""
+    out = audit.iqr_outliers(t(spark, sf_dir, "lineitem"), "l_extendedprice")
+    return out.select(F.count(F.lit(1)).alias("n_outliers"))
+
+
+# --- A9/F9: universal quantifier ---------------------------------------------------------
+@register(
+    "all_valid_flags",
+    oracle="""
+    SELECT bool_and(l_quantity > 0) AS qty_positive,
+           bool_and(l_discount BETWEEN 0 AND 1) AS discount_unit,
+           bool_and(l_extendedprice >= 0) AS price_nonneg
+    FROM lineitem
+    """,
+)
+def all_valid_flags(spark, sf_dir):
+    """A9 (Análise.ipynb:1131): .all() ≡ bool_and aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.bool_and(F.col("l_quantity") > 0).alias("qty_positive"),
+        F.bool_and(F.col("l_discount").between(0, 1)).alias("discount_unit"),
+        F.bool_and(F.col("l_extendedprice") >= 0).alias("price_nonneg"),
+    )
+
+
+# --- A10/F6: violation probe must be empty --------------------------------------------------
+@register(
+    "constraint_violation_count",
+    oracle="""
+    SELECT count(*) AS n_violations FROM lineitem
+    WHERE l_extendedprice < 0 OR l_quantity < 0 OR l_tax < 0
+    """,
+)
+def constraint_violation_count(spark, sf_dir):
+    """A10 (Análise.ipynb:1142,1152): emptiness test on a violation probe."""
+    probe = audit.constraint_probe(
+        t(spark, sf_dir, "lineitem"),
+        "l_extendedprice < 0 OR l_quantity < 0 OR l_tax < 0",
+    )
+    return probe.select(F.count(F.lit(1)).alias("n_violations"))
+
+
+# --- extensions: rollup / cube / approx distinct (SURVEY §2.5 'absent but free') -------------
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS revenue,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_revenue(spark, sf_dir):
+    """Hierarchical subtotals — `rollup` (absent in reference, free in Spark)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_extendedprice")).cast("decimal(20,2)").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "cube_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_counts(spark, sf_dir):
+    """All grouping-set combinations — `cube`."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("approx_distinct_users")  # approx sketch: no SQL oracle (rows-only check)
+def approx_distinct_users(spark, sf_dir):
+    """HLL++ approx_count_distinct — the 100 TB path for A5-style checks.
+
+    No oracle: DuckDB's approx_count_distinct uses a different sketch;
+    the test suite asserts it lands within 5% of the exact count.
+    """
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )

@@ -1,0 +1,136 @@
+"""Event-stream plans (SURVEY.md §2.9 — extension beyond the batch-only
+reference): tumbling/sliding windows, sessionization, and a genuine
+Structured Streaming entry (rows-only).
+
+Batch and streaming share the same window semantics: the batch plans
+here are the oracle-checked equivalents of streaming/jobs.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from processo_etl_spark.plans import register
+from processo_etl_spark.plans.common import dec, t
+
+
+@register(
+    "tumbling_window_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_counts(spark, sf_dir):
+    """1-hour tumbling window aggregate — identical semantics to the
+    streaming job (streaming/jobs.py) with watermarking removed."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("decimal(20,2)").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "sliding_window_counts",
+    oracle="""
+    WITH half_hours AS (
+      SELECT event_id,
+             unnest([date_trunc('hour', ts),
+                     CASE WHEN minute(ts) >= 30
+                          THEN date_trunc('hour', ts) + INTERVAL 30 MINUTE
+                          ELSE date_trunc('hour', ts) - INTERVAL 30 MINUTE END
+                    ]) AS window_start
+      FROM events)
+    SELECT window_start, count(*) AS n
+    FROM half_hours GROUP BY 1
+    """,
+)
+def sliding_window_counts(spark, sf_dir):
+    """1-hour windows sliding every 30 min — each event lands in two
+    windows.  Native window(); the oracle materializes both memberships."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").start.alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "sessionize_gap",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+             THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM seq GROUP BY user_id
+    """,
+)
+def sessionize_gap(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag window + flag sum.
+
+    The streaming analogue is a session window / applyInPandasWithState
+    (streaming/jobs.py); batch uses one shuffle on user_id.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = (
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "event_type_pivot",
+    oracle="""
+    SELECT user_id,
+      COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+      COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      COUNT(*) FILTER (WHERE event_type = 'signup') AS signup
+    FROM events GROUP BY user_id
+    """,
+)
+def event_type_pivot(spark, sf_dir):
+    """Pivot (wide counts per type) — groupBy().pivot() with pinned values
+    so no extra distinct pass and a deterministic column order."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error", "signup"])
+        .count()
+        .fillna(0, subset=["click", "view", "purchase", "error", "signup"])
+    )
+
+
+@register("stream_tumbling_counts")
+def stream_tumbling_counts(spark, sf_dir):
+    """GENUINE Structured Streaming run (rows-only): file source →
+    watermark → tumbling window → availableNow drain to a memory sink.
+
+    Same result as tumbling_window_counts when no data is late (batch
+    replay has no late data by construction).
+    """
+    from processo_etl_spark.streaming import jobs
+
+    return jobs.run_tumbling_count_availablenow(spark, sf_dir)

@@ -1,0 +1,353 @@
+"""Training-data pipeline plans over ``documents`` / ``embeddings``:
+dedup, similarity search, text analysis, multimodal plumbing.
+
+Oracles mirror the engine's hash conventions exactly (md5-prefix
+integers, normalized text), so even MinHash/LSH is SQL-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from processo_etl_spark.ml import dedup, similarity, textstats
+from processo_etl_spark.plans import register
+from processo_etl_spark.plans.common import t
+
+# Shared SQL fragments mirroring ml.dedup conventions -------------------------
+_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_SHINGLES = f"""
+  list_distinct(list_transform(
+    generate_series(1, greatest(len(string_split({_NORM}, ' ')) - 2, 1)),
+    i -> concat_ws(' ', string_split({_NORM}, ' ')[i],
+                        string_split({_NORM}, ' ')[i+1],
+                        string_split({_NORM}, ' ')[i+2])))
+"""
+
+
+def _md5_long_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# --- exact dedup ---------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM}) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: fingerprint → groupBy → keep min id (one shuffle)."""
+    return dedup.exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# --- fingerprinting --------------------------------------------------------------
+@register(
+    "doc_fingerprint",
+    oracle=f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Stable md5 content fingerprint over normalized text."""
+    return textstats.doc_fingerprint(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# --- MinHash signatures (deterministic, oracle-checked) ---------------------------
+@register(
+    "minhash_signature",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
+    SELECT doc_id,
+      list_min(list_transform(sh, s -> {_md5_long_sql("'0|' || s")})) AS mh0,
+      list_min(list_transform(sh, s -> {_md5_long_sql("'1|' || s")})) AS mh1,
+      list_min(list_transform(sh, s -> {_md5_long_sql("'2|' || s")})) AS mh2,
+      list_min(list_transform(sh, s -> {_md5_long_sql("'3|' || s")})) AS mh3
+    FROM base
+    """,
+)
+def minhash_signature(spark, sf_dir):
+    """Per-document MinHash signature (4 hash families shown; engine
+    supports any k) — narrow map, no shuffle, portable md5 hashes."""
+    docs = t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(
+        F.array_distinct(dedup.word_shingles("text", 3)), k=4
+    )
+    return docs.select(
+        "doc_id",
+        *[F.element_at(sig, i + 1).alias(f"mh{i}") for i in range(4)],
+    )
+
+
+# --- MinHash + LSH near-dup pairs ----------------------------------------------------
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS doc, {_SHINGLES} AS sh FROM documents),
+    sigs AS (
+      SELECT doc, sh,
+        [list_min(list_transform(sh, s -> {_md5_long_sql("'0|' || s")})),
+         list_min(list_transform(sh, s -> {_md5_long_sql("'1|' || s")})),
+         list_min(list_transform(sh, s -> {_md5_long_sql("'2|' || s")})),
+         list_min(list_transform(sh, s -> {_md5_long_sql("'3|' || s")})),
+         list_min(list_transform(sh, s -> {_md5_long_sql("'4|' || s")})),
+         list_min(list_transform(sh, s -> {_md5_long_sql("'5|' || s")})),
+         list_min(list_transform(sh, s -> {_md5_long_sql("'6|' || s")})),
+         list_min(list_transform(sh, s -> {_md5_long_sql("'7|' || s")}))] AS sig
+      FROM base),
+    banded AS (
+      SELECT doc, sh, b.band,
+        md5(concat_ws(',', CAST(sig[b.band*4+1] AS VARCHAR), CAST(sig[b.band*4+2] AS VARCHAR),
+                           CAST(sig[b.band*4+3] AS VARCHAR), CAST(sig[b.band*4+4] AS VARCHAR))) AS bh
+      FROM sigs, (SELECT unnest([0,1]) AS band) b),
+    cand AS (
+      SELECT DISTINCT l.doc AS id_a, r.doc AS id_b
+      FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh
+      WHERE l.doc < r.doc),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          AS jaccard
+      FROM cand c
+      JOIN base a ON a.doc = c.id_a
+      JOIN base b ON b.doc = c.id_b)
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.2
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """Near-dup pairs: MinHash (k=8) → LSH banding (2 bands × 4 rows) →
+    bucket equi-join → exact Jaccard verify ≥ 0.2.  Never all-pairs."""
+    return dedup.minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=8,
+        bands=2,
+        shingle_n=3,
+        threshold=0.2,
+    )
+
+
+# --- blocked exact n-gram Jaccard ------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH base AS (
+      SELECT source AS blk, doc_id AS doc, {_SHINGLES} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc AS id_a, b.doc AS id_b,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          AS jaccard
+      FROM base a JOIN base b ON a.blk = b.blk AND a.doc < b.doc)
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.15
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Blocked exact 3-gram Jaccard pairs (block = source)."""
+    return dedup.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        block_col="source",
+        shingle_n=3,
+        threshold=0.15,
+    )
+
+
+# --- SimHash (rows-only: 60 chained aggregates are legal SQL but impractical) -----------
+@register("dedup_simhash")
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 20, 12-bit prefix blocking).
+
+    Rows-only check: the 60-bit majority-vote signature is expressible
+    in SQL but the mirrored query is pathological; invariants (symmetry,
+    Hamming bound, self-similarity) are asserted in tests instead.
+    """
+    return dedup.simhash_dedup_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=20, prefix_bits=12
+    )
+
+
+# --- embedding similarity: exact brute force -------------------------------------------
+_COS_SQL = """
+  list_reduce(list_transform(list_zip(c.embedding, q.embedding),
+      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a,x) -> a + x)
+  / ( sqrt(list_reduce(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,x) -> a + x))
+    * sqrt(list_reduce(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,x) -> a + x)) )
+"""
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS_SQL} AS cos,
+           CAST(row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY {_COS_SQL} DESC, c.vec_id) AS INT) AS rank
+    FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 8
+    QUALIFY rank <= 5
+    """,
+)
+def similarity_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 for 8 query vectors — the ANN baseline.
+
+    Double-precision zip_with/aggregate — bit-identical to the oracle.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+# --- embedding similarity: LSH-bucketed scale path ---------------------------------------
+_BKT_SQL = """
+  (CASE WHEN {v}.embedding[1] > 0 THEN 1 ELSE 0 END
+ + CASE WHEN {v}.embedding[2] > 0 THEN 2 ELSE 0 END
+ + CASE WHEN {v}.embedding[3] > 0 THEN 4 ELSE 0 END
+ + CASE WHEN {v}.embedding[4] > 0 THEN 8 ELSE 0 END
+ + CASE WHEN {v}.embedding[5] > 0 THEN 16 ELSE 0 END
+ + CASE WHEN {v}.embedding[6] > 0 THEN 32 ELSE 0 END)
+"""
+
+
+@register(
+    "similarity_topk_lsh",
+    oracle=f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS_SQL} AS cos,
+           CAST(row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY {_COS_SQL} DESC, c.vec_id) AS INT) AS rank
+    FROM embeddings q
+    JOIN embeddings c
+      ON {_BKT_SQL.format(v="q")} = {_BKT_SQL.format(v="c")}
+     AND c.vec_id != q.vec_id
+    WHERE q.vec_id < 8
+    QUALIFY rank <= 5
+    """,
+)
+def similarity_topk_lsh(spark, sf_dir):
+    """Sign-LSH bucketed top-5 (6 bits → ~64× candidate pruning)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.lsh_topk(emb, queries, k=5, bits=6)
+
+
+# --- text analysis -------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT lang,
+      CAST(SUM(len(string_split({_NORM}, ' '))) AS BIGINT) AS total_tokens,
+      CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+        AS total_bpe_tokens,
+      CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+      count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish regex) aggregated per lang."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(textstats.token_count_ws("text")).cast("bigint").alias("total_tokens"),
+        F.sum(textstats.token_count_bpe_regex("text")).cast("bigint").alias("total_bpe_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+        len(list_filter(string_split({_NORM}, ' '),
+            x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+        len(list_filter(string_split({_NORM}, ' '),
+            x -> x IN ('el','la','de','que','y','en','un','los','se','no'))) AS s_es,
+        len(list_filter(string_split({_NORM}, ' '),
+            x -> x IN ('le','la','de','et','les','des','un','une','du','est'))) AS s_fr,
+        len(list_filter(string_split({_NORM}, ' '),
+            x -> x IN ('der','die','das','und','in','den','von','zu','mit','ist'))) AS s_de
+      FROM documents)
+    SELECT lang,
+      CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+           WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+           WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+           WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+           ELSE 'de' END AS predicted,
+      count(*) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Stopword-vote language ID vs the labeled lang column (confusion counts)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", textstats.detect_language("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+        len(string_split({_NORM}, ' ')) AS n_tokens,
+        length(text) AS n_chars_m,
+        len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+        CAST(len(list_filter(string_split({_NORM}, ' '),
+             x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+          / CAST(greatest(len(string_split({_NORM}, ' ')), 1) AS DOUBLE) AS sw_ratio
+      FROM documents)
+    SELECT doc_id, n_tokens,
+      FLOOR((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+           + least(sw_ratio * 5.0, 1.0) * 0.3
+           + (1.0 - least(CAST(punct AS DOUBLE) / CAST(greatest(n_chars_m, 1) AS DOUBLE) * 10.0, 1.0)) * 0.3
+            ) * 1000) / 1000 AS quality_score
+    FROM feats
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Composite quality score (length/stopword/punct terms, floor-scaled)."""
+    docs = t(spark, sf_dir, "documents")
+    return textstats.quality_features(docs, "text").select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+
+
+# --- multimodal plumbing (stubbed decode ⇒ rows-only checks) --------------------------------
+@register("multimodal_features")
+def multimodal_features(spark, sf_dir):
+    """Binary media column → Arrow-batched feature extraction (stub decode).
+
+    Rows-only: the decode is a deterministic fake (libraries absent);
+    tests assert schema, determinism, and batch plumbing.
+    """
+    from processo_etl_spark.ml import multimodal
+
+    docs = t(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    return multimodal.extract_features(media, n_features=8)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id, encode(text) AS payload FROM documents)
+    SELECT media_id, unnest(generate_series(0,
+        greatest(CAST(FLOOR(octet_length(payload) / 32) AS INT) - 1, 0))) AS frame_index
+    FROM media
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Per-frame fan-out over binary payloads — JVM-side explode."""
+    from processo_etl_spark.ml import multimodal
+
+    docs = t(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    return multimodal.frame_sample(media, every_n_bytes=32)

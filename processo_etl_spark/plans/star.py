@@ -1,0 +1,145 @@
+"""Star-schema plans (SURVEY.md §2.6 W1, §2.3 J2-J6, §3 EP3).
+
+The reference derives 5 dimensions via distinct + sequential surrogate
+keys and assembles the fact with 5 left joins back on natural keys
+(reference dag.py:215-287).  Here the same machinery runs over the
+driver's TPC-H-ish tables; the real pipeline lives in etl/pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from processo_etl_spark.operators import star
+from processo_etl_spark.plans import register
+from processo_etl_spark.plans.common import dec, t
+
+
+# --- W1: surrogate-key dimension build ----------------------------------------
+@register(
+    "dim_build_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(row_number() OVER (ORDER BY o_orderpriority, o_orderstatus) AS INT)
+             AS id_dim
+    FROM (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)
+    """,
+)
+def dim_build_priority(spark, sf_dir):
+    """W1 (dag.py:220-237): distinct + contiguous deterministic surrogate.
+
+    row_number over the natural key replaces pandas reset_index+1 —
+    deterministic at any partitioning (the global window is fine: a
+    dimension is its distinct domain, small by construction).
+    """
+    return star.build_dimension(
+        t(spark, sf_dir, "orders"),
+        natural_key=["o_orderpriority", "o_orderstatus"],
+        id_col="id_dim",
+    )
+
+
+# --- W1+J2-J6+D3: full star assembly -------------------------------------------
+@register(
+    "star_fact_assembly",
+    oracle="""
+    WITH dim_prio AS (
+      SELECT o_orderpriority,
+             CAST(row_number() OVER (ORDER BY o_orderpriority) AS INT) AS id_prio
+      FROM (SELECT DISTINCT o_orderpriority FROM orders)),
+    dim_status AS (
+      SELECT o_orderstatus,
+             CAST(row_number() OVER (ORDER BY o_orderstatus) AS INT) AS id_status
+      FROM (SELECT DISTINCT o_orderstatus FROM orders))
+    SELECT o.o_orderkey, p.id_prio, s.id_status,
+           CAST(o.o_totalprice AS DECIMAL(12,2)) AS total
+    FROM orders o
+    LEFT JOIN dim_prio p ON o.o_orderpriority = p.o_orderpriority
+    LEFT JOIN dim_status s ON o.o_orderstatus = s.o_orderstatus
+    """,
+)
+def star_fact_assembly(spark, sf_dir):
+    """J2-J6+W1 (dag.py:241-263): dims built, FKs attached via broadcast
+    left joins on natural keys — the fact table never shuffles."""
+    o = t(spark, sf_dir, "orders")
+    dim_prio = star.build_dimension(o, ["o_orderpriority"], "id_prio")
+    dim_status = star.build_dimension(o, ["o_orderstatus"], "id_status")
+    fact = star.attach_fks(
+        o,
+        {
+            "id_prio": (dim_prio, ["o_orderpriority"]),
+            "id_status": (dim_status, ["o_orderstatus"]),
+        },
+    )
+    return fact.select(
+        "o_orderkey", "id_prio", "id_status", dec("o_totalprice").alias("total")
+    )
+
+
+# --- EP3: the BI star-join aggregate ---------------------------------------------
+@register(
+    "star_join_olap",
+    oracle="""
+    SELECT r.r_name, year(o.o_orderdate) AS ano,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,2))
+             AS receita,
+           count(*) AS n_pedidos
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, ano
+    """,
+)
+def star_join_olap(spark, sf_dir):
+    """§3 EP3 (Looker workload): fact ⋈ dims → group → sum.
+
+    Dims broadcast; the only shuffle is the final group-by (map-side
+    partial aggregation first).
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", F.year("o_orderdate").alias("ano"))
+        .agg(
+            F.sum(dec("o_totalprice")).cast("decimal(20,2)").alias("receita"),
+            F.count(F.lit(1)).alias("n_pedidos"),
+        )
+    )
+
+
+# --- snowflake: two-hop joins from the line-level fact -----------------------------
+@register(
+    "snowflake_parts_suppliers",
+    oracle="""
+    SELECT p.p_brand, s.s_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2))))
+                AS DECIMAL(20,4)) AS receita,
+           count(*) AS n
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY p.p_brand, s.s_name
+    """,
+)
+def snowflake_parts_suppliers(spark, sf_dir):
+    """Line-grain fact joined to two dims at once (broadcast both)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    receita = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(
+            F.sum(receita).cast("decimal(20,4)").alias("receita"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

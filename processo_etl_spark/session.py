@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+Local mode is a single JVM with N executor threads; on a real cluster the
+same settings hold except memory sizing moves to executor configs.  All
+knobs here are chosen for the 100 TB design point and merely *also* work
+at test scale:
+
+- AQE on (runtime coalescing, skew-join splitting, dynamic broadcast).
+- ``spark.sql.shuffle.partitions`` ~ cores locally; on a cluster AQE's
+  coalescing makes the initial number mostly a ceiling.
+- Session timezone pinned to UTC so timestamp semantics are deterministic
+  and match the DuckDB oracle (naive-UTC).
+- Arrow enabled for any pandas interchange (Pandas UDFs, toPandas).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "processo_etl_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores.  On a real
+    cluster, drop the ``master`` call and submit with ``spark-submit``;
+    everything else is identical.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", 0)) or os.cpu_count() or 4
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,102 @@
+"""Local differential harness: run every registered query on Spark AND
+its oracle on DuckDB, compare row count + sorted-column value multiset.
+
+Approximates the driver's CORRECTNESS gate so mismatches surface before
+a round ends.  Usage:
+
+    python tools/check_oracles.py [sf_dir] [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from processo_etl_spark import catalog, plans, session  # noqa: E402
+
+
+def norm_cell(v):
+    if isinstance(v, Decimal):
+        return ("dec", str(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", repr(v))
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(norm_cell(x) for x in v))
+    return ("v", str(v))
+
+
+def table_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = {}
+    for r in rows:
+        key = tuple(norm_cell(r[i]) for i in order)
+        out[key] = out.get(key, 0) + 1
+    return sorted(cols), out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2:]
+    spark = session.get_spark(cpus=16)
+    con = duckdb.connect()
+    for t in catalog.TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{catalog.table_path(sf_dir, t)}'"
+        )
+
+    qs = plans.all_queries()
+    oracles = plans.all_oracles()
+    failures = []
+    for name, fn in qs.items():
+        if name_filter and not any(f in name for f in name_filter):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {str(e)[:200]}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error {str(e)[:200]}")
+            continue
+        sc, sm = table_multiset(scols, srows)
+        dc, dm = table_multiset(dcols, drows)
+        if sc != dc:
+            failures.append(name)
+            print(f"FAIL  {name}: columns differ spark={sc} duck={dc}")
+        elif len(srows) != len(drows):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(drows)}")
+        elif sm != dm:
+            failures.append(name)
+            diff = [k for k in set(sm) ^ set(dm)][:2]
+            print(f"FAIL  {name}: values differ, e.g. {diff}")
+        else:
+            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+    print(f"\n{len(failures)} failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
