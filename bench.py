@@ -1,0 +1,79 @@
+"""Benchmark harness: run the engine's headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced with a noop-format write (full execution, zero sink or
+driver-collect cost) so the timing is the Spark plan, not materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from processo_etl_spark import plans, session  # noqa: E402
+
+# Breadth-covering headline set: TPC-H-style agg, star-schema OLAP join,
+# scalar/cleaning pipeline, windowed events, and the LLM-pipeline axis
+# (exact dedup, MinHash-LSH, similarity top-k, text quality).
+HEADLINE = (
+    "q1_pricing_summary",
+    "star_fact_assembly",
+    "star_join_olap",
+    "rollup_revenue",
+    "multilabel_decode",
+    "rename_cast_fact",
+    "tumbling_window_counts",
+    "sessionize_gap",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_quality_score",
+)
+
+
+def _force(df) -> None:
+    """Fully execute a plan without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    spark = session.get_spark(app_name="bench")
+
+    queries = plans.all_queries()
+    # Warm the JVM + Python-worker pool so q1 doesn't pay cold-start.
+    _force(queries["q1_pricing_summary"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

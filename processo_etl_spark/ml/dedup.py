@@ -61,38 +61,70 @@ def word_shingles(text_col: Column | str, n: int = 3) -> Column:
     """
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.split(normalize_text(col), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
+
+    # Bind the token array ONCE as a lambda value: higher-order functions
+    # bypass codegen subexpression elimination, so referencing the
+    # split/normalize subtree inside the per-shingle lambda would re-run
+    # the regex pipeline ~3·|shingles| times per row (measured 20×
+    # slowdown at sf0.1).  transform over a 1-element array is the
+    # expression-level `let`.
+    def make(tk: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(1)))
+        # try_element_at: rows with < n tokens read past the end — NULL
+        # (skipped by concat_ws) matches DuckDB's out-of-bounds list index,
+        # where plain element_at throws under ANSI semantics.
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(tk, i + j) for j in range(n)]
+            ),
+        )
+
+    return F.element_at(F.transform(F.array(toks), make), 1)
 
 
-def _seeded_hash(seed: int):
-    """Single-arg HOF lambda factory.
+# Universal-hash family over one md5 per shingle: h = md5_long(s) % P, then
+# family i is (A[i]*h + B[i]) % P with P = 2^31-1 (Mersenne).  One md5 per
+# shingle total (not per family) — the k families are integer arithmetic,
+# fully mirrored in the DuckDB oracle.  A[i]*h < 2^62 fits in int64.
+MERSENNE_P = (1 << 31) - 1
 
-    NOTE: PySpark higher-order functions pass the element *index* as a
-    second argument to two-parameter lambdas — a ``lambda s, i=i:``
-    closure would silently receive the index Column.  Factories keep the
-    lambdas unary.
-    """
-    return lambda s: md5_long(F.concat(F.lit(f"{seed}|"), s))
+
+def perm_constants(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for k affine hash families (a odd, nonzero)."""
+    out = []
+    for i in range(k):
+        a = ((i + 1) * 2654435761) % MERSENNE_P | 1
+        b = ((i + 1) * 40503) % MERSENNE_P
+        out.append((a, b))
+    return out
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """One 31-bit base hash per shingle: md5_long(s) % P (single md5 pass)."""
+    return F.transform(shingles, lambda s: md5_long(s) % F.lit(MERSENNE_P))
 
 
 def minhash_signature(shingles: Column, k: int = 16) -> Column:
-    """k independent min-hashes: min over shingles of md5_long(seed|shingle).
+    """k independent min-hashes via affine permutations of one base hash.
 
-    Computed per-row (narrow, no shuffle); k seeded hash families via
-    string seed prefixes — deterministic and portable.
+    A single ``aggregate`` pass: the base hash ``h`` binds once as the
+    lambda value, so each shingle pays ONE md5 plus k integer ops.
+    (Higher-order functions bypass codegen subexpression elimination, so
+    k separate ``array_min(transform(...))`` trees would recompute the
+    md5 pass k times.)  Per-row and narrow — no shuffle; at 100 TB this
+    is |shingles| md5 calls per row, not k·|shingles|.
     """
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, _seeded_hash(i))).alias(f"mh{i}")
-            for i in range(k)
-        ]
-    )
+    consts = perm_constants(k)
+
+    def merge(acc: Column, h: Column) -> Column:
+        fams = F.array(
+            *[(h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P) for a, b in consts]
+        )
+        return F.zip_with(acc, fams, lambda x, y: F.least(x, y))
+
+    init = F.array_repeat(F.lit(MERSENNE_P).cast("long"), k)
+    return F.aggregate(shingle_hashes(shingles), init, merge)
 
 
 def _band_hash(sig: Column, band: int, rows_per_band: int) -> Column:
@@ -127,10 +159,12 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("doc"),
         F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
     ).withColumn("sig", minhash_signature(F.col("sh"), k))
+    # The self-join + verify re-read this lineage 4×; materialize once.
+    # At cluster scale this would be a parquet signature table instead.
+    base = base.persist()
 
     banded = base.select(
         "doc",
-        "sh",
         F.explode(
             F.array(*[
                 F.struct(
@@ -140,25 +174,31 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ])
         ).alias("lsh"),
-    ).select("doc", "sh", "lsh.band", "lsh.bh")
+    ).select("doc", "lsh.band", "lsh.bh")
 
-    left = banded.select(
-        F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bh"
-    )
-    right = banded.select(
-        F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bh"
-    )
+    # Candidate generation joins ONLY (doc, band, bh) — shingle arrays never
+    # enter this shuffle; they are re-attached per surviving pair below.
+    left = banded.select(F.col("doc").alias("id_a"), "band", "bh")
+    right = banded.select(F.col("doc").alias("id_b"), "band", "bh")
     cand = (
         left.join(right, on=["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    shingle_sets = base.select("doc", "sh")
+    pairs = cand.join(
+        shingle_sets.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")),
+        on="id_a",
+    ).join(
+        shingle_sets.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b")),
+        on="id_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union.cast("double")
     return (
-        cand.withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -208,15 +248,29 @@ def simhash64(tokens: Column) -> Column:
     """
     th = F.transform(tokens, md5_long)
 
-    def _vote(bit: int):
-        mask = F.lit(1 << bit)
-        return lambda a, h: a + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+    # ONE aggregate pass with a 60-wide vote vector (HOFs bypass codegen
+    # CSE, so 60 separate aggregates would re-hash every token 60×).  The
+    # token hash ``h`` binds once per element; votes fold into the final
+    # signature via a let-bound zip with the bit-weight array.
+    def merge(acc: Column, h: Column) -> Column:
+        bits = F.array(
+            *[
+                F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+                for i in range(60)
+            ]
+        )
+        return F.zip_with(acc, bits, lambda a, b: a + b)
 
-    acc = F.lit(0).cast("long")
-    for i in range(60):
-        votes = F.aggregate(th, F.lit(0), _vote(i))
-        acc = acc + F.when(votes > 0, F.lit(1 << i)).otherwise(0)
-    return acc
+    votes = F.aggregate(th, F.array_repeat(F.lit(0), 60), merge)
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(60)])
+
+    def fold(v: Column) -> Column:
+        contrib = F.zip_with(
+            v, weights, lambda x, w: F.when(x > 0, w).otherwise(F.lit(0).cast("long"))
+        )
+        return F.aggregate(contrib, F.lit(0).cast("long"), lambda a, x: a + x)
+
+    return F.element_at(F.transform(F.array(votes), fold), 1)
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -241,6 +295,9 @@ def simhash_dedup_pairs(
         F.col(id_col).alias("doc"),
         simhash64(F.split(normalize_text(text_col), " ")).alias("sig"),
     ).withColumn("blk", F.shiftright("sig", 60 - prefix_bits))
+    # Materialize once: the self-join would otherwise run the signature
+    # lineage twice (and project-collapse re-inlines `sig` into `blk`).
+    base = base.persist()
     a = base.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"), "blk")
     b = base.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"), "blk")
     return (

@@ -50,21 +50,31 @@ def detect_language(c: Column | str) -> Column:
     proper model via a Pandas UDF when libraries are available.
     """
     toks = tokens_ws(c)
+    langs = list(STOPWORDS)
 
     def _in_list(sw: tuple[str, ...]):
         # unary lambda factory: a two-param lambda would receive the HOF
         # element index as its second argument (PySpark semantics).
         return lambda x: x.isin(*sw)
 
-    ratios = {
-        lang: F.size(F.filter(toks, _in_list(sw)))
-        for lang, sw in STOPWORDS.items()
-    }
-    best = F.greatest(*ratios.values())
-    expr = F.when(best == 0, "und")
-    for lang in STOPWORDS:  # insertion order breaks ties deterministically
-        expr = expr.when(ratios[lang] == best, lang)
-    return expr
+    # Let-bind the token array, then the score vector: HOFs bypass codegen
+    # CSE, so naming these subtrees once avoids re-tokenizing per language
+    # and re-scoring per CASE branch.
+    def _scores(tk: Column) -> Column:
+        return F.array(
+            *[F.size(F.filter(tk, _in_list(STOPWORDS[lang]))) for lang in langs]
+        )
+
+    scores = F.element_at(F.transform(F.array(toks), _scores), 1)
+
+    def _decide(s: Column) -> Column:
+        best = F.array_max(s)
+        expr = F.when(best == 0, "und")
+        for i, lang in enumerate(langs):  # insertion order breaks ties
+            expr = expr.when(F.element_at(s, i + 1) == best, lang)
+        return expr
+
+    return F.element_at(F.transform(F.array(scores), _decide), 1)
 
 
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:

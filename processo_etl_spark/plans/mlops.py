@@ -28,6 +28,18 @@ def _md5_long_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+# MinHash family i over base hash h = md5_long(s) % P: (a_i*h + b_i) % P.
+# Constants come from ml.dedup.perm_constants so SQL and Spark share one
+# definition; min over shingles = the signature component.
+_P = dedup.MERSENNE_P
+
+
+def _minhash_sql(i: int, k: int) -> str:
+    a, b = dedup.perm_constants(k)[i]
+    h = f"({_md5_long_sql('s')} % {_P})"
+    return f"list_min(list_transform(sh, s -> ({a} * {h} + {b}) % {_P}))"
+
+
 # --- exact dedup ---------------------------------------------------------------
 @register(
     "dedup_exact",
@@ -57,10 +69,10 @@ def doc_fingerprint(spark, sf_dir):
     oracle=f"""
     WITH base AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents)
     SELECT doc_id,
-      list_min(list_transform(sh, s -> {_md5_long_sql("'0|' || s")})) AS mh0,
-      list_min(list_transform(sh, s -> {_md5_long_sql("'1|' || s")})) AS mh1,
-      list_min(list_transform(sh, s -> {_md5_long_sql("'2|' || s")})) AS mh2,
-      list_min(list_transform(sh, s -> {_md5_long_sql("'3|' || s")})) AS mh3
+      {_minhash_sql(0, 4)} AS mh0,
+      {_minhash_sql(1, 4)} AS mh1,
+      {_minhash_sql(2, 4)} AS mh2,
+      {_minhash_sql(3, 4)} AS mh3
     FROM base
     """,
 )
@@ -85,14 +97,7 @@ def minhash_signature(spark, sf_dir):
       SELECT doc_id AS doc, {_SHINGLES} AS sh FROM documents),
     sigs AS (
       SELECT doc, sh,
-        [list_min(list_transform(sh, s -> {_md5_long_sql("'0|' || s")})),
-         list_min(list_transform(sh, s -> {_md5_long_sql("'1|' || s")})),
-         list_min(list_transform(sh, s -> {_md5_long_sql("'2|' || s")})),
-         list_min(list_transform(sh, s -> {_md5_long_sql("'3|' || s")})),
-         list_min(list_transform(sh, s -> {_md5_long_sql("'4|' || s")})),
-         list_min(list_transform(sh, s -> {_md5_long_sql("'5|' || s")})),
-         list_min(list_transform(sh, s -> {_md5_long_sql("'6|' || s")})),
-         list_min(list_transform(sh, s -> {_md5_long_sql("'7|' || s")}))] AS sig
+        [{", ".join(_minhash_sql(i, 8) for i in range(8))}] AS sig
       FROM base),
     banded AS (
       SELECT doc, sh, b.band,
