@@ -68,6 +68,19 @@ def synthesize_media(df: DataFrame, id_col: str, seed_col: str) -> DataFrame:
     )
 
 
+def decode_image(payload: bytes):
+    """REAL image decode — NOT IMPLEMENTED in this container.
+
+    The image libraries (Pillow / torchvision / ffmpeg) are not
+    installed; production swaps this in for ``_decode_image_stub`` and
+    the rest of the plumbing is unchanged.
+    """
+    raise NotImplementedError(
+        "real image decode needs Pillow/torchvision; the engine ships the "
+        "deterministic stub _decode_image_stub for plumbing tests"
+    )
+
+
 def _decode_image_stub(payload: bytes, n_features: int = 8) -> list[float]:
     """Deterministic fake decoder (REAL decode NOT IMPLEMENTED here).
 

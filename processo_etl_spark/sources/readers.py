@@ -1,0 +1,74 @@
+"""File-source readers (S1-S7) re-expressed for Spark.
+
+- Raw CSV scan: ';' + latin1 + explicit schema (reference dag.py:47, S3)
+  — schema-on-read enforcement replaces inference + try/except checks
+  (dag.py:65-75).
+- Intermediate CSV scan (',' + utf-8, dag.py:62, S4) exists for parity
+  but the engine's stages are lazy lineage — no intermediates needed.
+- HTTP zip ingest (S1/S2, dag.py:22-41) is driver-side landing-zone
+  work, deliberately OUTSIDE the Spark plan: Spark cannot split zip.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import zipfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from processo_etl_spark.etl.schemas import RAW_CSV_OPTIONS
+
+
+def read_raw_csv(
+    spark: SparkSession, path: str | list[str], schema: T.StructType
+) -> DataFrame:
+    """Raw-dialect CSV scan (dag.py:47): sep=';', latin1, header, explicit schema."""
+    reader = spark.read.schema(schema)
+    for k, v in RAW_CSV_OPTIONS.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_intermediate_csv(
+    spark: SparkSession, path: str | list[str], schema: T.StructType | None = None
+) -> DataFrame:
+    """Intermediate-dialect CSV scan (dag.py:62): ',', utf-8, header."""
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink with header (dag.py:54, S5). Prefer parquet for internals."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def ingest_http_zip(url: str, dest_dir: str, timeout: int = 60) -> list[str]:
+    """S1+S2 (dag.py:22-41): download a zip, extract members, drop archive.
+
+    Driver-side by design — zip is not splittable; extraction feeds a
+    landing directory that Spark then scans in parallel.  Raises on
+    non-200 like the reference (dag.py:34).
+    """
+    from urllib.request import urlopen
+
+    os.makedirs(dest_dir, exist_ok=True)
+    with urlopen(url, timeout=timeout) as resp:  # noqa: S310
+        if resp.status != 200:
+            raise RuntimeError(f"download failed: HTTP {resp.status} for {url}")
+        payload = resp.read()
+    out: list[str] = []
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        for member in zf.namelist():
+            zf.extract(member, dest_dir)
+            out.append(os.path.join(dest_dir, member))
+    return out

@@ -1,0 +1,118 @@
+"""Unit tests for the tricky scalar operators (SURVEY §5.3):
+C7 fase_dia boundaries, C11 dirty multilabel decode, C13 make/model
+asymmetry, C12 decimal commas, C4 month names, median parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from processo_etl_spark.functions import cleaning, derive, text
+
+
+def test_fase_dia_boundaries(spark):
+    # dag.py:106-113 boundaries: 5, 7, 12, 18, 24.
+    cases = [
+        (0, "Madrugada"), (4, "Madrugada"), (5, "Amanhecer"), (6, "Amanhecer"),
+        (7, "Dia"), (11, "Dia"), (12, "Tarde"), (17, "Tarde"),
+        (18, "Noite"), (23, "Noite"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], ["hora"])
+    got = {r["hora"]: r["fase"] for r in
+           df.select("hora", derive.fase_dia("hora").alias("fase")).collect()}
+    for h, want in cases:
+        assert got[h] == want, (h, got[h], want)
+
+
+def test_multilabel_decode_dirty_labels(spark):
+    # dag.py:167-181 + Análise.ipynb:1278+ dirt: 'Acli', 'Aclive    '.
+    df = spark.createDataFrame(
+        [("Reta;Aclive",), ("Acli",), ("Aclive    ",), ("Curva",), ("Reta;Curva;Ponte",)],
+        ["tracado_via"],
+    )
+    out = text.multilabel_flags(df, "tracado_via").collect()
+    by_input = {r["tracado_via"]: r for r in out}
+    assert by_input["Reta;Aclive"]["Aclive"] and by_input["Reta;Aclive"]["Reta"]
+    assert by_input["Acli"]["Aclive"]          # truncated token still matches
+    assert by_input["Aclive    "]["Aclive"]    # padded token still matches
+    assert not by_input["Curva"]["Aclive"]
+    r = by_input["Reta;Curva;Ponte"]
+    assert r["Reta"] and r["Curva"] and r["Ponte"] and not r["Viaduto"]
+
+
+def test_split_make_model_asymmetry(spark):
+    # dag.py:187-195 — modelo branch tests token=='I', marca branch tests
+    # first CHAR=='I' (deliberate reference asymmetry).
+    rows = [
+        ("VW/GOL 1.0",),            # plain: marca=VW, modelo=GOL 1.0
+        ("I/TOYOTA COROLLA XEI",),  # import: marca=TOYOTA, modelo=COROLLA XEI
+        ("IVECO/DAILY 35S14",),     # first char I but token!='I':
+                                    #   modelo stays DAILY 35S14, marca=DAILY
+        (None,),                    # null → 'não informado'
+    ]
+    df = spark.createDataFrame(rows, ["marca"])
+    out = {(r["marca"], r["modelo"]) for r in text.split_make_model(df, "marca").collect()}
+    assert ("VW", "GOL 1.0") in out
+    assert ("TOYOTA", "COROLLA XEI") in out
+    assert ("DAILY", "DAILY 35S14") in out  # the asymmetry, preserved
+    assert ("não informado", "não informado") in out
+
+
+def test_lat_log_decimal_comma(spark):
+    df = spark.createDataFrame([("-27,5945", "-48,5477")], ["latitude", "longitude"])
+    got = df.select(text.lat_log("latitude", "longitude").alias("ll")).first()["ll"]
+    assert got == "-27.5945,-48.5477"
+
+
+def test_month_names_pt(spark):
+    df = spark.createDataFrame([(m,) for m in range(1, 13)], ["m"])
+    got = [r["nome"] for r in
+           df.select(derive.month_name_from_num("m").alias("nome")).orderBy("m").collect()]
+    assert got[0] == "Janeiro" and got[11] == "Dezembro" and got[2] == "Março"
+
+
+def test_exact_median_pandas_parity(spark):
+    # Even-count set: pandas/DuckDB median averages the two middle values.
+    df = spark.createDataFrame([(1,), (2,), (3,), (10,)], ["v"])
+    assert cleaning.exact_median(df, "v", exclude_zero=False) == 2.5
+    # exclude_zero drops 0-markers before the median (dag.py:79).
+    df2 = spark.createDataFrame([(0,), (0,), (5,), (7,)], ["v"])
+    assert cleaning.exact_median(df2, "v", exclude_zero=True) == 6.0
+
+
+def test_impute_and_domains(spark):
+    df = spark.createDataFrame(
+        [(None, "Chuva"), (0, "Chuvisco"), (2000, None), (2010, "Sol")],
+        ["ano", "cond"],
+    )
+    out = cleaning.impute_median(df, ["ano"])
+    vals = sorted(r["ano"] for r in out.collect())
+    assert vals == [2000, 2005, 2005, 2010]  # median of {2000,2010} = 2005
+    dom = cleaning.apply_domains(df, {"cond": ["Chuva", "Sol"]}).collect()
+    got = {r["cond"] for r in dom}
+    assert got == {"Chuva", "Sol", "não informado"}
+
+
+def test_dia_util_and_recode(spark):
+    df = spark.createDataFrame(
+        [("sábado",), ("domingo",), ("segunda-feira",)], ["dia_semana"]
+    )
+    got = {r["dia_semana"]: r["u"] for r in
+           df.select("dia_semana", derive.dia_util("dia_semana").alias("u")).collect()}
+    assert got == {"sábado": False, "domingo": False, "segunda-feira": True}
+    df2 = spark.createDataFrame([("Não",), ("Sim",), ("Outro",)], ["uso_solo"])
+    got2 = {r["uso_solo"]: r["x"] for r in df2.select(
+        "uso_solo",
+        derive.recode("uso_solo", {"Não": "Rural", "Sim": "Urbano"}).alias("x"),
+    ).collect()}
+    assert got2 == {"Não": "Rural", "Sim": "Urbano", "Outro": "Outro"}
+
+
+def test_holiday_dim(spark):
+    from processo_etl_spark.etl import holidays_br
+
+    dim = holidays_br.holiday_dim(spark, [2023])
+    dates = {str(r["holiday_date"]) for r in dim.collect()}
+    assert "2023-01-01" in dates and "2023-12-25" in dates
+    assert "2023-04-07" in dates  # Good Friday 2023 (Easter Apr 9)
+    assert "2023-02-21" in dates  # Carnival Tuesday 2023
+    assert "2023-06-08" in dates  # Corpus Christi 2023

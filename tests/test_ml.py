@@ -1,0 +1,116 @@
+"""LLM-pipeline operators: dedup families, similarity, text stats,
+multimodal plumbing — invariants that the SQL oracle can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from processo_etl_spark.ml import dedup, multimodal, similarity, textstats
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (2, "the quick brown fox jumps over the lazy dog again and again", "en"),  # dup of 1
+        (3, "the quick brown fox jumps over the lazy cat again and again", "en"),  # near-dup
+        (4, "el perro come la comida que le dan en la casa de los abuelos", "es"),
+        (5, "completely different content about spark distributed computing engines", "en"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def test_word_shingles_short_docs_regression(spark):
+    # Docs shorter than the shingle width crashed with ANSI element_at.
+    df = spark.createDataFrame([(1, ""), (2, "word"), (3, "two words")], ["doc_id", "text"])
+    out = df.select(F.array_distinct(dedup.word_shingles("text", 3)).alias("sh")).collect()
+    assert [r["sh"] for r in out] == [[""], ["word"], ["two words"]]
+
+
+def test_minhash_deterministic_and_bounded(spark):
+    df = _docs(spark)
+    sig = df.select(
+        "doc_id",
+        dedup.minhash_signature(
+            F.array_distinct(dedup.word_shingles("text", 3)), k=8
+        ).alias("sig"),
+    )
+    a = {r["doc_id"]: r["sig"] for r in sig.collect()}
+    b = {r["doc_id"]: r["sig"] for r in sig.collect()}
+    assert a == b                                    # deterministic
+    assert all(len(s) == 8 for s in a.values())
+    assert all(0 <= v < dedup.MERSENNE_P for s in a.values() for v in s)
+    assert a[1] == a[2]                              # identical docs, identical sig
+    assert a[1] != a[5]                              # different docs differ
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark):
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark), "doc_id", "text", k=8, bands=4, threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got                             # exact dup found
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert jac[(1, 2)] == 1.0
+    assert all(r["id_a"] < r["id_b"] for r in pairs)  # canonical ordering
+    assert not any(a == b for a, b in got)            # no self-pairs
+
+
+def test_exact_dedup_counts(spark):
+    out = dedup.exact_dedup(_docs(spark), "text", "doc_id").collect()
+    by_id = {r["doc_id"]: r["n_copies"] for r in out}
+    assert by_id[1] == 2          # doc 2 collapsed into doc 1 (min id kept)
+    assert 2 not in by_id
+    assert by_id[3] == 1
+
+
+def test_simhash_invariants(spark):
+    df = _docs(spark)
+    sigs = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id",
+        dedup.simhash64(F.split(dedup.normalize_text("text"), " ")).alias("s"),
+    ).collect()}
+    assert sigs[1] == sigs[2]                        # identical text
+    ham = df.sparkSession.createDataFrame(
+        [(sigs[1], sigs[3]), (sigs[1], sigs[5])], ["a", "b"]
+    ).select(dedup.hamming64(F.col("a"), F.col("b")).alias("h")).collect()
+    near, far = ham[0]["h"], ham[1]["h"]
+    assert near < far                                # near-dup closer than unrelated
+    assert 0 <= near <= 64 and 0 <= far <= 64
+
+
+def test_similarity_bruteforce_topk(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = similarity.brute_force_topk(emb, emb.filter(F.col("vec_id") == 1), k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [2, 3]
+    assert all(r["query_id"] == 1 for r in out)
+
+
+def test_langid_and_quality(spark):
+    df = _docs(spark)
+    pred = {r["doc_id"]: r["p"] for r in
+            df.select("doc_id", textstats.detect_language("text").alias("p")).collect()}
+    assert pred[1] == "en" and pred[4] == "es"
+    q = textstats.quality_features(df, "text").collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in q)
+
+
+def test_multimodal_plumbing(spark):
+    df = _docs(spark)
+    media = multimodal.synthesize_media(df, "doc_id", "text")
+    feats = multimodal.extract_features(media, n_features=4)
+    rows = feats.collect()
+    assert len(rows) == 5
+    assert all(len(r["feature"]) == 4 for r in rows)
+    # Deterministic fake decode: same payload → same features.
+    again = {r["media_id"]: r["feature"] for r in feats.collect()}
+    first = {r["media_id"]: r["feature"] for r in rows}
+    assert first == again
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG fake")

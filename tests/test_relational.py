@@ -1,0 +1,68 @@
+"""Relational core: joins, dedup determinism, union, top-k, star builders."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from processo_etl_spark.operators import relational, star
+
+
+def test_right_outer_join_keeps_every_right_row(spark):
+    left = spark.createDataFrame([(1, "a"), (1, "b")], ["id", "attr"])
+    right = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "val"])
+    out = relational.right_outer_join(left, right, on="id").collect()
+    assert len(out) == 3  # id=1 matches twice, id=2 kept with null attr
+    assert any(r["id"] == 2 and r["attr"] is None for r in out)
+
+
+def test_dedup_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "a"), (2, "z"), (2, "c")], ["id", "v"]
+    )
+    out = relational.dedup_keep_first(df, ["id"], order_by=["v"])
+    got = {(r["id"], r["v"]) for r in out.collect()}
+    assert got == {(1, "a"), (2, "c")}
+    # Re-run → identical (determinism).
+    assert got == {(r["id"], r["v"]) for r in out.collect()}
+
+
+def test_union_by_name_not_position(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "v"])
+    b = spark.createDataFrame([("y", 2)], ["v", "id"])  # swapped order
+    out = relational.union_all([a, b]).collect()
+    assert {(r["id"], r["v"]) for r in out} == {(1, "x"), (2, "y")}
+
+
+def test_value_counts_and_topk(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("a",), ("c",), ("a",), ("b",)], ["x"])
+    vc = relational.value_counts(df, "x").collect()
+    assert (vc[0]["x"], vc[0]["count"]) == ("a", 3)
+    top2 = relational.top_k(df, "x", 2).collect()
+    assert [r["x"] for r in top2] == ["a", "b"]
+
+
+def test_build_dimension_contiguous_deterministic(spark):
+    df = spark.createDataFrame(
+        [("b", 1), ("a", 2), ("b", 1), ("c", 3)], ["k1", "k2"]
+    )
+    dim = star.build_dimension(df, ["k1", "k2"], "id")
+    rows = sorted((r["id"], r["k1"]) for r in dim.collect())
+    assert [r[0] for r in rows] == [1, 2, 3]          # contiguous 1..N
+    assert [r[1] for r in rows] == ["a", "b", "c"]    # ordered by natural key
+    # Determinism across re-evaluation.
+    assert rows == sorted((r["id"], r["k1"]) for r in dim.collect())
+
+
+def test_attach_fks_broadcast_no_loss(spark):
+    fact = spark.createDataFrame([("a",), ("b",), ("a",)], ["k"])
+    dim = star.build_dimension(fact, ["k"], "id_k")
+    out = star.attach_fks(fact, {"id_k": (dim, ["k"])})
+    assert out.count() == 3
+    assert out.filter(F.col("id_k").isNull()).count() == 0
+
+
+def test_surrogate_keys_scalable_contiguous(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], ["v"]).repartition(3)
+    out = star.surrogate_keys_scalable(df, "id")
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == [1, 2, 3, 4]
