@@ -84,6 +84,38 @@ def sign_bucket(vec: Column, bits: int = 8) -> Column:
     return b
 
 
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, LSH-blocked.
+
+    The dedup-by-embedding family: sign-LSH bucketing keeps the self-join
+    linear-ish (near-identical vectors share sign patterns), then exact
+    cosine verifies.  Returns (id_a, id_b, cos) with id_a < id_b.
+    Recall caveat as in ``lsh_topk``: borderline vectors whose leading
+    dims straddle 0 can land in different buckets; raise recall with
+    rotated bucket tables.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("v"),
+        sign_bucket(F.col(vec_col), bits).alias("bkt"),
+    )
+    a = base.select(F.col("doc").alias("id_a"), F.col("v").alias("va"), "bkt")
+    b = base.select(F.col("doc").alias("id_b"), F.col("v").alias("vb"), "bkt")
+    return (
+        a.join(b, on="bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

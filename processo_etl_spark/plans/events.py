@@ -123,6 +123,17 @@ def event_type_pivot(spark, sf_dir):
     )
 
 
+@register("stream_sessionize_stateful")
+def stream_sessionize_stateful(spark, sf_dir):
+    """GENUINE stateful streaming (rows-only): applyInPandasWithState
+    sessionizer drained with availableNow.  Matches sessionize_gap's
+    (user_id, n_sessions, n_events) exactly once fully drained — the
+    equivalence is asserted in tests/test_streaming.py."""
+    from processo_etl_spark.streaming import jobs
+
+    return jobs.run_sessionize_stateful_availablenow(spark, sf_dir)
+
+
 @register("stream_tumbling_counts")
 def stream_tumbling_counts(spark, sf_dir):
     """GENUINE Structured Streaming run (rows-only): file source →

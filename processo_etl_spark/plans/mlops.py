@@ -238,6 +238,38 @@ def similarity_topk_lsh(spark, sf_dir):
     return similarity.lsh_topk(emb, queries, k=5, bits=6)
 
 
+# --- embedding-cosine near-dup dedup --------------------------------------------------------
+_COS_AB = """
+  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x,y) -> x + y)
+  / ( sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x + y))
+    * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x,y) -> x + y)) )
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_BKT_SQL.format(v="embeddings")} AS bkt
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS cos
+    FROM base a JOIN base b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+    WHERE {_COS_AB} >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs: sign-LSH blocking + exact cosine ≥ 0.4.
+
+    The fifth dedup family (exact / minhash / simhash / ngram /
+    embedding) — blocks on 6 sign bits so the self-join never goes
+    all-pairs."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, bits=6
+    )
+
+
 # --- text analysis -------------------------------------------------------------------------
 @register(
     "text_token_stats",

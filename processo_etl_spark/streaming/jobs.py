@@ -57,6 +57,87 @@ def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+SESSION_OUTPUT_SCHEMA = "user_id long, n_sessions bigint, n_events bigint"
+SESSION_STATE_SCHEMA = "last_epoch double, n_sessions bigint, n_events bigint"
+
+
+def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization per user via
+    ``applyInPandasWithState`` (the escape hatch for semantics the
+    built-in window operators can't express).
+
+    State per user = (last event epoch, session count, event count);
+    each micro-batch folds its (sorted) events into the state and emits
+    the running totals — update-mode semantics.  Equals the batch
+    ``sessionize_gap`` plan once the source is fully drained, which is
+    exactly what the test asserts.  State is O(1) per user — bounded,
+    unlike a naive collect-all-events approach.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            last_epoch, n_sessions, n_events = state.get
+        else:
+            last_epoch, n_sessions, n_events = None, 0, 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            for ts in pdf["ts"]:
+                epoch = ts.timestamp()
+                if last_epoch is None or epoch - last_epoch > gap_seconds:
+                    n_sessions += 1
+                last_epoch = epoch
+                n_events += 1
+        state.update((last_epoch, n_sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_sessionize_stateful_availablenow(
+    spark: SparkSession, sf_dir: str, gap_seconds: int = 1800
+) -> DataFrame:
+    """Drain the events source through the stateful sessionizer; the
+    memory sink holds one final row per user (update mode, single drain)."""
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stateful(read_events_stream(spark, sf_dir), gap_seconds)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+        .start()
+    )
+    q.awaitTermination()
+    # update mode can emit a user several times across micro-batches;
+    # the row with the highest n_events per user is the final state.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def run_tumbling_count_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the whole source once (availableNow) into a memory sink and
     return the result table — a real streaming execution, used by tests
