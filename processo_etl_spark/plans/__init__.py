@@ -36,6 +36,7 @@ _PLAN_MODULES = (
     "aggregates",
     "scalar",
     "star",
+    "windows",
     "mlops",
     "events",
 )

@@ -1,0 +1,156 @@
+"""Window-function plans — ranking, lag/lead, running frames, ntile.
+
+The reference uses exactly one window shape (W1 surrogate keys); Spark
+gives the whole family for free (SURVEY §2.6 "absent").  These are the
+BI-layer analytics the reference's dashboard implies (SURVEY §3 entry
+point 3), expressed over the driver tables with DuckDB oracles.
+
+All windows partition by a key — no global single-partition windows in
+this module; every plan is one shuffle on the partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from processo_etl_spark.plans import register
+from processo_etl_spark.plans.common import dec, t
+
+
+@register(
+    "window_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS DECIMAL(20,2)) AS running_total
+    FROM orders
+    """,
+)
+def window_running_revenue(spark, sf_dir):
+    """Running revenue per customer — cumulative frame, one shuffle on
+    o_custkey; partial ordering stays inside each partition."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("decimal(20,2)").alias("running_total"),
+    )
+
+
+@register(
+    "window_order_gap_days",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+      CAST(date_diff('day',
+            CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS DATE),
+            CAST(o_orderdate AS DATE)) AS INT) AS gap_days
+    FROM orders
+    """,
+)
+def window_order_gap_days(spark, sf_dir):
+    """Days since the customer's previous order — lag + datediff (null
+    for each customer's first order, matching SQL LAG semantics)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag(F.col("o_orderdate")).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), prev.cast("date"))
+        .cast("int")
+        .alias("gap_days"),
+    )
+
+
+@register(
+    "window_top3_orders_per_cust",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+      CAST(row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+    FROM orders QUALIFY rk <= 3
+    """,
+)
+def window_top3_orders_per_cust(spark, sf_dir):
+    """Top-3 orders per customer — per-group ranking; AQE plans the
+    rank filter before any downstream join would see the full set."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "window_moving_avg_value",
+    oracle="""
+    SELECT user_id, event_id,
+      CAST(AVG(CAST(value AS DOUBLE))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mv3
+    FROM events
+    """,
+)
+def window_moving_avg_value(spark, sf_dir):
+    """3-row moving average per user — explicit ROWS frame spec."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.avg(F.col("value").cast("double")).over(w).alias("mv3"),
+    )
+
+
+@register(
+    "window_revenue_deciles",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+             AS decile, o_totalprice
+      FROM orders)
+    SELECT decile, count(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS revenue
+    FROM d GROUP BY decile
+    """,
+)
+def window_revenue_deciles(spark, sf_dir):
+    """Revenue by order-value decile.  ntile over an unpartitioned window
+    IS a single-partition exchange — acceptable here because the input
+    is one column of one table; the 100 TB path is approx percentile
+    boundaries + a broadcast range join (documented, not needed for the
+    dashboard workload)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            F.ntile(10).over(w).cast("int").alias("decile"),
+            "o_totalprice",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).cast("decimal(20,2)").alias("revenue"),
+        )
+    )

@@ -1,0 +1,61 @@
+"""Scale-path operators: salted joins match plain joins; bucketed tables
+join without a shuffle (asserted on the physical plan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from processo_etl_spark.operators import skew
+from processo_etl_spark.sources import bucketed
+
+
+def test_salted_join_matches_plain_join(spark):
+    # One hot key (90% of rows) + a tail.
+    big = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(k, k) for k in range(2, 102)],
+        ["k", "payload"],
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(1, 102)], ["k", "attr"]
+    )
+    plain = big.join(small, on="k").groupBy("k").count()
+    salted = skew.salted_join(big, small, on="k", n_salts=8).groupBy("k").count()
+    assert {(r["k"], r["count"]) for r in plain.collect()} == {
+        (r["k"], r["count"]) for r in salted.collect()
+    }
+    # Left join keeps unmatched big rows exactly once.
+    big2 = big.union(spark.createDataFrame([(999, 0)], ["k", "payload"]))
+    left = skew.salted_join(big2, small, on="k", n_salts=8, how="left")
+    assert left.filter(F.col("k") == 999).count() == 1
+    assert left.count() == big2.count()
+
+
+def test_bucketed_join_plans_no_exchange(spark, tmp_path):
+    orders = spark.createDataFrame(
+        [(i, i % 50, float(i)) for i in range(1000)],
+        ["o_orderkey", "o_custkey", "total"],
+    )
+    lines = spark.createDataFrame(
+        [(i % 1000, j, float(j)) for i in range(3000) for j in (1,)],
+        ["o_orderkey", "n", "qty"],
+    )
+    bucketed.write_bucketed(
+        orders, "t_orders_b", ["o_orderkey"], n_buckets=4,
+        path=str(tmp_path / "orders_b"),
+    )
+    bucketed.write_bucketed(
+        lines, "t_lines_b", ["o_orderkey"], n_buckets=4,
+        path=str(tmp_path / "lines_b"),
+    )
+    try:
+        assert bucketed.join_is_shuffle_free(
+            spark, "t_orders_b", "t_lines_b", ["o_orderkey"]
+        )
+        joined = spark.table("t_orders_b").join(
+            spark.table("t_lines_b"), on="o_orderkey"
+        )
+        assert joined.count() == 3000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lines_b")
