@@ -265,6 +265,70 @@ def cube_counts(spark, sf_dir):
     )
 
 
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS (the general form rollup/cube specialize):
+    per-status, per-priority, and grand-total revenue in one pass."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS revenue
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "profile_lineitem",
+    oracle="""
+    SELECT 'l_quantity' AS col, count(*) AS n,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           CAST(min(l_quantity) AS DOUBLE) AS min_v, CAST(max(l_quantity) AS DOUBLE) AS max_v,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*),
+           CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT l_discount) AS BIGINT),
+           CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE),
+           CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+    FROM lineitem
+    """,
+)
+def profile_lineitem(spark, sf_dir):
+    """One-job table profile (the notebook's EDA loop as an API): count /
+    nulls / distinct / min / max / sum per numeric column, unpivoted to
+    one row per column.  Single scan, all aggregates in one pass."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def prof(col: str):
+        return F.struct(
+            F.lit(col).alias("col"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(col).isNull().cast("long")).alias("n_null"),
+            F.count_distinct(F.col(col)).cast("long").alias("n_distinct"),
+            F.min(F.col(col)).cast("double").alias("min_v"),
+            F.max(F.col(col)).cast("double").alias("max_v"),
+            F.sum(dec(col)).cast("double").alias("sum_v"),
+        )
+
+    packed = li.agg(
+        F.array(prof("l_quantity"), prof("l_discount")).alias("profiles")
+    )
+    return packed.select(F.explode("profiles").alias("p")).select("p.*")
+
+
 @register("approx_distinct_users")  # approx sketch: no SQL oracle (rows-only check)
 def approx_distinct_users(spark, sf_dir):
     """HLL++ approx_count_distinct — the 100 TB path for A5-style checks.
