@@ -42,10 +42,21 @@ def impute_null_or_zero(col: str, value: float | int) -> Column:
 
 
 def impute_median(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Two-pass median imputation for null/zero markers (dag.py:79-81, 122-127)."""
+    """Two-pass median imputation for null/zero markers (dag.py:79-81, 122-127).
+
+    ALL medians compute in ONE action (aggregate FILTER clauses), not one
+    job per column — the two-pass pattern costs a single tiny job
+    regardless of how many columns are imputed.
+    """
+    row = df.select(
+        *[
+            F.expr(f"percentile({c}, 0.5) FILTER (WHERE {c} > 0)").alias(c)
+            for c in cols
+        ]
+    ).first()
     out = df
     for col in cols:
-        med = exact_median(df, col, exclude_zero=True)
+        med = float(row[col]) if row[col] is not None else 0.0
         out = out.withColumn(col, impute_null_or_zero(col, med))
     return out
 

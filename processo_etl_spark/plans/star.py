@@ -15,6 +15,60 @@ from processo_etl_spark.plans import register
 from processo_etl_spark.plans.common import dec, t
 
 
+# --- end-to-end reference-parity pipeline (rows-only; invariants in tests) -----
+@register("etl_star_pipeline")
+def etl_star_pipeline(spark, sf_dir):
+    """The FULL reference pipeline (dag.py end-to-end): dirty raw CSVs →
+    merge → clean → transform → union → star schema; returns the fact
+    joined to dim_tempo (proves FK integrity in the returned frame).
+
+    Rows-only: inputs are the deterministic mini-datatran fixture
+    (etl/fixtures.py), not the sf tables, so the result is constant
+    across scale factors; the 11 notebook invariants are asserted in
+    tests/test_etl_pipeline.py.
+    """
+    import tempfile
+
+    from processo_etl_spark.etl import fixtures, pipeline
+
+    dest = tempfile.mkdtemp(prefix="datatran_fixture_")
+    files = fixtures.write_fixture(dest)
+    ss = pipeline.run_pipeline(spark, files)
+    return (
+        ss.fato_acidentes.join(F.broadcast(ss.dim_tempo), on="id_tempo")
+        .select(
+            "id_tempo", "id_rodovia", "id_local", "id_descritivo", "id_veiculo",
+            "pessoas_envolvidas", "veiculos_envolvidos", "feridos", "obitos",
+            "ano", "mes", "fase_dia", "feriado", "dia_util",
+        )
+        .orderBy("id_tempo", "id_rodovia", "id_local", "id_descritivo")
+    )
+
+
+# --- SQL-text interface (notebook/BI entry point, SURVEY §3 EP2/EP3) ------------
+_SQL_DEMO = """
+SELECT r_name AS region, o_orderpriority AS priority,
+       count(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, o_orderpriority
+"""
+
+
+@register("sql_interface_star_join", oracle=_SQL_DEMO)
+def sql_interface_star_join(spark, sf_dir):
+    """The engine's SQL-text entry point: register catalog views, run a
+    SQL string (SURVEY §3 — the notebook/dashboard workload is SQL).
+    The SAME text is the DuckDB oracle — dialect-shared by design."""
+    from processo_etl_spark import catalog
+
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(_SQL_DEMO)
+
+
 # --- W1: surrogate-key dimension build ----------------------------------------
 @register(
     "dim_build_priority",
