@@ -48,8 +48,20 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
 
-def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    df.write.mode(mode).parquet(path)
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink; ``partition_by`` lays out hive-style directories so
+    downstream filters on those columns become partition pruning (the
+    scan skips whole directories — the 100 TB table-layout default for
+    low-cardinality predicates like date / region)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
 
 
 def ingest_http_zip(url: str, dest_dir: str, timeout: int = 60) -> list[str]:
