@@ -20,7 +20,7 @@ Layout
 - ``ml``         — scale extensions: dedup (exact/MinHash-LSH/SimHash),
                    similarity search, text stats, multimodal plumbing.
 - ``streaming``  — Structured Streaming jobs over the events table.
-- ``queries``    — the registry binding every operator to a (PySpark,
+- ``plans``      — the registry binding every operator to a (PySpark,
                    oracle-SQL) pair consumed by ``__spark_entry__.py``.
 """
 

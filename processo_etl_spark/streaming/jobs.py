@@ -58,7 +58,7 @@ def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
 
 
 SESSION_OUTPUT_SCHEMA = "user_id long, n_sessions bigint, n_events bigint"
-SESSION_STATE_SCHEMA = "last_epoch double, n_sessions bigint, n_events bigint"
+SESSION_STATE_SCHEMA = "starts array<double>, ends array<double>, n_events bigint"
 
 
 def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
@@ -66,12 +66,17 @@ def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
     ``applyInPandasWithState`` (the escape hatch for semantics the
     built-in window operators can't express).
 
-    State per user = (last event epoch, session count, event count);
-    each micro-batch folds its (sorted) events into the state and emits
-    the running totals — update-mode semantics.  Equals the batch
-    ``sessionize_gap`` plan once the source is fully drained, which is
-    exactly what the test asserts.  State is O(1) per user — bounded,
-    unlike a naive collect-all-events approach.
+    State per user = the MERGED SESSION INTERVALS (start/end arrays) +
+    event count.  Each event is a [t, t] interval; intervals within
+    ``gap_seconds`` merge.  Interval-merge is order-independent, so the
+    result equals the batch ``sessionize_gap`` plan for ANY arrival
+    order across micro-batches — a last-timestamp fold undercounts
+    sessions whenever a later batch delivers earlier events (caught by
+    tests/test_streaming.py's out-of-order multi-batch case).
+
+    State is O(open sessions) per user; production adds a watermark
+    eviction of intervals older than max(event time) − allowed lateness
+    (they can never merge again), keeping state bounded.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -80,22 +85,27 @@ def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
 
         (user_id,) = key
         if state.exists:
-            last_epoch, n_sessions, n_events = state.get
+            starts, ends, n_events = state.get
+            intervals = [[s, e] for s, e in zip(starts, ends)]
         else:
-            last_epoch, n_sessions, n_events = None, 0, 0
+            intervals, n_events = [], 0
+        new_points = []
         for pdf in pdf_iter:
-            pdf = pdf.sort_values("ts")
-            for ts in pdf["ts"]:
-                epoch = ts.timestamp()
-                if last_epoch is None or epoch - last_epoch > gap_seconds:
-                    n_sessions += 1
-                last_epoch = epoch
-                n_events += 1
-        state.update((last_epoch, n_sessions, n_events))
+            n_events += len(pdf)
+            new_points.extend(ts.timestamp() for ts in pdf["ts"])
+        merged: list[list[float]] = []
+        for iv in sorted(intervals + [[p, p] for p in new_points]):
+            if merged and iv[0] - merged[-1][1] <= gap_seconds:
+                merged[-1][1] = max(merged[-1][1], iv[1])
+            else:
+                merged.append(iv)
+        state.update(
+            ([iv[0] for iv in merged], [iv[1] for iv in merged], n_events)
+        )
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
-                "n_sessions": [n_sessions],
+                "n_sessions": [len(merged)],
                 "n_events": [n_events],
             }
         )

@@ -27,6 +27,55 @@ def test_stream_sessionize_stateful_equals_batch(spark):
     assert _as_set(stream, cols) == _as_set(batch, cols)
 
 
+def test_stateful_sessionizer_across_micro_batches(spark, tmp_path):
+    """State must persist BETWEEN micro-batches: split events over many
+    files and force one file per trigger, so most users' sessions span
+    batches.  A sessionizer that only folds within a batch would
+    overcount sessions at every batch boundary."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from processo_etl_spark import catalog
+    from processo_etl_spark.streaming import jobs
+
+    ev = catalog.load(spark, SF_DIR, "events")
+    src = str(tmp_path / "events_many_files")
+    # 8 files, arbitrary row split (not time-ordered — harder case).
+    ev.repartition(8).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = f"mb_{uuid.uuid4().hex[:8]}"
+    q = (
+        jobs.sessionize_stateful(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_mb_"))
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    batch = plans.all_queries()["sessionize_gap"](spark, SF_DIR)
+    cols = ["user_id", "n_sessions", "n_events"]
+    assert _as_set(final, cols) == _as_set(batch, cols)
+
+
 def test_insert_if_absent_anti_join(spark):
     from processo_etl_spark.sources import jdbc
 
