@@ -41,19 +41,28 @@ def easter_date(year: int) -> dt.date:
     return dt.date(year, month, day + 1)
 
 
-def national_holidays(year: int) -> list[dt.date]:
+def national_holidays(year: int, include_optional: bool = False) -> list[dt.date]:
+    """Public Brazilian holidays, matching ``holidays.Brazil()``'s default
+    PUBLIC category (fixed dates + Good Friday); ``include_optional``
+    adds the lib's OPTIONAL category (Carnival Mon/Tue, Corpus Christi).
+    """
     easter = easter_date(year)
-    movable = [
-        easter - dt.timedelta(days=48),  # Carnaval (Monday)
-        easter - dt.timedelta(days=47),  # Carnaval (Tuesday)
-        easter - dt.timedelta(days=2),   # Sexta-feira Santa
-        easter + dt.timedelta(days=60),  # Corpus Christi
-    ]
+    movable = [easter - dt.timedelta(days=2)]  # Sexta-feira Santa (public)
+    if include_optional:
+        movable += [
+            easter - dt.timedelta(days=48),  # Carnaval (Monday)
+            easter - dt.timedelta(days=47),  # Carnaval (Tuesday)
+            easter + dt.timedelta(days=60),  # Corpus Christi
+        ]
     fixed = [dt.date(year, m, d) for m, d in FIXED_HOLIDAYS]
     return sorted(fixed + movable)
 
 
-def holiday_dim(spark: SparkSession, years: range | list[int]) -> DataFrame:
+def holiday_dim(
+    spark: SparkSession,
+    years: range | list[int],
+    include_optional: bool = False,
+) -> DataFrame:
     """One-column (holiday_date: date) dimension for the given years."""
-    rows = [(d,) for y in years for d in national_holidays(y)]
+    rows = [(d,) for y in years for d in national_holidays(y, include_optional)]
     return spark.createDataFrame(rows, "holiday_date date")

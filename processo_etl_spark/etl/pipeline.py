@@ -33,7 +33,7 @@ TRACADO_RENAMES = {
     "Aclive": "aclive", "Declive": "declive", "Curva": "curva",
     "Em Obras": "em_obras", "Viaduto": "viaduto", "Reta": "reta",
     "Ponte": "ponte", "Rotatória": "rotatoria",
-    "Interseção de vias": "intersecao_vias",
+    "Interseção de Vias": "intersecao_vias",
     "Desvio Temporário": "desvio_temporario",
     "Retorno Regulamentado": "retorno_regulamentado", "Túnel": "tunel",
 }
@@ -78,8 +78,9 @@ def clean(df: DataFrame) -> DataFrame:
     """dag.py:59-129: parse, impute, validate domains, filter constraints."""
     out = df.withColumn("data_inversa", F.to_date("data_inversa"))
     out = out.withColumn("hora", F.hour(F.to_timestamp("horario", "HH:mm:ss")))
-    # C9/A1: null/0 → median (two-pass literal injection).
-    out = cleaning.impute_median(out, ["ano_fabricacao_veiculo"])
+    # C9/A1: null/0 → median (two-pass literal injection; the reference's
+    # ano median excludes != 0, dag.py:79).
+    out = cleaning.impute_median(out, ["ano_fabricacao_veiculo"], exclude="nonzero")
     # C9: null sentinels.
     out = cleaning.fill_sentinels(
         out,

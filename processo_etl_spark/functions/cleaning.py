@@ -41,16 +41,23 @@ def impute_null_or_zero(col: str, value: float | int) -> Column:
     return F.when(c.isNull() | (c == 0), F.lit(value)).otherwise(c)
 
 
-def impute_median(df: DataFrame, cols: list[str]) -> DataFrame:
+def impute_median(
+    df: DataFrame, cols: list[str], exclude: str = "positive"
+) -> DataFrame:
     """Two-pass median imputation for null/zero markers (dag.py:79-81, 122-127).
 
     ALL medians compute in ONE action (aggregate FILTER clauses), not one
     job per column — the two-pass pattern costs a single tiny job
     regardless of how many columns are imputed.
+
+    ``exclude``: 'positive' keeps ``c > 0`` rows for the median (pessoas/
+    veiculos, dag.py:122-123); 'nonzero' keeps ``c != 0`` (the reference's
+    ano_fabricacao_veiculo filter, dag.py:79 — ``!= 0``, not ``> 0``).
     """
+    pred = {"positive": "> 0", "nonzero": "<> 0"}[exclude]
     row = df.select(
         *[
-            F.expr(f"percentile({c}, 0.5) FILTER (WHERE {c} > 0)").alias(c)
+            F.expr(f"percentile({c}, 0.5) FILTER (WHERE {c} {pred})").alias(c)
             for c in cols
         ]
     ).first()

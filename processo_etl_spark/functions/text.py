@@ -15,10 +15,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# dag.py:168 — the 12 road-geometry labels decoded out of `tracado_via`.
+# dag.py:167 — the 12 road-geometry labels decoded out of `tracado_via`,
+# verbatim incl. the capital-V 'Interseção de Vias'.
 TRACADO_LABELS = (
     "Aclive", "Declive", "Curva", "Em Obras", "Viaduto", "Reta",
-    "Ponte", "Rotatória", "Interseção de vias", "Desvio Temporário",
+    "Ponte", "Rotatória", "Interseção de Vias", "Desvio Temporário",
     "Retorno Regulamentado", "Túnel",
 )
 

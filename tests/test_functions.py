@@ -113,6 +113,10 @@ def test_holiday_dim(spark):
     dim = holidays_br.holiday_dim(spark, [2023])
     dates = {str(r["holiday_date"]) for r in dim.collect()}
     assert "2023-01-01" in dates and "2023-12-25" in dates
-    assert "2023-04-07" in dates  # Good Friday 2023 (Easter Apr 9)
-    assert "2023-02-21" in dates  # Carnival Tuesday 2023
-    assert "2023-06-08" in dates  # Corpus Christi 2023
+    assert "2023-04-07" in dates      # Good Friday 2023 (Easter Apr 9)
+    # Carnival / Corpus Christi are the holidays lib's OPTIONAL category:
+    # excluded by default (matching holidays.Brazil()), opt-in flag adds them.
+    assert "2023-02-21" not in dates
+    opt = {str(r["holiday_date"])
+           for r in holidays_br.holiday_dim(spark, [2023], include_optional=True).collect()}
+    assert "2023-02-21" in opt and "2023-06-08" in opt
