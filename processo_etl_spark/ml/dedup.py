@@ -204,6 +204,66 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: connected components via
+    min-label propagation.
+
+    Each node's label converges to the minimum id reachable from it;
+    one `groupBy(node).min(label)` + one join per round, O(log D)
+    rounds for graph diameter D (dup clusters are tiny — a handful of
+    rounds).  The loop is driver-side but every step is distributed;
+    ``localCheckpoint`` truncates the growing lineage each round.
+
+    Returns (doc, cluster) where cluster = min doc id of the component
+    — the canonical survivor for keep-one dedup.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("cluster", F.col("doc"))
+    )
+    for _ in range(max_iterations):
+        # Propagate: each node adopts min(own label, neighbors' labels).
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc"])
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc"] == neighbor_min["src"], "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nbr_cluster"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="doc")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

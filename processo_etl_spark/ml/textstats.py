@@ -104,6 +104,83 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def gopher_quality_flags(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-rules-style quality signals per document (public heuristics
+    from the Gopher/MassiveText filtering literature):
+
+    - n_tokens, mean_word_len
+    - frac_alpha_words: fraction of tokens containing a letter
+    - top_token_frac:   most frequent token / n_tokens (repetition)
+    - keep: the conjunctive rule-of-thumb filter
+
+    One narrow projection; the token array is let-bound (HOFs skip CSE).
+    """
+    toks = tokens_ws(text_col)
+
+    def _feats(tk: Column) -> Column:
+        n = F.size(tk)
+        alpha = F.size(F.filter(tk, lambda x: x.rlike("[A-Za-zÀ-ÿ]")))
+        total_len = F.aggregate(
+            F.transform(tk, F.length), F.lit(0), lambda a, x: a + x
+        )
+        # top token frequency via aggregate over a map would need UDF;
+        # sort + adjacent-run max is native: count max run in sorted array.
+        sorted_tk = F.array_sort(tk)
+        runs = F.aggregate(
+            sorted_tk,
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+        )["best"]
+        return F.struct(
+            n.alias("n_tokens"),
+            (total_len.cast("double") / F.greatest(n, F.lit(1)).cast("double")).alias(
+                "mean_word_len"
+            ),
+            (alpha.cast("double") / F.greatest(n, F.lit(1)).cast("double")).alias(
+                "frac_alpha_words"
+            ),
+            (runs.cast("double") / F.greatest(n, F.lit(1)).cast("double")).alias(
+                "top_token_frac"
+            ),
+        )
+
+    feats = F.element_at(F.transform(F.array(toks), _feats), 1)
+    out = df.select(F.col(id_col), feats.alias("f")).select(id_col, "f.*")
+    keep = (
+        (F.col("n_tokens") >= 5)
+        & (F.col("mean_word_len") >= 2)
+        & (F.col("mean_word_len") <= 12)
+        & (F.col("frac_alpha_words") >= 0.6)
+        & (F.col("top_token_frac") <= 0.3)
+    )
+    return out.withColumn("keep", keep)
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\s.-]{7,}[0-9]"
+
+
+def scrub_pii(c: Column | str) -> Column:
+    """Replace email addresses and phone-number-shaped runs with typed
+    placeholders — regex is RE2-safe (no backreferences) so the exact
+    same patterns run on any engine."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Stable md5 content fingerprint over normalized text."""
     return df.select(F.col(id_col), fingerprint(text_col).alias("fp"))

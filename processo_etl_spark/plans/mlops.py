@@ -356,6 +356,87 @@ def text_quality_score(spark, sf_dir):
     )
 
 
+# --- dedup clustering: connected components over near-dup pairs ------------------------------
+@register("dedup_clusters")
+def dedup_clusters(spark, sf_dir):
+    """Duplicate clusters: MinHash-LSH pairs → connected components via
+    min-label propagation (rows-only; transitivity/canonical-min
+    invariants asserted in tests).  (doc, cluster) with cluster = min
+    doc id of the component."""
+    pairs = dedup.minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", k=8, bands=2, threshold=0.2
+    )
+    return dedup.connected_components(pairs)
+
+
+# --- Gopher-style quality flags ---------------------------------------------------------------
+@register(
+    "text_gopher_flags",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+    ex AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+    tf AS (SELECT doc_id, max(cnt) AS top FROM (
+             SELECT doc_id, tok, count(*) AS cnt FROM ex GROUP BY 1, 2)
+           GROUP BY 1),
+    feats AS (
+      SELECT b.doc_id,
+        len(b.toks) AS n_tokens,
+        CAST(list_sum(list_transform(b.toks, t -> length(t))) AS DOUBLE)
+          / greatest(len(b.toks), 1) AS mean_word_len,
+        CAST(len(list_filter(b.toks, t -> regexp_matches(t, '[A-Za-zÀ-ÿ]'))) AS DOUBLE)
+          / greatest(len(b.toks), 1) AS frac_alpha_words,
+        CAST(tf.top AS DOUBLE) / greatest(len(b.toks), 1) AS top_token_frac
+      FROM base b JOIN tf USING (doc_id))
+    SELECT *,
+      (n_tokens >= 5 AND mean_word_len BETWEEN 2 AND 12
+       AND frac_alpha_words >= 0.6 AND top_token_frac <= 0.3) AS keep
+    FROM feats
+    """,
+)
+def text_gopher_flags(spark, sf_dir):
+    """Gopher/MassiveText-style quality rules: token stats, alpha-word
+    fraction, top-token repetition, conjunctive keep flag — all native
+    expressions, one pass."""
+    return textstats.gopher_quality_flags(
+        t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+# --- PII scrubbing ---------------------------------------------------------------------------
+@register(
+    "text_scrub_pii",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+        concat(text, ' contact user', doc_id, '@example.com tel +1 555 010 ',
+               lpad(CAST(doc_id AS VARCHAR), 4, '0')) AS t
+      FROM documents)
+    SELECT doc_id,
+      regexp_replace(
+        regexp_replace(t, '{textstats.EMAIL_RE}', '<EMAIL>', 'g'),
+        '{textstats.PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM seeded
+    """,
+)
+def text_scrub_pii(spark, sf_dir):
+    """Email/phone scrubbing with RE2-safe patterns (identical regex text
+    runs on both engines).  PII is synthesized deterministically since
+    the corpus has none."""
+    docs = t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel +1 555 010 "),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return seeded.select("doc_id", textstats.scrub_pii("t").alias("scrubbed"))
+
+
 # --- multimodal plumbing (stubbed decode ⇒ rows-only checks) --------------------------------
 @register("multimodal_features")
 def multimodal_features(spark, sf_dir):

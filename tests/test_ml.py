@@ -98,6 +98,49 @@ def test_langid_and_quality(spark):
     assert all(0.0 <= r["quality_score"] <= 1.0 for r in q)
 
 
+def test_connected_components_clusters(spark):
+    # Two components: {1,2,3} chained (1-2, 2-3) and {10,11}; singleton 99 absent.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    out = {r["doc"]: r["cluster"] for r in dedup.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain(spark):
+    # Diameter > 1 round: a 9-node path must still converge to min=0.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["id_a", "id_b"]
+    )
+    out = dedup.connected_components(pairs).collect()
+    assert {r["cluster"] for r in out} == {0}
+    assert len(out) == 9
+
+
+def test_gopher_flags_and_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a normal english sentence with several reasonable words here"),
+            (2, "spam spam spam spam spam spam spam spam spam spam"),
+            (3, "x"),
+        ],
+        ["doc_id", "text"],
+    )
+    from processo_etl_spark.ml import textstats
+
+    flags = {r["doc_id"]: r for r in
+             textstats.gopher_quality_flags(df, "text", "doc_id").collect()}
+    assert flags[1]["keep"] is True
+    assert flags[2]["keep"] is False          # top_token_frac == 1.0
+    assert flags[3]["keep"] is False          # too short
+    scrub = df.sparkSession.createDataFrame(
+        [(1, "mail me at jo.doe+x@mail.co or call +1 (555) 010-2222 now")],
+        ["id", "t"],
+    ).select(textstats.scrub_pii("t").alias("s")).first()["s"]
+    assert "<EMAIL>" in scrub and "<PHONE>" in scrub
+    assert "@" not in scrub and "555" not in scrub
+
+
 def test_multimodal_plumbing(spark):
     df = _docs(spark)
     media = multimodal.synthesize_media(df, "doc_id", "text")
