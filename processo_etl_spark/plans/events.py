@@ -123,6 +123,30 @@ def event_type_pivot(spark, sf_dir):
     )
 
 
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+      CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark, sf_dir):
+    """Semi-structured props: JSON-path extraction + typed aggregation.
+
+    ``get_json_object`` stays JVM-side; at scale prefer parsing ONCE with
+    ``from_json`` into a struct column when several keys are read."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.max(k).cast("int").alias("max_k"),
+        F.count(k).cast("bigint").alias("n_with_k"),
+    )
+
+
 @register("stream_sessionize_stateful")
 def stream_sessionize_stateful(spark, sf_dir):
     """GENUINE stateful streaming (rows-only): applyInPandasWithState
