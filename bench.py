@@ -33,6 +33,9 @@ HEADLINE = (
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
     "text_quality_score",
+    "window_running_revenue",
+    "text_gopher_flags",
+    "events_json_extract",
 )
 
 
