@@ -53,12 +53,13 @@ _WEEKDAYS_BY_DOW = {
 }
 
 
-def _ocorrencia_rows(year: int) -> list[dict]:
+def _ocorrencia_rows(year: int, n_rows: int = 36) -> list[dict]:
     import datetime as dt
 
     rows = []
     # Deterministic spread of dates incl. Jan 1 (holiday), a Saturday,
-    # and mid-week days.
+    # and mid-week days.  ``n_rows`` scales the fixture for throughput
+    # checks; dirty injections stay at the same fixed indices.
     base_dates = [
         dt.date(year, 1, 1),   # holiday
         dt.date(year, 3, 5),
@@ -69,7 +70,7 @@ def _ocorrencia_rows(year: int) -> list[dict]:
     ]
     ufs = ["SC", "SP", "MG", "RS", "BA", "XX"]  # XX = out-of-domain
     condicoes = ["Céu Claro", "Chuva", "Chuvisco", "Nublado", "Sol", None]
-    for i in range(36):
+    for i in range(n_rows):
         d = base_dates[i % 6]
         horario, _ = _HOURS[i % len(_HOURS)]
         pessoas, mortos, feridos, veiculos = 3, 0, 1, 2
@@ -122,9 +123,9 @@ def _ocorrencia_rows(year: int) -> list[dict]:
     return rows
 
 
-def _causas_rows(year: int) -> list[dict]:
+def _causas_rows(year: int, n_rows: int = 36) -> list[dict]:
     rows = []
-    for i in range(36):
+    for i in range(n_rows):
         acc_id = year * 100000 + i
         # duplicate ids: two vehicle rows for every 4th accident (→ D1 dedup)
         n = 2 if i % 4 == 0 else 1
@@ -151,14 +152,18 @@ def _write_csv(path: str, cols: tuple[str, ...], rows: list[dict]) -> None:
             w.writerow(["" if r[c] is None else r[c] for c in cols])
 
 
-def write_fixture(dest_dir: str, years: tuple[int, ...] = FIXTURE_YEARS) -> dict[int, dict[str, str]]:
+def write_fixture(
+    dest_dir: str,
+    years: tuple[int, ...] = FIXTURE_YEARS,
+    n_rows: int = 36,
+) -> dict[int, dict[str, str]]:
     """Write per-year raw CSVs; returns {year: {'ocorrencia': path, 'causas': path}}."""
     os.makedirs(dest_dir, exist_ok=True)
     out: dict[int, dict[str, str]] = {}
     for year in years:
         opath = os.path.join(dest_dir, f"datatran{year}.csv")
         cpath = os.path.join(dest_dir, f"causas{year}.csv")
-        _write_csv(opath, _OCORRENCIA_COLS, _ocorrencia_rows(year))
-        _write_csv(cpath, _CAUSAS_COLS, _causas_rows(year))
+        _write_csv(opath, _OCORRENCIA_COLS, _ocorrencia_rows(year, n_rows))
+        _write_csv(cpath, _CAUSAS_COLS, _causas_rows(year, n_rows))
         out[year] = {"ocorrencia": opath, "causas": cpath}
     return out
