@@ -75,8 +75,9 @@ def ingest_http_zip(url: str, dest_dir: str, timeout: int = 60) -> list[str]:
 
     os.makedirs(dest_dir, exist_ok=True)
     with urlopen(url, timeout=timeout) as resp:  # noqa: S310
-        if resp.status != 200:
-            raise RuntimeError(f"download failed: HTTP {resp.status} for {url}")
+        status = getattr(resp, "status", None)
+        if status is not None and status != 200:  # file:// has no status
+            raise RuntimeError(f"download failed: HTTP {status} for {url}")
         payload = resp.read()
     out: list[str] = []
     with zipfile.ZipFile(io.BytesIO(payload)) as zf:

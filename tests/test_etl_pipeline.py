@@ -29,6 +29,32 @@ def test_raw_dialect_roundtrip(spark, tmp_path):
     assert "sábado" in dias  # latin1 accent decoded correctly
 
 
+def test_intermediate_csv_sink_roundtrip(spark, tmp_path):
+    # S5 sink + S4 intermediate scan (',', utf-8): values survive.
+    df = spark.createDataFrame(
+        [(1, "são paulo", 2.5), (2, "não informado", -1.0)], ["id", "cidade", "v"]
+    )
+    out = str(tmp_path / "inter")
+    readers.write_csv(df, out)
+    back = readers.read_intermediate_csv(spark, out, schema=df.schema)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in df.collect()}
+
+
+def test_http_zip_ingest_local(tmp_path):
+    # S1+S2 (dag.py:22-41) against a file:// URL — no network needed.
+    import zipfile
+
+    src = tmp_path / "payload.zip"
+    with zipfile.ZipFile(src, "w") as zf:
+        zf.writestr("datatran2099.csv", "id;uf\n1;SC\n")
+        zf.writestr("causas2099.csv", "id;marca\n1;VW/GOL\n")
+    dest = str(tmp_path / "landing")
+    files = readers.ingest_http_zip(f"file://{src}", dest)
+    assert len(files) == 2
+    with open(files[0], encoding="utf-8") as f:
+        assert f.readline().strip() == "id;uf"
+
+
 def test_constraint_filters_hold(star):
     # Análise.ipynb:1140/1150: no feridos>pessoas or mortos(obitos)>pessoas rows.
     f = star.fato_acidentes
