@@ -116,6 +116,21 @@ def embedding_cosine_pairs(
     )
 
 
+def sign_bucket_at(vec: Column, bits: int, offset: int) -> Column:
+    """Sign bits of dimensions [offset, offset+bits) — a rotated bucket table.
+
+    ``try_element_at`` degrades gracefully past the vector length
+    (missing dims vote 0), so probes*bits > dim wastes tables instead of
+    raising ANSI index errors; keep probes*bits ≤ dim for real recall.
+    """
+    b = F.lit(0).cast("long")
+    for i in range(bits):
+        b = b + F.when(
+            F.try_element_at(vec, F.lit(offset + i + 1)) > 0, F.lit(1 << i)
+        ).otherwise(0)
+    return b
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -123,28 +138,42 @@ def lsh_topk(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's sign-LSH bucket.
 
     The bucket equi-join prunes ~2^bits of the corpus before the exact
-    cosine re-rank — the scale path (recall < 1.0 by construction; raise
-    recall with multiple rotated bucket tables).
+    cosine re-rank.  ``probes`` > 1 unions candidates from rotated
+    bucket tables (disjoint dimension windows): a vector straddling a
+    sign boundary in one window usually agrees in another, so recall
+    rises roughly multiplicatively in table count while the join stays
+    linear — the standard multi-table LSH trade (probes× candidate
+    cost for recall).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        sign_bucket(F.col(vec_col), bits).alias("bkt"),
+    cands = []
+    for p in range(probes):
+        off = p * bits
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            sign_bucket_at(F.col(vec_col), bits, off).alias("bkt"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            sign_bucket_at(F.col(vec_col), bits, off).alias("bkt"),
+        )
+        cands.append(
+            c.join(F.broadcast(q), on="bkt")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "cv", "qv")
+        )
+    from functools import reduce
+
+    pool = reduce(DataFrame.unionByName, cands).dropDuplicates(
+        ["query_id", "neighbor_id"]
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        sign_bucket(F.col(vec_col), bits).alias("bkt"),
-    )
-    scored = (
-        c.join(F.broadcast(q), on="bkt")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("cv"), F.col("qv")))
-    )
+    scored = pool.withColumn("cos", cosine(F.col("cv"), F.col("qv")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

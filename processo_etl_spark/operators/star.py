@@ -48,6 +48,28 @@ def surrogate_keys_scalable(df: DataFrame, id_col: str) -> DataFrame:
     return df.sparkSession.createDataFrame(rdd, schema.add(id_col, "long", False))
 
 
+def build_dimension_auto(
+    df: DataFrame,
+    natural_key: list[str],
+    id_col: str,
+    max_windowed_rows: int = 1_000_000,
+) -> DataFrame:
+    """Pick the surrogate-key strategy by measured key cardinality.
+
+    A cheap ``approx_count_distinct`` probe decides: small distinct
+    domain → deterministic ordered ``row_number`` (SERIAL parity);
+    near-fact cardinality (the degenerate-dimension hazard measured in
+    SCALE.md) → ``zipWithIndex`` with no single-partition window.
+    """
+    probe = df.select(
+        F.approx_count_distinct(F.concat_ws("\x1f", *natural_key)).alias("n")
+    ).first()["n"]
+    if probe <= max_windowed_rows:
+        return build_dimension(df, natural_key, id_col)
+    distinct = df.select(*natural_key).distinct()
+    return surrogate_keys_scalable(distinct, id_col)
+
+
 def attach_fks(
     fact: DataFrame, dims: dict[str, tuple[DataFrame, list[str]]]
 ) -> DataFrame:

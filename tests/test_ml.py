@@ -89,6 +89,40 @@ def test_similarity_bruteforce_topk(spark):
     assert all(r["query_id"] == 1 for r in out)
 
 
+def test_multiprobe_lsh_recall_not_worse(spark):
+    from processo_etl_spark import catalog
+
+    emb = catalog.load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             similarity.brute_force_topk(emb, queries, k=5).collect()}
+
+    def recall(probes):
+        got = {(r["query_id"], r["neighbor_id"]) for r in
+               similarity.lsh_topk(emb, queries, k=5, bits=6, probes=probes).collect()}
+        return len(got & exact) / len(exact)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1                      # more tables never lose recall
+    # Absolute recall on near-orthogonal random vectors is intrinsically
+    # low (p ≈ agree^bits per table); assert it's far above the ~1%
+    # chance level, not a correlated-data figure.
+    assert r3 >= 0.15
+
+
+def test_build_dimension_auto_strategies(spark):
+    from processo_etl_spark.operators import star
+
+    df = spark.createDataFrame([(i % 4, f"v{i}") for i in range(100)], ["k1", "k2"])
+    # Small domain -> ordered, contiguous, deterministic ids.
+    small = star.build_dimension_auto(df.select("k1").distinct(), ["k1"], "id")
+    assert sorted(r["id"] for r in small.collect()) == [1, 2, 3, 4]
+    # Force the scalable path with a tiny threshold: still contiguous 1..N.
+    big = star.build_dimension_auto(df, ["k1", "k2"], "id", max_windowed_rows=10)
+    ids = sorted(r["id"] for r in big.collect())
+    assert ids == list(range(1, 101))
+
+
 def test_langid_and_quality(spark):
     df = _docs(spark)
     pred = {r["doc_id"]: r["p"] for r in
