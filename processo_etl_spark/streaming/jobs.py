@@ -57,11 +57,19 @@ def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
-SESSION_OUTPUT_SCHEMA = "user_id long, n_sessions bigint, n_events bigint"
-SESSION_STATE_SCHEMA = "starts array<double>, ends array<double>, n_events bigint"
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, n_sessions bigint, n_events bigint, n_open bigint"
+)
+SESSION_STATE_SCHEMA = (
+    "starts array<double>, ends array<double>, n_events bigint, closed bigint"
+)
 
 
-def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+def sessionize_stateful(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    finalize_by_watermark: bool = False,
+) -> DataFrame:
     """Custom stateful operator: gap-based sessionization per user via
     ``applyInPandasWithState`` (the escape hatch for semantics the
     built-in window operators can't express).
@@ -74,9 +82,13 @@ def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
     sessions whenever a later batch delivers earlier events (caught by
     tests/test_streaming.py's out-of-order multi-batch case).
 
-    State is O(open sessions) per user; production adds a watermark
-    eviction of intervals older than max(event time) − allowed lateness
-    (they can never merge again), keeping state bounded.
+    State is O(open sessions) per user.  ``finalize_by_watermark=True``
+    bounds it further: intervals whose end precedes (watermark −
+    gap) can never merge with a non-late event (any future event has
+    ts ≥ watermark > end + gap), so they fold into a ``closed`` counter
+    and leave the arrays — the state held per user is then only the
+    sessions still inside the lateness horizon.  Requires an upstream
+    ``withWatermark("ts", ...)``.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -85,10 +97,10 @@ def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
 
         (user_id,) = key
         if state.exists:
-            starts, ends, n_events = state.get
+            starts, ends, n_events, closed = state.get
             intervals = [[s, e] for s, e in zip(starts, ends)]
         else:
-            intervals, n_events = [], 0
+            intervals, n_events, closed = [], 0, 0
         new_points = []
         for pdf in pdf_iter:
             n_events += len(pdf)
@@ -99,14 +111,26 @@ def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
                 merged[-1][1] = max(merged[-1][1], iv[1])
             else:
                 merged.append(iv)
+        if finalize_by_watermark:
+            wm = state.getCurrentWatermarkMs() / 1000.0
+            if wm > 0:
+                settled = [iv for iv in merged if iv[1] + gap_seconds < wm]
+                closed += len(settled)
+                merged = [iv for iv in merged if iv[1] + gap_seconds >= wm]
         state.update(
-            ([iv[0] for iv in merged], [iv[1] for iv in merged], n_events)
+            (
+                [iv[0] for iv in merged],
+                [iv[1] for iv in merged],
+                n_events,
+                closed,
+            )
         )
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
-                "n_sessions": [len(merged)],
+                "n_sessions": [closed + len(merged)],
                 "n_events": [n_events],
+                "n_open": [len(merged)],
             }
         )
 

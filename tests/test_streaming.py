@@ -76,6 +76,71 @@ def test_stateful_sessionizer_across_micro_batches(spark, tmp_path):
     assert _as_set(final, cols) == _as_set(batch, cols)
 
 
+def test_sessionizer_watermark_finalization(spark, tmp_path):
+    """finalize_by_watermark: settled sessions leave the state arrays
+    (n_open << n_sessions) while totals still equal the batch plan —
+    time-ordered batches + 1h watermark mean nothing is ever late."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from processo_etl_spark import catalog
+    from processo_etl_spark.streaming import jobs
+
+    ev = catalog.load(spark, SF_DIR, "events")
+    src = str(tmp_path / "ordered_files")
+    os.makedirs(src)
+    # 5 time-ordered files with ascending mtimes → deterministic batch order.
+    ranked = ev.withColumn("b", F.ntile(5).over(Window.orderBy("ts", "event_id")))
+    for i in range(1, 6):
+        stage = str(tmp_path / f"stage_{i}")
+        ranked.filter(F.col("b") == i).drop("b").coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dest = f"{src}/{i:03d}.parquet"
+        shutil.copy(part, dest)
+        os.utime(dest, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        # watermarks need tz-aware TIMESTAMP; session tz is UTC so the
+        # wall-clock values are unchanged by the cast.
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        jobs.sessionize_stateful(stream, 1800, finalize_by_watermark=True)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_wm_"))
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    rows = final.collect()
+    batch = {(r["user_id"], r["n_sessions"], r["n_events"]) for r in
+             plans.all_queries()["sessionize_gap"](spark, SF_DIR).collect()}
+    assert {(r["user_id"], r["n_sessions"], r["n_events"]) for r in rows} == batch
+    # Eviction really happened: open state is a small fraction of totals.
+    assert max(r["n_open"] for r in rows) < min(r["n_sessions"] for r in rows) / 2
+
+
 def test_insert_if_absent_anti_join(spark):
     from processo_etl_spark.sources import jdbc
 
