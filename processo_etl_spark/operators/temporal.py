@@ -1,0 +1,132 @@
+"""Temporal joins the built-in operators don't express directly:
+as-of join and point-in-interval range join.
+
+The reference (gustavokf2003/Processo-ETL) has no temporal joins — its
+dataflow is equi-joins only (dag.py:48, 261) — but any event/time-series
+workload over the same engine needs them, and a naive formulation
+(ORDER-BY + per-row scan, or a nested-loop theta join) collapses at
+scale.  Both operators here are pure DataFrame compositions that cost
+ONE shuffle on the join key, no nested loop, no UDF:
+
+- ``asof_join``: union-sort formulation.  Tag both sides, union by
+  name, sort within key-partitions by (ts, side), and carry the most
+  recent right-side row forward with ``last(..., ignorenulls=True)``
+  over a running window.  O(n log n) within partitions, streams at any
+  scale, and skew maps to the same mitigations as any keyed shuffle.
+- ``range_join_bucketed``: map each interval to the fixed-width buckets
+  it covers (``sequence`` + ``explode``), bucket each point, equi-join
+  on (key, bucket), then apply the residual BETWEEN predicate.  Each
+  matching (point, interval) pair meets in exactly one bucket — the
+  point's own — so no post-join dedup is needed.  This turns
+  O(points × intervals) nested-loop into a hash join whose fan-out is
+  interval_span / bucket_width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__asof_side"
+_CARRY = "__asof_carry"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts: str,
+    payload: list[str],
+    *,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: for each left row, the single right row with the
+    largest ``right.ts <= left.ts`` (backward) or smallest
+    ``right.ts >= left.ts`` (forward) within the same ``on`` keys.
+
+    Returns every left row (LEFT semantics) plus ``{ts}{suffix}`` and
+    ``{p}{suffix}`` for each payload column — NULL when no right row
+    qualifies.  Ties on ts resolve to the right row (inclusive match),
+    matching DuckDB's ``ASOF JOIN`` / pandas ``merge_asof``.
+
+    The right row is carried as ONE struct so a legitimately-NULL
+    payload value never falls through to an older right row.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    carry = F.struct(F.col(ts), *[F.col(p) for p in payload])
+    l_tagged = left.withColumn(_SIDE, F.lit(1)).withColumn(
+        _CARRY, F.lit(None).cast(right.select(carry).schema[0].dataType)
+    )
+    r_tagged = (
+        right.select(*on, ts, *payload)
+        .withColumn(_SIDE, F.lit(0))
+        .withColumn(_CARRY, carry)
+        .select(*on, ts, _SIDE, _CARRY)
+    )
+    both = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    # Right rows sort BEFORE left rows at equal ts (side 0 < 1), so an
+    # equal-timestamp right row is visible to the left row — inclusive.
+    if direction == "backward":
+        order = [F.col(ts).asc(), F.col(_SIDE).asc()]
+    else:
+        order = [F.col(ts).desc(), F.col(_SIDE).asc()]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = both.withColumn(_CARRY, F.last(_CARRY, ignorenulls=True).over(w))
+
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col(_CARRY)[ts].alias(ts + suffix))
+    out_cols.extend(F.col(_CARRY)[p].alias(p + suffix) for p in payload)
+    return matched.filter(F.col(_SIDE) == 1).select(*out_cols)
+
+
+def range_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point: Column,
+    start: Column,
+    end: Column,
+    bucket_width: int,
+) -> DataFrame:
+    """Inner point-in-interval join (``start <= point <= end``) as a hash
+    join: explode each interval into the fixed-width buckets it covers,
+    bucket each point, equi-join on (on, bucket), keep the residual.
+
+    ``point``/``start``/``end`` are numeric Column expressions over
+    ``points`` resp. ``intervals`` (for timestamps pass epoch micros).
+    Pick ``bucket_width`` near the typical interval span: fan-out per
+    interval is span/width + 1 rows, and candidate pairs per bucket stay
+    small.  All original columns from both sides survive (names must not
+    collide apart from the ``on`` keys).
+    """
+    b = "__range_bucket"
+    pt, st, en = "__range_point", "__range_start", "__range_end"
+    p = points.withColumn(pt, point.cast("long")).withColumn(
+        b, (F.col(pt) / bucket_width).cast("long")
+    )
+    i = (
+        intervals.withColumn(st, start.cast("long"))
+        .withColumn(en, end.cast("long"))
+        .withColumn(
+            b,
+            F.explode(
+                F.sequence(
+                    (F.col(st) / bucket_width).cast("long"),
+                    (F.col(en) / bucket_width).cast("long"),
+                )
+            ),
+        )
+    )
+    return (
+        p.join(i, on=[*on, b], how="inner")
+        .filter((F.col(pt) >= F.col(st)) & (F.col(pt) <= F.col(en)))
+        .drop(b, pt, st, en)
+    )

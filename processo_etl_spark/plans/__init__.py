@@ -39,6 +39,7 @@ _PLAN_MODULES = (
     "windows",
     "mlops",
     "events",
+    "temporal",
 )
 
 

@@ -1,0 +1,110 @@
+"""Unit tests for operators/temporal.py: as-of join and bucketed range join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from processo_etl_spark.operators.temporal import asof_join, range_join_bucketed
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", _ts("2024-01-01T10:00:05"), 100.0),
+            (2, "A", _ts("2024-01-01T10:00:10"), 101.0),
+            (3, "B", _ts("2024-01-01T10:00:07"), 50.0),
+            (4, "C", _ts("2024-01-01T10:00:07"), 9.0),  # no quotes for C
+        ],
+        "trade_id int, sym string, ts timestamp, price double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01T10:00:03"), 99.5),
+            ("A", _ts("2024-01-01T10:00:10"), 100.9),  # tie with trade 2
+            ("A", _ts("2024-01-01T10:00:12"), 101.5),
+            ("B", _ts("2024-01-01T10:00:08"), 49.9),  # after trade 3
+        ],
+        "sym string, ts timestamp, quote double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_with_ties_and_missing_keys(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = asof_join(trades, quotes, on=["sym"], ts="ts", payload=["quote"])
+    got = {r["trade_id"]: r["quote_right"] for r in out.collect()}
+    assert got == {
+        1: 99.5,  # latest quote <= 10:00:05
+        2: 100.9,  # equal timestamps match (inclusive, right-before-left)
+        3: None,  # only quote for B is later
+        4: None,  # key absent on right side entirely
+    }
+    assert out.count() == trades.count()  # LEFT semantics: every trade kept
+
+
+def test_asof_forward(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = asof_join(
+        trades, quotes, on=["sym"], ts="ts", payload=["quote"], direction="forward"
+    )
+    got = {r["trade_id"]: r["quote_right"] for r in out.collect()}
+    assert got == {1: 100.9, 2: 100.9, 3: 49.9, 4: None}
+
+
+def test_asof_null_payload_not_skipped(spark):
+    """A right row whose payload is NULL must still win (struct carry):
+    naive last(payload, ignorenulls) would fall through to an older row."""
+    left = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-01T12:00:00"))], "id int, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", _ts("2024-01-01T10:00:00"), 5.0), ("k", _ts("2024-01-01T11:00:00"), None)],
+        "k string, ts timestamp, v double",
+    )
+    out = asof_join(left, right, on=["k"], ts="ts", payload=["v"]).collect()[0]
+    assert out["v_right"] is None
+    assert out["ts_right"] == _ts("2024-01-01T11:00:00")
+
+
+def test_range_join_bucketed_matches_naive(spark):
+    points = spark.range(0, 500).select(
+        (F.col("id") % 5).cast("string").alias("k"),
+        (F.col("id") * 7 % 1000).alias("x"),
+        F.col("id").alias("pid"),
+    )
+    intervals = spark.range(0, 60).select(
+        (F.col("id") % 5).cast("string").alias("k"),
+        (F.col("id") * 31 % 900).alias("lo"),
+        (F.col("id") * 31 % 900 + F.col("id") % 7 * 40).alias("hi"),
+        F.col("id").alias("iid"),
+    )
+    fast = range_join_bucketed(
+        points, intervals, on=["k"], point=F.col("x"),
+        start=F.col("lo"), end=F.col("hi"), bucket_width=50,
+    )
+    naive = points.join(intervals, on="k").filter(
+        (F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi"))
+    )
+    fast_pairs = {(r["pid"], r["iid"]) for r in fast.select("pid", "iid").collect()}
+    naive_pairs = {(r["pid"], r["iid"]) for r in naive.select("pid", "iid").collect()}
+    assert fast_pairs == naive_pairs
+    assert len(fast_pairs) > 0
+    # exactly-once: no dedup needed because each pair meets in one bucket
+    assert fast.count() == len(fast_pairs)
+
+
+def test_range_join_boundary_inclusive(spark):
+    points = spark.createDataFrame([("k", 100), ("k", 200), ("k", 99), ("k", 201)],
+                                   "k string, x long")
+    intervals = spark.createDataFrame([("k", 100, 200)], "k string, lo long, hi long")
+    out = range_join_bucketed(
+        points, intervals, on=["k"], point=F.col("x"),
+        start=F.col("lo"), end=F.col("hi"), bucket_width=30,
+    )
+    assert sorted(r["x"] for r in out.collect()) == [100, 200]
