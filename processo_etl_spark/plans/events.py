@@ -169,3 +169,16 @@ def stream_tumbling_counts(spark, sf_dir):
     from processo_etl_spark.streaming import jobs
 
     return jobs.run_tumbling_count_availablenow(spark, sf_dir)
+
+
+@register("stream_dedup_within_watermark")
+def stream_dedup_within_watermark(spark, sf_dir):
+    """GENUINE streaming dedup (rows-only): the events source is unioned
+    with a second read of itself (every event arrives twice), deduped by
+    event_id with ``dropDuplicatesWithinWatermark`` (bounded state), and
+    the append sink is aggregated per event_type.  Equals the batch
+    per-type counts exactly — asserted in tests/test_streaming.py.
+    """
+    from processo_etl_spark.streaming import jobs
+
+    return jobs.run_dedup_availablenow(spark, sf_dir, duplicate_input=True)

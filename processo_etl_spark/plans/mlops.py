@@ -469,3 +469,18 @@ def multimodal_frame_sample(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs, "doc_id", "text")
     return multimodal.frame_sample(media, every_n_bytes=32)
+
+
+@register("similarity_topk_ivf")
+def similarity_topk_ivf(spark, sf_dir):
+    """IVF-Flat ANN (rows-only: the k-means quantizer isn't SQL): train
+    8 centroids, probe the 4 nearest cells per query, exact re-rank.
+
+    Recall@5 vs the brute-force oracle is asserted in tests/test_ml.py;
+    the scale story (train-on-sample, cell-partitioned corpus, probes
+    prune the scan) lives in ml/similarity.py docstrings.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    centers = similarity.train_ivf_centroids(emb, nlist=8)
+    return similarity.ivf_topk(emb, queries, centers, k=5, nprobe=4)

@@ -188,3 +188,56 @@ def run_tumbling_count_availablenow(spark: SparkSession, sf_dir: str) -> DataFra
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key in state only until the
+    watermark passes its event time, then expires it.
+
+    Plain ``dropDuplicates`` on a stream accumulates state forever — at
+    100 TB/day ingest that is an OOM, not an operator.  The watermark
+    variant is the scale-correct contract: duplicates are only collapsed
+    if they arrive within the watermark delay of each other, which is
+    exactly the guarantee replayed/at-least-once sources (Kafka, file
+    landing zones) actually need.
+
+    Batch twin: ``ml/dedup.exact_dedup`` / ``dropDuplicates`` — equality
+    asserted in tests/test_streaming.py when nothing is late.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def run_dedup_availablenow(
+    spark: SparkSession, sf_dir: str, duplicate_input: bool = True
+) -> DataFrame:
+    """Drain the events source through the streaming dedup and aggregate
+    the sink batch-side (append sink holds the deduped rows).
+
+    ``duplicate_input=True`` unions the source with a second read of
+    itself, so the stream genuinely carries every event twice and the
+    dedup has real work to do.
+    """
+    src = read_events_stream(spark, sf_dir)
+    if duplicate_input:
+        src = src.unionByName(read_events_stream(spark, sf_dir))
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_within_watermark(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -3,6 +3,8 @@ same results as their oracle-checked batch twins once fully drained."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from processo_etl_spark import plans
 from processo_etl_spark.streaming import jobs
 
@@ -153,3 +155,24 @@ def test_insert_if_absent_anti_join(spark):
     # Idempotence: appending the survivors then re-staging inserts nothing.
     existing2 = spark.createDataFrame([(1,), (2,), (3,)], ["id"])
     assert jdbc.insert_if_absent(staging, existing2, ["id"]).count() == 0
+
+
+def test_stream_dedup_within_watermark_equals_batch(spark):
+    """Doubled input stream → dedup → per-type counts equal the batch
+    distinct counts (every event arrived exactly twice)."""
+    from processo_etl_spark import catalog
+    from processo_etl_spark.streaming import jobs
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r["n"]
+        for r in jobs.run_dedup_availablenow(spark, sf_dir, True).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in catalog.load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
