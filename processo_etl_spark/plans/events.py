@@ -182,3 +182,50 @@ def stream_dedup_within_watermark(spark, sf_dir):
     from processo_etl_spark.streaming import jobs
 
     return jobs.run_dedup_availablenow(spark, sf_dir, duplicate_input=True)
+
+
+@register(
+    "interval_join_purchase_views",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, count(*) AS n_views
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def interval_join_purchase_views(spark, sf_dir):
+    """Views per purchase within the hour before it — the BATCH twin of
+    streaming/jobs.interval_join (same join condition, no watermark).
+    Time-bound equi-key join: shuffles once on user_id."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"), F.col("ts").alias("v_ts")
+    )
+    return (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+            "inner",
+        )
+        .groupBy("purchase_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+
+
+@register("stream_interval_join")
+def stream_interval_join(spark, sf_dir):
+    """GENUINE stream-stream join (rows-only): two watermarked event
+    streams, time-bounded join state, availableNow drain.  Equals
+    interval_join_purchase_views once drained (no late data in replay) —
+    asserted in tests/test_streaming.py.
+    """
+    from processo_etl_spark.streaming import jobs
+
+    return jobs.run_interval_join_availablenow(spark, sf_dir)

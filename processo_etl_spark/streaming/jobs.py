@@ -241,3 +241,63 @@ def run_dedup_availablenow(
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def interval_join(
+    purchases: DataFrame,
+    views: DataFrame,
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase pairs with every view by
+    the same user within ``lookback`` BEFORE the purchase.
+
+    Both sides are watermarked and the join condition carries the time
+    bound, so Spark can expire join state: a buffered view older than
+    (watermark + lookback) can never match a future purchase and is
+    dropped.  An unbounded-condition stream-stream join would hold both
+    streams' full history in state — the time bound is what makes this
+    operator runnable forever at ingest scale.
+    """
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    v = views.select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("view_value"),
+    ).withWatermark("v_ts", watermark)
+    return p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}")),
+        "inner",
+    ).select("purchase_id", "user_id", "p_ts", "v_ts", "view_value")
+
+
+def run_interval_join_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the purchase/view streams through the interval join and
+    aggregate the sink: views-per-purchase counts (deterministic)."""
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    views = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    name = f"stream_ijoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        interval_join(purchases, views)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("purchase_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )

@@ -176,3 +176,18 @@ def test_stream_dedup_within_watermark_equals_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_interval_join_equals_batch(spark):
+    sf_dir = "/root/testdata/sf0.001"
+    got = {
+        (r["purchase_id"], r["user_id"], r["n_views"])
+        for r in jobs.run_interval_join_availablenow(spark, sf_dir).collect()
+    }
+    want = {
+        (r["purchase_id"], r["user_id"], r["n_views"])
+        for r in plans.all_queries()["interval_join_purchase_views"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want and len(got) > 0
