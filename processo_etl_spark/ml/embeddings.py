@@ -1,0 +1,101 @@
+"""Embedding-column utilities: L2-normalize, symmetric int8 quantization,
+and cosine over quantized vectors.
+
+At 100 TB an embedding store's cost is dominated by vector bytes:
+float32→int8 symmetric quantization cuts storage and shuffle volume 4×
+(8× vs double) while keeping cosine rankings nearly intact (recall@5
+asserted ≥0.8 in tests/test_ml.py; in practice ~1.0 on unit-scale
+vectors).  Everything here is native array expressions — map-side, JVM
+whole-stage-codegen, no UDF — so quantization adds no Python cost to
+ingest and the quantized table remains joinable/scannable like any other.
+
+Layout contract: a quantized embedding is the column pair
+``(q: array<tinyint>, q_scale: double)`` with ``x ≈ q * q_scale``,
+``q ∈ [-127, 127]`` (symmetric: no zero-point term, so dot products
+need no correction factor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from processo_etl_spark.ml.similarity import cosine
+
+
+def l2_normalize(vec: Column) -> Column:
+    """vec / ||vec||₂ (zero vectors pass through unchanged)."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+    return F.when(norm == 0.0, F.transform(vec, lambda x: x.cast("double"))).otherwise(
+        F.transform(vec, lambda x: x.cast("double") / norm)
+    )
+
+
+def quantize_scale(vec: Column) -> Column:
+    """Per-vector symmetric scale: max|x| / 127 (0 for the zero vector)."""
+    return (
+        F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
+    )
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Replace ``vec_col`` with the quantized pair (q, q_scale).
+
+    round-half-away-from-zero on |x/scale| ≤ 127 guarantees the tinyint
+    cast never overflows.
+    """
+    scale = quantize_scale(F.col(vec_col))
+    q = F.when(scale == 0.0, F.transform(F.col(vec_col), lambda x: x.cast("tinyint")
+    )).otherwise(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") / scale).cast("tinyint"),
+        )
+    )
+    return df.withColumn("q_scale", scale).withColumn("q", q).drop(vec_col)
+
+
+def dequantize(q: Column, scale: Column) -> Column:
+    """array<double> reconstruction: q * scale (error ≤ scale/2 per dim)."""
+    return F.transform(q, lambda x: x.cast("double") * scale)
+
+
+def cosine_quantized(q1: Column, q2: Column) -> Column:
+    """Cosine directly on the int8 codes.  Cosine is scale-invariant, so
+    the per-vector scales cancel — no dequantize pass, and the dot
+    product runs over ints."""
+    return cosine(q1, q2)
+
+
+def brute_force_topk_quantized(
+    corpus_q: DataFrame,
+    queries_q: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k over the QUANTIZED store — same shape as
+    similarity.brute_force_topk but scanning array<tinyint> codes (4-8×
+    less I/O and shuffle than the float store it replaces)."""
+    from pyspark.sql import Window
+
+    q = queries_q.select(
+        F.col(id_col).alias("query_id"), F.col("q").alias("qq")
+    )
+    scored = (
+        corpus_q.select(F.col(id_col).alias("neighbor_id"), F.col("q").alias("cq"))
+        .join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_quantized(F.col("cq"), F.col("qq")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -484,3 +484,41 @@ def similarity_topk_ivf(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 8)
     centers = similarity.train_ivf_centroids(emb, nlist=8)
     return similarity.ivf_topk(emb, queries, centers, k=5, nprobe=4)
+
+
+_COS_Q_SQL = """
+  list_reduce(list_transform(list_zip(c.q, q.q),
+      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a,x) -> a + x)
+  / ( sqrt(list_reduce(list_transform(c.q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,x) -> a + x))
+    * sqrt(list_reduce(list_transform(q.q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,x) -> a + x)) )
+"""
+
+
+@register(
+    "similarity_topk_int8",
+    oracle=f"""
+    WITH codes AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> round(CAST(x AS DOUBLE) /
+               (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0))) AS q
+      FROM embeddings)
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS_Q_SQL} AS cos,
+           CAST(row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY {_COS_Q_SQL} DESC, c.vec_id) AS INT) AS rank
+    FROM codes q JOIN codes c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 8
+    QUALIFY rank <= 5
+    """,
+)
+def similarity_topk_int8(spark, sf_dir):
+    """Exact top-5 over the int8-QUANTIZED embedding store (4× smaller
+    scan/shuffle than float32).  Cosine is scale-invariant so the codes
+    rank directly; integer products are exact, so Spark and the DuckDB
+    oracle agree bit-for-bit."""
+    from processo_etl_spark.ml import embeddings as emb_ops
+
+    emb = t(spark, sf_dir, "embeddings")
+    corpus_q = emb_ops.quantize_int8(emb)
+    queries_q = corpus_q.filter(F.col("vec_id") < 8)
+    return emb_ops.brute_force_topk_quantized(corpus_q, queries_q, k=5)

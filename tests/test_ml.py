@@ -223,3 +223,57 @@ def test_ivf_assign_covers_all_rows_deterministically(spark):
     assert a1.count() == emb.count()
     a2 = similarity.ivf_assign(emb, centers).select("vec_id", "cell")
     assert a1.exceptAll(a2).count() == 0  # map-side assignment is stable
+
+
+def test_int8_quantization_roundtrip_and_recall(spark):
+    """Reconstruction error bounded by scale/2 per dim; quantized
+    brute-force recall@5 vs exact float search stays high."""
+    from processo_etl_spark import catalog
+    from processo_etl_spark.ml import embeddings as emb_ops
+
+    emb = catalog.load(spark, "/root/testdata/sf0.001", "embeddings")
+    qdf = emb_ops.quantize_int8(emb)
+    err = (
+        qdf.join(emb, "vec_id")
+        .select(
+            F.array_max(
+                F.zip_with(
+                    F.col("embedding"),
+                    emb_ops.dequantize(F.col("q"), F.col("q_scale")),
+                    lambda x, r: F.abs(x.cast("double") - r),
+                )
+            ).alias("max_err"),
+            F.col("q_scale"),
+        )
+        .filter(F.col("max_err") > F.col("q_scale") * 0.5 + 1e-12)
+        .count()
+    )
+    assert err == 0
+    rng = qdf.select(
+        F.array_min(F.col("q")).alias("lo"), F.array_max(F.col("q")).alias("hi")
+    ).agg(F.min("lo").alias("lo"), F.max("hi").alias("hi")).collect()[0]
+    assert rng["lo"] >= -127 and rng["hi"] <= 127
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in emb_ops.brute_force_topk_quantized(
+            qdf, qdf.filter(F.col("vec_id") < 8), k=5
+        ).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.8
+
+
+def test_l2_normalize(spark):
+    from processo_etl_spark.ml import embeddings as emb_ops
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], "id int, v array<double>"
+    ).select("id", emb_ops.l2_normalize(F.col("v")).alias("n"))
+    rows = {r["id"]: r["n"] for r in df.collect()}
+    assert rows[1] == [0.6, 0.8]
+    assert rows[2] == [0.0, 0.0]
