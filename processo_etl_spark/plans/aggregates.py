@@ -340,3 +340,17 @@ def approx_distinct_users(spark, sf_dir):
     return ev.select(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
     )
+
+
+@register("quartiles_quantity_approx")
+def quartiles_quantity_approx(spark, sf_dir):
+    """A8's 100 TB path: single-pass approx_percentile (Greenwald-Khanna
+    sketch, mergeable across partitions — no global sort, no second
+    pass).  No oracle: DuckDB's approx_quantile uses a different sketch;
+    the error bound vs the exact two-pass plan is asserted in
+    tests/test_plans.py."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.approx_percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10_000)
+        .alias("quartiles")
+    )

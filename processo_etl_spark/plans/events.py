@@ -229,3 +229,30 @@ def stream_interval_join(spark, sf_dir):
     from processo_etl_spark.streaming import jobs
 
     return jobs.run_interval_join_availablenow(spark, sf_dir)
+
+
+@register(
+    "events_json_typed",
+    oracle="""
+    SELECT event_type, count(*) AS n_high,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+    GROUP BY event_type
+    """,
+)
+def events_json_typed(spark, sf_dir):
+    """Typed JSON parsing: ``from_json`` with an enforced schema (the
+    scalable path when several keys are read — ONE parse per row,
+    pushdown-friendly NULL for missing/corrupt records), vs
+    get_json_object's per-key re-parse in events_json_extract."""
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k INT"))
+    return (
+        parsed.filter(F.col("p.k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_high"),
+            F.min("p.k").cast("int").alias("min_k"),
+        )
+    )

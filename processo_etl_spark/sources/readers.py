@@ -85,3 +85,28 @@ def ingest_http_zip(url: str, dest_dir: str, timeout: int = 60) -> list[str]:
             zf.extract(member, dest_dir)
             out.append(os.path.join(dest_dir, member))
     return out
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line, splittable, gzip-friendly) —
+    the interchange format LLM-data pipelines exchange document shards in."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines source with an ENFORCED schema.
+
+    Always pass the schema: schema inference reads the whole dataset
+    twice at 100 TB; an explicit StructType makes the scan single-pass
+    and stable under ragged/evolving records (missing keys → NULL)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — columnar alternative when the downstream warehouse is
+    ORC-native (Hive/Trino); same pushdown/pruning properties as parquet."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

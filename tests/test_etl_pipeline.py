@@ -167,3 +167,28 @@ def test_lat_log_normalized(star):
 def test_two_years_unioned(star):
     anos = {r["ano"] for r in star.dim_tempo.select("ano").distinct().collect()}
     assert anos == {2022, 2023}
+
+
+def test_jsonl_and_orc_roundtrip(spark, tmp_path):
+    """S5-family extensions: JSON-lines and ORC sinks round-trip with an
+    enforced schema (jsonl) / self-describing footer (orc)."""
+    from pyspark.sql import functions as F
+
+    from processo_etl_spark import catalog
+    from processo_etl_spark.sources import readers
+
+    docs = catalog.load(spark, "/root/testdata/sf0.001", "documents").limit(50)
+
+    jp = str(tmp_path / "docs_jsonl")
+    readers.write_jsonl(docs, jp)
+    back_j = readers.read_jsonl(spark, jp, docs.schema)
+    assert back_j.schema == docs.schema
+    assert back_j.exceptAll(docs).count() == 0 and back_j.count() == 50
+
+    op = str(tmp_path / "docs_orc")
+    readers.write_orc(docs, op)
+    back_o = readers.read_orc(spark, op)
+    assert back_o.exceptAll(docs).count() == 0 and back_o.count() == 50
+    # ORC scans still get predicate pushdown: filter appears in the scan node.
+    plan = back_o.filter(F.col("n_chars") > 100)._jdf.queryExecution().executedPlan().toString()
+    assert "n_chars" in plan

@@ -62,3 +62,16 @@ def test_approx_distinct_within_tolerance(spark):
     ev = catalog.load(spark, SF, "events")
     exact = ev.select(F.countDistinct("user_id")).first()[0]
     assert abs(approx - exact) / exact <= 0.05
+
+
+def test_approx_quartiles_close_to_exact(spark):
+    from processo_etl_spark import plans
+
+    sf_dir = "/root/testdata/sf0.01"
+    approx = plans.all_queries()["quartiles_quantity_approx"](spark, sf_dir).collect()[0][
+        "quartiles"
+    ]
+    exact = plans.all_queries()["quartiles_quantity"](spark, sf_dir).collect()[0]
+    names = list(exact.asDict().keys())
+    for got, want in zip(approx, [exact[n] for n in names[:3]]):
+        assert abs(got - want) <= 1.0  # l_quantity is 1..50 integers
