@@ -1,0 +1,130 @@
+"""Deterministic dataset splitting, sampling, and shuffling for
+training-data pipelines.
+
+The reference pipeline (dag.py) materializes every row into the warehouse
+and has no split/sample stage; these operators are part of the
+LLM-training-data extension surface (same family as ml/dedup, ml/textstats).
+
+Design for 100 TB:
+
+- **Split assignment is a pure per-row hash function** — md5-prefix
+  integer (`dedup.md5_long`, engine-portable, no JVM murmur seeds) modulo
+  ``N_BUCKETS`` — so it is narrow (no shuffle, no state), stable across
+  reruns, engines, and repartitionings, and *append-consistent*: adding
+  new data never reassigns an existing key's split.
+- **Hash the grouping key, not the row.** Splitting on ``doc_id`` (or a
+  URL/site key) keeps all shards/near-versions of one document in one
+  split — the standard guard against train/test contamination.
+- **Sampling by hash threshold** (keep iff ``bucket < f * N_BUCKETS``)
+  gives an exact, reproducible per-stratum rate with zero coordination.
+  ``df.sample()`` is seeded per partition-split and silently resamples
+  when the partitioning changes; the hash threshold never does.
+- **Shuffling for training order** is expressed as ranking by the hash
+  *within hash-assigned shards*: each shard sorts independently (bounded
+  sort, no global single-partition window), and (shard, rank) is a total,
+  deterministic order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from processo_etl_spark.ml.dedup import md5_long
+
+#: Split/sample granularity: 10_000 buckets = 0.01% resolution.
+N_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column | str, n_buckets: int = N_BUCKETS) -> Column:
+    """Stable bucket in ``[0, n_buckets)`` from the md5-prefix integer of
+    the key's string form.  ``md5_long`` is 60-bit non-negative, so plain
+    ``%`` suffices (no pmod)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (md5_long(c.cast("string")) % F.lit(n_buckets)).cast("int")
+
+
+def with_split(
+    df: DataFrame,
+    key: str,
+    fractions: dict[str, float] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hash-bucket thresholding.
+
+    ``fractions`` maps split name → fraction, in priority order; they must
+    sum to ≤ 1 (any remainder falls into the last split).  Default is the
+    conventional 98/1/1 train/val/test.  Assignment is exhaustive and
+    disjoint: bucket ranges ``[0, t1), [t1, t2), …`` partition
+    ``[0, N_BUCKETS)``.
+    """
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    b = hash_bucket(key)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = b < int(round(cum * N_BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, expr)
+
+
+def sample_by_hash(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep iff bucket < f·N."""
+    return df.filter(hash_bucket(key) < int(round(fraction * N_BUCKETS)))
+
+
+def stratified_sample_by_hash(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sample: per-stratum keep-fractions.
+
+    The threshold is looked up from a literal MAP (JVM-side, no UDF, no
+    join); strata not in ``fractions`` get ``default_fraction``.  This is
+    the reproducible equivalent of ``df.sampleBy`` for building data
+    mixtures (e.g. up-weight rare languages, down-weight crawl dupes).
+    """
+    pairs: list[Column] = []
+    for k, v in fractions.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(int(round(v * N_BUCKETS))))
+    thresholds = F.create_map(*pairs) if pairs else F.create_map()
+    thr = F.coalesce(
+        thresholds[F.col(strata_col)],
+        F.lit(int(round(default_fraction * N_BUCKETS))),
+    )
+    return df.filter(hash_bucket(key) < thr)
+
+
+def shuffle_rank(
+    df: DataFrame, key: str, n_shards: int = 1024, out_prefix: str = "shuffle"
+) -> DataFrame:
+    """Deterministic global shuffle for training order, sharded.
+
+    Adds ``{prefix}_shard`` (= hash % n_shards) and ``{prefix}_rank``
+    (row_number by a *second* hash within the shard — rank order is
+    independent of shard assignment).  Consumers iterate shards in order,
+    rows by rank: a total deterministic order that is uniformly shuffled.
+
+    Scale: one hash-partition shuffle + per-shard sort of |rows|/n_shards
+    each.  Never use ``row_number() OVER (ORDER BY …)`` with no PARTITION
+    BY at scale — that is a single-partition window.
+    """
+    c = F.col(key).cast("string")
+    shard_col, rank_col = f"{out_prefix}_shard", f"{out_prefix}_rank"
+    # Independent second hash for in-shard order: salt the string rather
+    # than reusing the shard hash (reuse would sort each shard by a value
+    # congruent mod n_shards — correlated, not shuffled).
+    h2 = md5_long(F.concat(F.lit("shuffle:"), c))
+    w = Window.partitionBy(shard_col).orderBy(h2, F.col(key))
+    return (
+        df.withColumn(shard_col, (md5_long(c) % F.lit(n_shards)).cast("int"))
+        .withColumn(rank_col, F.row_number().over(w))
+    )

@@ -130,3 +130,42 @@ def range_join_bucketed(
         .filter((F.col(pt) >= F.col(st)) & (F.col(pt) <= F.col(en)))
         .drop(b, pt, st, en)
     )
+
+
+def scd2_history_from_log(
+    df: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Build an SCD Type-2 history from an event log: collapse consecutive
+    runs of the same ``attr`` value per ``key`` into versioned validity
+    intervals (gaps-and-islands).
+
+    The reference loads dimensions as point-in-time snapshots (dag.py's
+    dim tables have no history); Type-2 versioning is the standard
+    warehouse extension.  Output: one row per (key, version) with
+    ``valid_from`` (first event of the run), ``valid_to`` (start of the
+    next run, NULL while current), ``n_events`` in the run.
+
+    Scale: two windows and one aggregation, all partitioned by ``key`` —
+    a single shuffle on the key, reused across stages (Spark keeps the
+    child distribution; no re-exchange between the lag, the running sum,
+    and the groupBy).  State per partition is bounded by the largest
+    single key's history.
+    """
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    changed = (
+        F.lag(attr).over(w).isNull() | (F.col(attr) != F.lag(attr).over(w))
+    ).cast("int")
+    runs = df.withColumn(
+        "version",
+        F.sum(changed).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    hist = runs.groupBy(key, "version", attr).agg(
+        F.min(ts).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy(key).orderBy("version")
+    return hist.withColumn("valid_to", F.lead("valid_from").over(wv))

@@ -256,3 +256,48 @@ def events_json_typed(spark, sf_dir):
             F.min("p.k").cast("int").alias("min_k"),
         )
     )
+
+
+@register(
+    "scd2_event_type_history",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR event_type <> lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS changed
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             CAST(SUM(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      FROM flagged),
+    hist AS (
+      SELECT user_id, version, event_type,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM runs GROUP BY 1, 2, 3)
+    SELECT user_id, version, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to,
+           n_events
+    FROM hist
+    """,
+)
+def scd2_event_type_history(spark, sf_dir):
+    """SCD Type-2 history from the event log: consecutive runs of the
+    same event_type per user collapse to versioned validity intervals
+    (valid_to NULL while current).  One shuffle on user_id, reused by
+    both windows and the aggregation."""
+    from processo_etl_spark.operators.temporal import scd2_history_from_log
+
+    ev = t(spark, sf_dir, "events")
+    hist = scd2_history_from_log(ev, "user_id", "event_type", "ts", "event_id")
+    return hist.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "event_type",
+        "valid_from",
+        "valid_to",
+        "n_events",
+    )

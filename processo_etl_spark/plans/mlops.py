@@ -522,3 +522,110 @@ def similarity_topk_int8(spark, sf_dir):
     corpus_q = emb_ops.quantize_int8(emb)
     queries_q = corpus_q.filter(F.col("vec_id") < 8)
     return emb_ops.brute_force_topk_quantized(corpus_q, queries_q, k=5)
+
+
+# --- deterministic splits / sampling / shuffle / packing ----------------------
+# All four share the engine's md5-prefix hash convention, so every one is
+# fully SQL-oracle-checked (bit-identical assignment on both engines).
+
+_KEY_BUCKET = f"{_md5_long_sql('CAST(doc_id AS VARCHAR)')} % 10000"
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT doc_id, source,
+           CASE WHEN {_KEY_BUCKET} < 9800 THEN 'train'
+                WHEN {_KEY_BUCKET} < 9900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_train_val_test(spark, sf_dir):
+    """Deterministic 98/1/1 split by key hash: pure per-row function, no
+    shuffle, append-consistent (new data never reassigns old keys)."""
+    from processo_etl_spark.ml import splits
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return splits.with_split(docs, "doc_id")
+
+
+@register(
+    "sample_stratified_lang",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_KEY_BUCKET} < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                                    WHEN 'zh' THEN 1000 ELSE 500 END
+    """,
+)
+def sample_stratified_lang(spark, sf_dir):
+    """Deterministic stratified sample (data-mixture construction): per-
+    language keep-rates from a literal map — exact, reproducible, and
+    stable under repartitioning, unlike seeded ``sampleBy``."""
+    from processo_etl_spark.ml import splits
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return splits.stratified_sample_by_hash(
+        docs, "doc_id", "lang",
+        {"en": 0.5, "de": 0.25, "zh": 0.1},
+        default_fraction=0.05,
+    )
+
+
+@register(
+    "shuffle_rank_docs",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST({_md5_long_sql("CAST(doc_id AS VARCHAR)")} % 8 AS INT)
+               AS shuffle_shard,
+             {_md5_long_sql("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS h2
+      FROM documents)
+    SELECT doc_id, shuffle_shard,
+           CAST(row_number() OVER (PARTITION BY shuffle_shard
+                                   ORDER BY h2, doc_id) AS INT) AS shuffle_rank
+    FROM h
+    """,
+)
+def shuffle_rank_docs(spark, sf_dir):
+    """Deterministic sharded training-order shuffle: (shard, rank) is a
+    total order, each shard sorts independently (no single-partition
+    global window)."""
+    from processo_etl_spark.ml import splits
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return splits.shuffle_rank(docs, "doc_id", n_shards=8)
+
+
+@register(
+    "pack_sequences_docs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, (n_chars + 3) // 4 AS tokens,
+             {_md5_long_sql("CAST(doc_id AS VARCHAR)")} AS h,
+             CAST({_md5_long_sql("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS INT)
+               AS shard
+      FROM documents),
+    cum AS (
+      SELECT doc_id, tokens, shard,
+             COALESCE(SUM(tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM tok)
+    SELECT doc_id, shard, CAST(prev // 512 AS BIGINT) AS pack_id,
+           CAST(prev % 512 AS BIGINT) AS offset, tokens
+    FROM cum
+    """,
+)
+def pack_sequences_docs(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 512-token windows, 8 hash
+    shards (per-shard prefix sum — no global single-partition window).
+    Token count is the n_chars/4 estimator, identical on both engines."""
+    from processo_etl_spark.ml import packing
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .withColumn("tokens", F.floor((F.col("n_chars") + 3) / F.lit(4)).cast("long"))
+        .drop("n_chars")
+    )
+    return packing.pack_sequences(docs, "doc_id", "tokens", max_tokens=512, n_shards=8)

@@ -277,3 +277,105 @@ def test_l2_normalize(spark):
     rows = {r["id"]: r["n"] for r in df.collect()}
     assert rows[1] == [0.6, 0.8]
     assert rows[2] == [0.0, 0.0]
+
+
+# --- deterministic splits / sampling / shuffle / packing ---------------------
+
+
+def test_split_disjoint_exhaustive_and_stable(spark):
+    from processo_etl_spark import catalog
+    from processo_etl_spark.ml import splits
+
+    docs = catalog.load(spark, "/root/testdata/sf0.001", "documents")
+    out = splits.with_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()  # exhaustive (no NULL split)
+    assert 0.7 <= counts["train"] / docs.count() <= 0.9  # ~80%
+    # Append-consistency: assignment of a subset == assignment in the full set.
+    sub = splits.with_split(
+        docs.filter(F.col("doc_id") < 100), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1})
+    full = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    for r in sub.select("doc_id", "split").collect():
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_stratified_sample_rates(spark):
+    from processo_etl_spark import catalog
+    from processo_etl_spark.ml import splits
+
+    docs = catalog.load(spark, "/root/testdata/sf0.01", "documents")
+    out = splits.stratified_sample_by_hash(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.1}, default_fraction=0.0)
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    base = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) <= {"en", "de"}  # default 0 drops every other stratum
+    assert abs(got["en"] / base["en"] - 0.5) < 0.1
+    assert abs(got["de"] / base["de"] - 0.1) < 0.1
+
+
+def test_shuffle_rank_total_order_and_uniformity(spark):
+    from processo_etl_spark import catalog
+    from processo_etl_spark.ml import splits
+
+    docs = catalog.load(spark, "/root/testdata/sf0.001", "documents")
+    out = splits.shuffle_rank(docs, "doc_id", n_shards=4).collect()
+    # (shard, rank) is a total order: ranks are 1..n_shard contiguous.
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shuffle_shard"], []).append(r["shuffle_rank"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for ranks in by_shard.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # Shuffled, not sorted: doc_ids in rank order differ from id order.
+    shard0 = [r["doc_id"] for r in sorted(
+        (r for r in out if r["shuffle_shard"] == 0), key=lambda r: r["shuffle_rank"])]
+    assert shard0 != sorted(shard0)
+
+
+def test_pack_sequences_invariants(spark):
+    from processo_etl_spark import catalog
+    from processo_etl_spark.ml import packing
+
+    docs = (
+        catalog.load(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", F.floor((F.col("n_chars") + 3) / F.lit(4)).alias("tokens"))
+    )
+    max_tokens = 256
+    out = packing.pack_sequences(docs, "doc_id", "tokens", max_tokens, n_shards=4)
+    rows = out.collect()
+    # Every offset is inside its window; pack_ids per shard are contiguous
+    # from 0 (concat-and-chunk leaves no empty window).
+    for r in rows:
+        assert 0 <= r["offset"] < max_tokens
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], set()).add(r["pack_id"])
+    for packs in by_shard.values():
+        assert packs == set(range(max(packs) + 1))
+    stats = packing.packing_stats(out, "tokens", max_tokens).collect()
+    for s in stats:
+        assert s["packs_started"] <= s["packs_ideal"]
+
+
+def test_scd2_history_intervals(spark):
+    from processo_etl_spark import catalog
+    from processo_etl_spark.operators.temporal import scd2_history_from_log
+
+    ev = catalog.load(spark, "/root/testdata/sf0.001", "events")
+    hist = scd2_history_from_log(ev, "user_id", "event_type", "ts", "event_id").collect()
+    by_user = {}
+    for r in hist:
+        by_user.setdefault(r["user_id"], []).append(r)
+    n_events = ev.count()
+    assert sum(r["n_events"] for r in hist) == n_events  # every event in one run
+    for runs in by_user.values():
+        runs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in runs] == list(range(1, len(runs) + 1))
+        for a, b in zip(runs, runs[1:]):
+            assert a["valid_to"] == b["valid_from"]  # seamless intervals
+            assert a["event_type"] != b["event_type"]  # runs are maximal
+        assert runs[-1]["valid_to"] is None  # current version open-ended
