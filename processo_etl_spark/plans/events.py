@@ -301,3 +301,40 @@ def scd2_event_type_history(spark, sf_dir):
         "valid_to",
         "n_events",
     )
+
+
+@register(
+    "enrich_events_segment",
+    oracle="""
+    SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           count(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS total_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def enrich_events_segment(spark, sf_dir):
+    """Batch twin of the stream-static enrichment join: events left-join
+    broadcast customer dim → per-segment counts and exact value sums."""
+    ev = t(spark, sf_dir, "events")
+    dim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    from processo_etl_spark.plans.common import dec
+
+    return (
+        ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey, "left")
+        .groupBy(F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("decimal(20,2)").alias("total_value"),
+        )
+    )
+
+
+@register("stream_enrich_segment")
+def stream_enrich_segment(spark, sf_dir):
+    """Stream-static enrichment join drained with availableNow (rows-only;
+    equivalence with the oracle-checked batch twin is asserted in
+    tests/test_streaming.py)."""
+    from processo_etl_spark.streaming import jobs
+
+    return jobs.run_enrich_availablenow(spark, sf_dir)

@@ -629,3 +629,96 @@ def pack_sequences_docs(spark, sf_dir):
         .drop("n_chars")
     )
     return packing.pack_sequences(docs, "doc_id", "tokens", max_tokens=512, n_shards=8)
+
+
+# --- decontamination & quality-budget selection -------------------------------
+
+
+def _shingles_k_sql(k: int) -> str:
+    """Word-k-gram list over normalized text (DuckDB), matching
+    ``dedup.word_shingles``: short docs fall back to one whole-text
+    shingle (out-of-range list index → NULL, skipped by concat_ws)."""
+    ws = f"string_split({_NORM}, ' ')"
+    terms = ", ".join(f"{ws}[i+{j}]" for j in range(k))
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({ws}) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', {terms})))"
+    )
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT unnest({_shingles_k_sql(5)}) AS gram
+      FROM documents WHERE doc_id % 31 = 0),
+    corp AS (
+      SELECT doc_id, unnest({_shingles_k_sql(5)}) AS gram
+      FROM documents WHERE doc_id % 31 <> 0),
+    hits AS (
+      SELECT corp.doc_id, count(*) AS n_contaminated
+      FROM corp JOIN ev USING (gram) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           COALESCE(h.n_contaminated, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 31 <> 0
+    """,
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing a word-5-gram with
+    the held-out set (doc_id % 31 == 0 plays the benchmark role).  The
+    eval gram set broadcasts; the corpus never shuffles for the probe."""
+    from processo_etl_spark.ml import decontaminate
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 31 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 31 == 0)
+    return decontaminate.ngram_contamination(corpus, eval_set, "text", "doc_id", n=5)
+
+
+@register(
+    "quality_budget_per_source",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, source,
+        len(string_split({_NORM}, ' ')) AS n_tokens,
+        length(text) AS n_chars_m,
+        len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+        CAST(len(list_filter(string_split({_NORM}, ' '),
+             x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+          / CAST(greatest(len(string_split({_NORM}, ' ')), 1) AS DOUBLE) AS sw_ratio
+      FROM documents),
+    scored AS (
+      SELECT doc_id, source,
+        FLOOR((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+             + least(sw_ratio * 5.0, 1.0) * 0.3
+             + (1.0 - least(CAST(punct AS DOUBLE) / CAST(greatest(n_chars_m, 1) AS DOUBLE) * 10.0, 1.0)) * 0.3
+              ) * 1000) / 1000 AS quality_score
+      FROM feats),
+    ranked AS (
+      SELECT source, doc_id, quality_score,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY quality_score DESC, doc_id) AS INT) AS rk
+      FROM scored)
+    SELECT source, doc_id, quality_score, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def quality_budget_per_source(spark, sf_dir):
+    """Data-mixture budget selection: keep the best 3 documents per
+    source by quality score (curriculum/budget curation).  One shuffle on
+    source; rank is a bounded per-source sort, deterministic via the
+    doc_id tiebreak."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    scored = textstats.quality_features(docs, "text")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", "doc_id", "quality_score", "rk")
+    )

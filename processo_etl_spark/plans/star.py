@@ -197,3 +197,109 @@ def snowflake_parts_suppliers(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# --- multi-join analytics (TPC-H Q3/Q5 shapes): join ordering + AQE ----------
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2))))
+                AS DECIMAL(20,4)) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → fact join chain → top-10.
+
+    The segment-filtered customer side broadcasts into orders; only the
+    surviving orders shuffle against lineitem.  Filters reach both
+    parquet scans (PushedFilters on o_orderdate / l_shipdate); the final
+    top-10 is TakeOrderedAndProject, never a global sort.  Tie-broken by
+    l_orderkey so the LIMIT is deterministic on both engines.
+    """
+    cutoff = F.lit("1997-06-01").cast("timestamp_ntz")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(
+            o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("decimal(20,4)").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2))))
+                AS DECIMAL(20,4)) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join with a non-FK equality
+    (customer nation = supplier nation).  Every dim side broadcasts;
+    the only shuffles are fact-fact (orders ⋈ lineitem) and the final
+    25-group aggregate — the plan a 1000-executor cluster wants.
+    """
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("decimal(20,4)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )

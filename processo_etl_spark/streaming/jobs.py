@@ -301,3 +301,50 @@ def run_interval_join_availablenow(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("purchase_id", "user_id")
         .agg(F.count(F.lit(1)).alias("n_views"))
     )
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Stream-static enrichment join (left outer, dim broadcast).
+
+    The static side is re-read per micro-batch by Structured Streaming,
+    so a slowly-changing dim picks up updates between batches with no
+    restart.  Broadcasting keeps the stream side shuffle-free: state-free
+    (unlike stream-stream joins), safe in append mode, and the standard
+    way to attach dimension attributes to a 100 TB/day event feed.
+    """
+    return stream.join(
+        F.broadcast(dim), stream[left_key] == dim[right_key], "left"
+    )
+
+
+def run_enrich_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain events through the stream-static customer join; aggregate
+    the sink to per-segment counts + exact decimal value sums
+    (deterministic, matches the batch twin)."""
+    ev = read_events_stream(spark, sf_dir)
+    dim = catalog.load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enrich_with_dim(ev, dim, "user_id", "c_custkey")
+        .select("event_id", "value", "c_mktsegment")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("decimal(20,2)").alias("total_value"),
+        )
+    )

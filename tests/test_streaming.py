@@ -191,3 +191,14 @@ def test_stream_interval_join_equals_batch(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_enrich_matches_batch_twin(spark):
+    from processo_etl_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    q = plans.all_queries()
+    streamed = q["stream_enrich_segment"](spark, sf)
+    batch = q["enrich_events_segment"](spark, sf)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
