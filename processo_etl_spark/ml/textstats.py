@@ -4,7 +4,7 @@ scoring, token counting, fingerprinting — all native expressions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from processo_etl_spark.ml.dedup import fingerprint, normalize_text
@@ -184,3 +184,68 @@ def scrub_pii(c: Column | str) -> Column:
 def doc_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Stable md5 content fingerprint over normalized text."""
     return df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+
+
+def vocab_counts(df: DataFrame, text_col: str, min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary: term → document frequency + total occurrences.
+
+    The tokenizer-training precursor (vocab/merges start from exactly
+    this table).  One explode + one map-side-combinable groupBy on the
+    term — the canonical word-count shape; at 100 TB the only shuffle
+    carries (term, partial counts), never documents.
+    """
+    toks = F.explode(tokens_ws(text_col)).alias("term")
+    return (
+        df.select(toks)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+
+
+def doc_frequency(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """term → number of documents containing it (distinct per doc first,
+    so the shuffle carries at most |vocab| × |docs| *distinct* pairs)."""
+    return (
+        df.select(id_col, F.explode(F.array_distinct(tokens_ws(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    tf = in-doc occurrences, idf = ln(N/df) over the corpus.  The idf
+    table is |vocab|-sized → broadcast back onto the exploded terms, so
+    the corpus side shuffles only for the per-(doc, term) count.  Scores
+    are floor-scaled to 1/``scale`` before ranking so the tie-break
+    (then term asc) is reproducible across engines and partitionings.
+    """
+    n_docs = df.count()  # one cheap metadata-only count (parquet rowcount)
+    tf = (
+        df.select(id_col, F.explode(tokens_ws(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = doc_frequency(df, text_col, id_col).withColumn(
+        "idf", F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    scored = tf.join(F.broadcast(idf), "term").withColumn(
+        "tfidf",
+        F.floor(F.col("tf") * F.col("idf") * scale) / scale,
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tfidf", "rk")
+    )

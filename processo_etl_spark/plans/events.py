@@ -338,3 +338,43 @@ def stream_enrich_segment(spark, sf_dir):
     from processo_etl_spark.streaming import jobs
 
     return jobs.run_enrich_availablenow(spark, sf_dir)
+
+
+@register(
+    "session_window_counts",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_window_counts(spark, sf_dir):
+    """Native ``session_window`` (30-min gap): Spark merges events into
+    dynamic sessions JVM-side; the oracle rebuilds the same sessions via
+    gaps-and-islands (new session at gap >= 30 min, end = last + gap —
+    session_window's exclusive-end convention)."""
+    ev = t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy(sw, "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

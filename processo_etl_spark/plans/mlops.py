@@ -722,3 +722,48 @@ def quality_budget_per_source(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("source", "doc_id", "quality_score", "rk")
     )
+
+
+# --- vocabulary & tf-idf ------------------------------------------------------
+@register(
+    "vocab_term_counts",
+    oracle=f"""
+    SELECT term, count(*) AS n_occurrences
+    FROM (SELECT unnest(string_split({_NORM}, ' ')) AS term FROM documents)
+    GROUP BY term
+    """,
+)
+def vocab_term_counts(spark, sf_dir):
+    """Corpus vocabulary build (tokenizer-training precursor): explode →
+    map-side-combinable count; the shuffle carries terms, not documents."""
+    return textstats.vocab_counts(t(spark, sf_dir, "documents"), "text")
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df
+            FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             FLOOR(tf.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents)
+                              / dfq.df) * 10000) / 10000 AS tfidf
+      FROM tf JOIN dfq USING (term)),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, term) AS INT) AS rk
+      FROM scored)
+    SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf-idf; |vocab|-sized
+    idf table broadcasts back onto the term explode.  Scores floor-scaled
+    before ranking so the order is engine-reproducible."""
+    return textstats.tfidf_top_terms(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=3
+    )

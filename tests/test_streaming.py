@@ -202,3 +202,28 @@ def test_stream_enrich_matches_batch_twin(spark):
     batch = q["enrich_events_segment"](spark, sf)
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_foreach_batch_idempotent_sink(spark, tmp_path):
+    """Replaying a batch with the same batch_id must not duplicate rows,
+    and a full availableNow drain lands exactly the source rows."""
+    from processo_etl_spark.streaming import jobs, sinks
+
+    sf = "/root/testdata/sf0.001"
+    target = str(tmp_path / "out")
+    q = sinks.start_foreach_batch_parquet(
+        jobs.read_events_stream(spark, sf).select("event_id", "event_type", "value"),
+        target,
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+    from processo_etl_spark import catalog
+
+    n_src = catalog.load(spark, sf, "events").count()
+    assert spark.read.parquet(target).count() == n_src
+    # Crash-replay simulation: re-deliver batch 0 (materialized, as a
+    # replay re-reads the SOURCE via checkpointed offsets) — no dupes.
+    batch0 = spark.read.parquet(f"{target}/batch_id=0")
+    replay = spark.createDataFrame(batch0.collect(), batch0.schema)
+    sinks.write_batch_idempotent(replay, 0, target)
+    assert spark.read.parquet(target).count() == n_src
