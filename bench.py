@@ -36,6 +36,12 @@ HEADLINE = (
     "window_running_revenue",
     "text_gopher_flags",
     "events_json_extract",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "decontaminate_ngram_overlap",
+    "pack_sequences_docs",
+    "tfidf_top_terms",
+    "scd2_event_type_history",
 )
 
 

@@ -354,3 +354,87 @@ def quartiles_quantity_approx(spark, sf_dir):
         F.approx_percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10_000)
         .alias("quartiles")
     )
+
+
+@register(
+    "grouped_quartiles_returnflag",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS DOUBLE) AS q1,
+           CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS DOUBLE) AS med,
+           CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS DOUBLE) AS q3
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def grouped_quartiles_returnflag(spark, sf_dir):
+    """Per-group exact quartiles: `percentile` as a grouped aggregate —
+    one shuffle on the group key, each group's sort local to its
+    partition.  The 100 TB path swaps in `approx_percentile` (mergeable
+    sketch), exactly as for the global quartiles."""
+    li = t(spark, sf_dir, "lineitem")
+    pct = F.percentile(F.col("l_quantity").cast("double"), F.array(
+        F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return li.groupBy("l_returnflag").agg(
+        F.element_at(pct, 1).alias("q1"),
+        F.element_at(pct, 2).alias("med"),
+        F.element_at(pct, 3).alias("q3"),
+    )
+
+
+@register(
+    "corr_matrix_lineitem",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS n,
+        SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+        SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+        SUM(CAST(l_discount AS DECIMAL(12,2))) AS sz,
+        SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+        SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+        SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS szz,
+        SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+        SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS sxz
+      FROM lineitem)
+    SELECT
+      CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / ( sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) )
+        AS DOUBLE) AS corr_qty_price,
+      CAST((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+        / ( sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)) )
+        AS DOUBLE) AS corr_qty_discount
+    FROM s
+    """,
+)
+def corr_matrix_lineitem(spark, sf_dir):
+    """Pearson correlations from EXACT decimal moment sums (one pass).
+
+    Built-in `corr` accumulates doubles whose value depends on partition
+    order — not reproducible, and not oracle-matchable.  Exact decimal
+    sums (n, Σx, Σy, Σxy, …) are order-insensitive; the final double
+    formula then matches DuckDB bit-for-bit.  Same single-shuffle shape
+    as any global aggregate, and the moment sums are map-side combined.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    x, y, z = dec("l_quantity"), dec("l_extendedprice"), dec("l_discount")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"), F.sum(z).alias("sz"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(z * z).alias("szz"),
+        F.sum(x * y).alias("sxy"), F.sum(x * z).alias("sxz"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+
+    def corr_of(sab, sa, sb, saa, sbb):
+        num = d("n") * d(sab) - d(sa) * d(sb)
+        den = F.sqrt(d("n") * d(saa) - d(sa) * d(sa)) * F.sqrt(
+            d("n") * d(sbb) - d(sb) * d(sb)
+        )
+        return (num / den).cast("double")
+
+    return s.select(
+        corr_of("sxy", "sx", "sy", "sxx", "syy").alias("corr_qty_price"),
+        corr_of("sxz", "sx", "sz", "sxx", "szz").alias("corr_qty_discount"),
+    )

@@ -110,3 +110,28 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    dynamic_overwrite: bool = True,
+) -> None:
+    """Partitioned parquet sink with DYNAMIC partition overwrite.
+
+    ``partitionOverwriteMode=dynamic`` replaces only the partitions
+    present in ``df`` — the idempotent reprocess-one-day pattern for a
+    date-partitioned 100 TB lake (static mode would truncate the whole
+    table).  Partition columns should be low-cardinality (dates, types):
+    each distinct value is a directory, and readers prune them for free
+    (partition pruning happens before the scan).
+    """
+    (
+        df.write.mode("overwrite")
+        .option(
+            "partitionOverwriteMode", "dynamic" if dynamic_overwrite else "static"
+        )
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -192,3 +192,77 @@ def test_jsonl_and_orc_roundtrip(spark, tmp_path):
     # ORC scans still get predicate pushdown: filter appears in the scan node.
     plan = back_o.filter(F.col("n_chars") > 100)._jdf.queryExecution().executedPlan().toString()
     assert "n_chars" in plan
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Overwriting a slice replaces only its partitions; others survive."""
+    from pyspark.sql import functions as F
+
+    from processo_etl_spark import catalog
+    from processo_etl_spark.sources import readers
+
+    ev = catalog.load(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = str(tmp_path / "by_type")
+    readers.write_parquet_partitioned(ev, path, ["event_type"])
+    n_total = ev.count()
+    n_click = ev.filter(F.col("event_type") == "click").count()
+
+    # Reprocess ONLY the click slice with doubled values.
+    clicks2 = ev.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") * 2
+    )
+    readers.write_parquet_partitioned(clicks2, path, ["event_type"])
+
+    back = spark.read.parquet(path)
+    assert back.count() == n_total  # non-click partitions untouched
+    assert back.filter(F.col("event_type") == "click").count() == n_click
+
+
+def test_incremental_high_watermark(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from processo_etl_spark import catalog
+    from processo_etl_spark.etl import incremental
+
+    ev = catalog.load(spark, "/root/testdata/sf0.001", "events")
+    state = str(tmp_path / "state.json")
+    cutoff = F.lit("2024-01-15").cast("timestamp_ntz")
+
+    # Run 1: only the first half is available.
+    first = ev.filter(F.col("ts") < cutoff)
+    inc1 = incremental.select_increment(first, "ts", state)
+    n1 = incremental.commit_increment(inc1, "ts", state)
+    assert n1 == first.count()
+
+    # Run 2: full source visible — selects exactly the new tail.
+    inc2 = incremental.select_increment(ev, "ts", state)
+    n2 = incremental.commit_increment(inc2, "ts", state)
+    assert n1 + n2 == ev.count()
+
+    # Run 3: nothing new — empty increment, watermark untouched.
+    wm_before = incremental.read_watermark(state)
+    assert incremental.commit_increment(
+        incremental.select_increment(ev, "ts", state), "ts", state) == 0
+    assert incremental.read_watermark(state) == wm_before
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    import glob
+
+    from processo_etl_spark import catalog
+    from processo_etl_spark.sources import maintenance
+
+    docs = catalog.load(spark, "/root/testdata/sf0.001", "documents")
+    small = str(tmp_path / "small")
+    docs.repartition(16).write.parquet(small)  # 16 tiny files
+    assert len(glob.glob(f"{small}/*.parquet")) == 16
+
+    out = str(tmp_path / "compacted")
+    n = maintenance.compact_parquet(spark, small, out, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(f"{out}/*.parquet")) == 1
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs).count() == 0
