@@ -438,3 +438,35 @@ def corr_matrix_lineitem(spark, sf_dir):
         corr_of("sxy", "sx", "sy", "sxx", "syy").alias("corr_qty_price"),
         corr_of("sxz", "sx", "sz", "sxx", "szz").alias("corr_qty_discount"),
     )
+
+
+@register(
+    "dq_report_lineitem",
+    oracle="""
+    SELECT count(*) AS n_rows,
+      CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS l_quantity_not_null,
+      CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+               THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity_between,
+      CAST(SUM(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R')
+               THEN 1 ELSE 0 END) AS BIGINT) AS l_returnflag_in_set,
+      count(l_orderkey) - count(DISTINCT l_orderkey) AS l_orderkey_unique
+    FROM lineitem
+    """,
+)
+def dq_report_lineitem(spark, sf_dir):
+    """Declarative expectations suite compiled to ONE aggregation pass:
+    every rule is a conditional count riding the same scan (100 rules =
+    still one shuffle of one row).  l_orderkey_unique is expected
+    non-zero — lineitem keys repeat per line — demonstrating the report
+    carries counts, not just pass/fail."""
+    from processo_etl_spark.quality import expectations as ex
+
+    li = t(spark, sf_dir, "lineitem")
+    rules = [
+        ex.expect_not_null("l_quantity"),
+        ex.expect_between("l_quantity", 1, 50),
+        ex.expect_in_set("l_returnflag", ["A", "N", "R"]),
+        ex.expect_unique("l_orderkey"),
+    ]
+    return ex.run(li, rules)

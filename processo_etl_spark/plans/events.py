@@ -378,3 +378,88 @@ def session_window_counts(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@register(
+    "cdc_apply_changes",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events) WHERE rn = 1),
+    changes AS (
+      SELECT user_id, value, event_id AS seq,
+             CASE WHEN user_id % 7 = 0 AND event_type = 'error' THEN 'D'
+                  ELSE 'U' END AS op
+      FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'),
+    winner AS (
+      SELECT user_id, value, op FROM (
+        SELECT user_id, value, op,
+               row_number() OVER (PARTITION BY user_id ORDER BY seq DESC,
+                 CASE WHEN op = 'D' THEN 0 ELSE 1 END) AS rn
+        FROM changes) WHERE rn = 1)
+    SELECT b.user_id, b.value FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM winner w WHERE w.user_id = b.user_id)
+    UNION ALL
+    SELECT user_id, value FROM winner WHERE op <> 'D'
+    """,
+)
+def cdc_apply_changes(spark, sf_dir):
+    """Batch MERGE (CDC fold): base snapshot = each user's first event;
+    changeset = events after Jan 20 as upserts, with 'error' rows of
+    every 7th user as deletes.  Latest change per key wins (seq desc,
+    deletes beat upserts on ties); base never sorts — one window over
+    the (small) changeset + one anti-join.
+
+    Set-based replacement for the reference's row-at-a-time upsert loop
+    (reference dag.py:399–443)."""
+    from processo_etl_spark.operators.cdc import apply_changes
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "value")
+    )
+    changes = (
+        ev.filter(F.col("ts") >= F.lit("2024-01-20").cast("timestamp_ntz"))
+        .select(
+            "user_id",
+            "value",
+            F.col("event_id").alias("seq"),
+            F.when(
+                (F.col("user_id") % 7 == 0) & (F.col("event_type") == "error"), "D"
+            )
+            .otherwise("U")
+            .alias("op"),
+        )
+    )
+    return apply_changes(base, changes, ["user_id"], "seq")
+
+
+@register(
+    "unpivot_event_counts",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id,
+        COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+        COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase
+      FROM events GROUP BY user_id)
+    SELECT user_id, kind, n FROM wide
+    UNPIVOT (n FOR kind IN (click, view, purchase))
+    """,
+)
+def unpivot_event_counts(spark, sf_dir):
+    """Wide→long (unpivot/melt): the inverse of pivot, native in both
+    engines — no explode-of-struct workaround, no UDF."""
+    ev = t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .count()
+        .fillna(0, subset=["click", "view", "purchase"])
+    )
+    return wide.unpivot("user_id", ["click", "view", "purchase"], "kind", "n")

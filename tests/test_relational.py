@@ -66,3 +66,45 @@ def test_surrogate_keys_scalable_contiguous(spark):
     out = star.surrogate_keys_scalable(df, "id")
     ids = sorted(r["id"] for r in out.collect())
     assert ids == [1, 2, 3, 4]
+
+
+def test_cdc_apply_changes_semantics(spark):
+    from processo_etl_spark.operators.cdc import apply_changes
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a2", 10, "U"),   # update k=1
+            (1, "a1", 5, "U"),    # older update loses
+            (2, None, 10, "D"),   # delete k=2
+            (4, "d", 10, "I"),    # insert new key
+            (5, "x", 10, "U"),    # same-seq tie:
+            (5, None, 10, "D"),   #   delete wins
+        ],
+        ["k", "v", "seq", "op"],
+    )
+    out = {r["k"]: r["v"] for r in apply_changes(base, changes, ["k"], "seq").collect()}
+    assert out == {1: "a2", 3: "c", 4: "d"}
+
+
+def test_expectations_runner(spark):
+    from processo_etl_spark.quality import expectations as ex
+
+    df = spark.createDataFrame(
+        [(1, 10, "A"), (2, 99, "A"), (2, None, "Z")], ["id", "qty", "flag"]
+    )
+    rules = [
+        ex.expect_not_null("qty"),
+        ex.expect_between("qty", 1, 50),
+        ex.expect_in_set("flag", ["A", "B"]),
+        ex.expect_unique("id"),
+    ]
+    row = ex.run(df, rules).first()
+    assert row["n_rows"] == 3
+    assert row["qty_not_null"] == 1
+    assert row["qty_between"] == 2      # 99 out of range + NULL
+    assert row["flag_in_set"] == 1
+    assert row["id_unique"] == 1        # one duplicated id
+    assert not ex.passed(row, [n for n, _ in rules])
