@@ -120,3 +120,34 @@ def test_holiday_dim(spark):
     opt = {str(r["holiday_date"])
            for r in holidays_br.holiday_dim(spark, [2023], include_optional=True).collect()}
     assert "2023-02-21" in opt and "2023-06-08" in opt
+
+
+def test_pandas_udf_extensibility_parity(spark):
+    """SURVEY §2.10: the user extension surface is Arrow-batched pandas_udf;
+    each example UDF matches its JVM-native twin exactly."""
+    from pyspark.sql import functions as F
+
+    from processo_etl_spark import catalog
+    from processo_etl_spark.functions import extensibility as ext
+
+    docs = catalog.load(spark, "/root/testdata/sf0.001", "documents").limit(100)
+
+    both = docs.select(
+        ext.byte_length_utf8("text").alias("udf_len"),
+        F.octet_length("text").alias("native_len"),
+    )
+    assert both.filter(F.col("udf_len") != F.col("native_len")).count() == 0
+
+    scores = docs.select((F.col("n_chars") / 1000).alias("s"))
+    cmp = scores.select(
+        ext.softclip_score("s").alias("u"), ext.native_softclip("s").alias("n")
+    )
+    assert cmp.filter(F.abs(F.col("u") - F.col("n")) > 1e-12).count() == 0
+
+    # SQL registration path
+    ext.register_example_udfs(spark)
+    docs.createOrReplaceTempView("ext_docs")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM ext_docs WHERE byte_length_utf8(text) >= length(text)"
+    ).first()["n"]
+    assert n == 100
