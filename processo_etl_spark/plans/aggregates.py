@@ -470,3 +470,82 @@ def dq_report_lineitem(spark, sf_dir):
         ex.expect_unique("l_orderkey"),
     ]
     return ex.run(li, rules)
+
+
+@register(
+    "orders_above_avg_price",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def orders_above_avg_price(spark, sf_dir):
+    """Scalar subquery: Catalyst plans the inner aggregate once and
+    broadcasts the scalar into the filter (a ReusedSubquery at scale —
+    no per-row re-evaluation)."""
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders_sq
+           WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_sq)"""
+    )
+
+
+@register(
+    "customers_with_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def customers_with_urgent_orders(spark, sf_dir):
+    """EXISTS subquery → left-semi join: the filter on orders is pushed
+    below the semi-join, so only urgent orders' keys shuffle."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("customer_sq")
+    o.createOrReplaceTempView("orders_sq2")
+    return spark.sql(
+        """SELECT c_custkey, c_name FROM customer_sq c
+           WHERE EXISTS (SELECT 1 FROM orders_sq2 o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT')"""
+    )
+
+
+@register(
+    "q18_large_quantity_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18_large_quantity_orders(spark, sf_dir):
+    """TPC-H Q18 shape: IN-subquery over a grouped HAVING, then join back.
+
+    One aggregate builds the qualifying key set (small) → broadcast
+    semi-join prunes orders AND lineitem before the final aggregate; the
+    big fact shuffles once on l_orderkey and the exchange is reused."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("tq"))
+        .filter(F.col("tq") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).cast("decimal(20,2)").alias("total_qty"))
+    )

@@ -463,3 +463,61 @@ def unpivot_event_counts(spark, sf_dir):
         .fillna(0, subset=["click", "view", "purchase"])
     )
     return wide.unpivot("user_id", ["click", "view", "purchase"], "kind", "n")
+
+
+@register(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             count(*) AS n, arg_max(value, event_id) AS last_value
+      FROM events WHERE user_id < 20 GROUP BY 1, 2),
+    spans AS (
+      SELECT user_id, unnest(generate_series(min(hour), max(hour),
+                                             INTERVAL 1 HOUR)) AS hour
+      FROM hourly GROUP BY user_id),
+    joined AS (
+      SELECT s.user_id, s.hour,
+             COALESCE(h.n, 0) AS n, h.last_value
+      FROM spans s LEFT JOIN hourly h
+        ON h.user_id = s.user_id AND h.hour = s.hour)
+    SELECT user_id, hour, CAST(n AS BIGINT) AS n,
+           LAST_VALUE(last_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hour
+             ROWS UNBOUNDED PRECEDING) AS filled_value
+    FROM joined
+    """,
+)
+def timeseries_gap_fill(spark, sf_dir):
+    """Regular-grid densification + forward fill (resample semantics):
+    per user, every hour between first and last activity exists in the
+    output; silent hours carry n=0 and the last observed value forward.
+
+    Spark shape: grouped agg → per-key `sequence`/`explode` scaffold
+    (fan-out proportional to the span, computed distributed, never on the
+    driver) → left join back → `last(ignorenulls)` running window.  All
+    stages share the user_id partitioning."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max_by("value", "event_id").alias("last_value"),
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.explode(
+            F.sequence(F.min("hour"), F.max("hour"), F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    joined = spans.join(hourly, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "hour",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        F.last("last_value", ignorenulls=True).over(w).alias("filled_value"),
+    )

@@ -108,3 +108,22 @@ def test_expectations_runner(spark):
     assert row["flag_in_set"] == 1
     assert row["id_unique"] == 1        # one duplicated id
     assert not ex.passed(row, [n for n, _ in rules])
+
+
+def test_cdc_apply_is_idempotent_and_commutes_with_replay(spark):
+    """Applying the same changeset twice equals applying it once (replay
+    safety), regardless of which snapshot the replay lands on."""
+    from processo_etl_spark import catalog
+    from processo_etl_spark.operators.cdc import apply_changes
+    from pyspark.sql import functions as F
+
+    ev = catalog.load(spark, "/root/testdata/sf0.001", "events")
+    base = ev.groupBy("user_id").agg(F.min("value").alias("value"))
+    changes = ev.filter(F.col("event_id") % 3 == 0).select(
+        "user_id", "value", F.col("event_id").alias("seq"),
+        F.when(F.col("user_id") % 5 == 0, "D").otherwise("U").alias("op"),
+    )
+    once = apply_changes(base, changes, ["user_id"], "seq")
+    twice = apply_changes(once, changes, ["user_id"], "seq")
+    assert once.exceptAll(twice).count() == 0
+    assert twice.exceptAll(once).count() == 0

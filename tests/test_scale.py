@@ -59,3 +59,30 @@ def test_bucketed_join_plans_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lines_b")
+
+
+def test_plan_audit_no_cartesian_no_python_rowudf(spark):
+    """Mechanical plan guard over EVERY registered batch query: no
+    CartesianProduct / BroadcastNestedLoopJoin (quadratic at scale) and
+    no row-at-a-time Python eval (BatchEvalPython) anywhere.  Arrow
+    batches (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas) are
+    the sanctioned Python boundary and remain allowed."""
+    from processo_etl_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    skip_prefix = "stream_"  # streaming drains execute, not just plan
+    # Brute-force ANN is DEFINITIONALLY all-pairs: corpus × broadcast
+    # query set via nested loop is the intended baseline plan (the scale
+    # path is similarity_topk_lsh / _ivf, which the audit does cover).
+    allow_nested_loop = {"similarity_topk_bruteforce", "similarity_topk_int8"}
+    bad = []
+    for name, fn in plans.all_queries().items():
+        if name.startswith(skip_prefix) or name == "etl_star_pipeline":
+            continue
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        for smell in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"):
+            if smell == "BroadcastNestedLoopJoin" and name in allow_nested_loop:
+                continue
+            if smell in plan:
+                bad.append((name, smell))
+    assert not bad, f"scale smells in plans: {bad}"
