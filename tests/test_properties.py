@@ -72,3 +72,58 @@ def test_multilabel_flags_never_crash(spark, labels_text):
     for r in rows:
         for label in ftext.TRACADO_LABELS:
             assert r[label] in (True, False)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=60,
+             unique=True),
+    st.lists(st.floats(min_value=0.05, max_value=0.9), min_size=2, max_size=4),
+)
+def test_split_partitions_any_keys_any_fractions(spark, keys, fracs):
+    """with_split is exhaustive + disjoint for arbitrary keys/fractions
+    (normalized to sum ≤ 1), and re-assignment is stable."""
+    from processo_etl_spark.ml import splits
+
+    total = sum(fracs)
+    fractions = {f"s{i}": f / total for i, f in enumerate(fracs)}
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = splits.with_split(df, "k", fractions).collect()
+    assert len(out) == len(keys)
+    assert all(r["split"] in fractions for r in out)
+    again = {r["k"]: r["split"] for r in splits.with_split(df, "k", fractions).collect()}
+    assert all(again[r["k"]] == r["split"] for r in out)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=60))
+def test_packing_conserves_tokens_any_sizes(spark, token_sizes):
+    """For arbitrary token counts: offsets stay inside the window, packs
+    are contiguous from 0 per shard, and the prefix-sum conserves the
+    shard's token total (concat-and-chunk loses nothing)."""
+    from pyspark.sql import functions as F
+
+    from processo_etl_spark.ml import packing
+
+    max_tokens = 128
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(token_sizes)], "doc_id long, tokens long"
+    )
+    rows = packing.pack_sequences(df, "doc_id", "tokens", max_tokens, n_shards=3).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r["offset"] < max_tokens
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        # Every window up to the last byte is COVERED by some doc's span
+        # (docs longer than the window straddle several windows — they
+        # cover middle windows without starting in them).
+        covered: set[int] = set()
+        for r in shard_rows:
+            start = r["pack_id"] * max_tokens + r["offset"]
+            covered.update(range(r["pack_id"], (start + r["tokens"] - 1) // max_tokens + 1))
+        assert covered == set(range(max(covered) + 1))
+        # Stream conservation: last doc ends exactly at the token total.
+        total = sum(r["tokens"] for r in shard_rows)
+        last = max(shard_rows, key=lambda r: (r["pack_id"], r["offset"]))
+        assert last["pack_id"] * max_tokens + last["offset"] + last["tokens"] == total

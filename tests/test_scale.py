@@ -86,3 +86,80 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
             if smell in plan:
                 bad.append((name, smell))
     assert not bad, f"scale smells in plans: {bad}"
+
+
+def test_sorted_layout_enables_row_group_skipping(spark, tmp_path):
+    """Sort-clustered writes produce (near-)disjoint row-group min/max
+    ranges, so a selective range predicate skips most groups; the same
+    data written unsorted skips (almost) nothing."""
+    from pyspark.sql import functions as F
+
+    from processo_etl_spark import catalog
+    from processo_etl_spark.sources import layout
+
+    li = catalog.load(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_shipdate"
+    )
+
+    clustered = str(tmp_path / "clustered")
+    layout.write_sorted(li, clustered, ["l_extendedprice"], num_files=8)
+    shuffled = str(tmp_path / "shuffled")
+    li.repartition(8).write.parquet(shuffled)  # hash = value-random order
+
+    lo, hi = 1000.0, 2000.0
+    frac_sorted = layout.skipping_fraction(
+        layout.row_group_ranges(clustered, "l_extendedprice"), lo, hi
+    )
+    frac_shuffled = layout.skipping_fraction(
+        layout.row_group_ranges(shuffled, "l_extendedprice"), lo, hi
+    )
+    assert frac_sorted >= 0.75  # selective predicate skips most groups
+    assert frac_shuffled <= 0.25  # random layout can't skip
+    # Same rows either way.
+    a = spark.read.parquet(clustered).filter(F.col("l_extendedprice").between(lo, hi))
+    b = spark.read.parquet(shuffled).filter(F.col("l_extendedprice").between(lo, hi))
+    assert a.count() == b.count()
+
+
+def test_corrupt_csv_records_quarantined(spark, tmp_path):
+    """PERMISSIVE scan: malformed rows land in _corrupt_record instead of
+    failing the job — count them, then load clean rows only."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType)
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("id;qty\n1;10\n2;not_a_number\n3;30\nbroken_line_no_sep\n")
+    schema = StructType([
+        StructField("id", IntegerType()),
+        StructField("qty", IntegerType()),
+        StructField("_corrupt_record", StringType()),
+    ])
+    df = (
+        spark.read.schema(schema)
+        .option("header", True).option("sep", ";").option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+    ).cache()  # SPARK-21610: corrupt-record queries need the full scan cached
+    assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 2
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    assert [r["id"] for r in clean.orderBy("id").collect()] == [1, 3]
+    df.unpersist()
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """mergeSchema reads old+new parquet batches as one table; rows from
+    before the column existed surface NULL (additive evolution)."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "tbl")
+    spark.range(5).select(F.col("id"), F.lit("a").alias("v")).write.parquet(
+        f"{base}/batch=1"
+    )
+    spark.range(5, 10).select(
+        F.col("id"), F.lit("b").alias("v"), F.lit(1).alias("new_col")
+    ).write.parquet(f"{base}/batch=2")
+    merged = spark.read.option("mergeSchema", True).parquet(base)
+    assert set(merged.columns) >= {"id", "v", "new_col"}
+    assert merged.count() == 10
+    assert merged.filter(F.col("new_col").isNull()).count() == 5
