@@ -154,3 +154,37 @@ def window_revenue_deciles(spark, sf_dir):
             F.sum(dec("o_totalprice")).cast("decimal(20,2)").alias("revenue"),
         )
     )
+
+
+@register(
+    "window_trailing_24h_value",
+    oracle="""
+    SELECT user_id, ts, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+           AS DECIMAL(20,2)) AS trailing_24h
+    FROM events WHERE user_id < 10
+    """,
+)
+def window_trailing_24h_value(spark, sf_dir):
+    """Time-RANGE frame (not ROWS): trailing 24-hour value sum per user.
+
+    Spark's rangeBetween is numeric, so the frame runs over epoch
+    seconds — semantically identical to the SQL INTERVAL frame (ties in
+    ts share the frame, unlike a rows frame).  One shuffle on user_id;
+    frame state is bounded by events-per-24h, not history length."""
+    from processo_etl_spark.plans.common import dec, t
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-24 * 3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(dec("value")).over(w).cast("decimal(20,2)").alias("trailing_24h"),
+    )
