@@ -14,13 +14,19 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def dec(c: Column | str, precision: int = 12, scale: int = 2) -> Column:
-    """Cast to DECIMAL for exact, order-insensitive aggregation.
+    """ROUND then cast to DECIMAL for exact, order-insensitive aggregation.
 
     Double sums depend on partition/accumulation order; decimal sums are
-    exact, so Spark and the DuckDB oracle agree bit-for-bit.
+    exact, so Spark and the DuckDB oracle agree bit-for-bit.  The explicit
+    ROUND at the target scale happens BEFORE the cast so tie-rounding of
+    the double→decimal conversion can never diverge between engines: the
+    source data carries ≤`scale` intended decimals, so the rounded value
+    is never near a tie and any round-to-nearest implementation agrees
+    (driver hash-mismatch fix, VERDICT r1 §wrong-1 / ADVICE common.py:23).
+    Oracle twins use the same shape: CAST(ROUND(x, s) AS DECIMAL(p,s)).
     """
     col = F.col(c) if isinstance(c, str) else c
-    return col.cast(f"decimal({precision},{scale})")
+    return F.round(col, scale).cast(f"decimal({precision},{scale})")
 
 
 def decsum(c: Column | str, out_precision: int = 20, out_scale: int = 2) -> Column:
@@ -31,3 +37,19 @@ def decsum(c: Column | str, out_precision: int = 20, out_scale: int = 2) -> Colu
 def avg_exact(c: Column | str) -> Column:
     """Average as exact-decimal sum → double ÷ count: deterministic on both engines."""
     return F.sum(dec(c)).cast("double") / F.count(F.lit(1))
+
+
+def avg_dec(c: Column | str, out_precision: int = 20, out_scale: int = 6) -> Column:
+    """Average emitted as a pinned-scale DECIMAL (driver hash-stable form).
+
+    Spark path is pure decimal arithmetic: exact decimal sum ÷ count with
+    Spark's HALF_UP division, explicitly ROUNDed (exact decimal op, same
+    half-away-from-zero convention in DuckDB) to the output scale.  The
+    oracle twin is ``CAST(ROUND(CAST(SUM(dec) AS DOUBLE)/COUNT(*), s) AS
+    DECIMAL(p,s))`` — DuckDB has no decimal÷int division (returns DOUBLE),
+    but averages of scale-2 data over a non-2^a5^b count have
+    non-terminating expansions, so the scale-6 rounding is never near a
+    tie and both routes land on the same decimal.
+    """
+    q = F.sum(dec(c)) / F.count(F.lit(1))
+    return F.round(q, out_scale).cast(f"decimal({out_precision},{out_scale})")

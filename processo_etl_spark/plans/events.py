@@ -20,7 +20,7 @@ from processo_etl_spark.plans.common import dec, t
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS total_value
+           CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )

