@@ -7,12 +7,12 @@ back on the natural keys (dag.py:241-259, J2-J6), fact-grain dedup
 (dag.py:263, D3).
 
 Surrogate keys: the reference uses ``reset_index + 1`` (arbitrary pandas
-row order).  Here the key is ``row_number() OVER (ORDER BY natural_key)``
-— contiguous 1..N AND deterministic.  That global window is a
-single-partition exchange, fine for dimension tables (distinct domains —
-low cardinality even at 100 TB fact scale).  For a *large* dimension use
-``surrogate_keys_scalable`` (zipWithIndex-style: per-partition offsets,
-no single-partition barrier, still contiguous, NOT order-stable).
+row order).  Here the key is row_number-by-natural-key-order — contiguous
+1..N AND deterministic — computed by the two-phase distributed rank
+(operators/ranking.py: range-repartition → local rank → broadcast
+prefix-sum offsets), so there is NO single-partition window at any
+dimension size (r2: replaces the r1 global-window + 1M-row zipWithIndex
+fallback; the fallback remains for order-insensitive bulk ids).
 
 Fact joins broadcast the dimensions explicitly — 5 broadcast hash joins,
 zero shuffles of the fact table.
@@ -20,20 +20,44 @@ zero shuffles of the fact table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def build_dimension(
     df: DataFrame, natural_key: list[str], id_col: str
 ) -> DataFrame:
-    """Distinct natural key + contiguous deterministic surrogate (D2+W1)."""
-    w = Window.orderBy(*natural_key)
-    return (
-        df.select(*natural_key)
-        .distinct()
-        .withColumn(id_col, F.row_number().over(w))
+    """Distinct natural key + contiguous deterministic surrogate (D2+W1).
+
+    Ids are ``row_number() OVER (ORDER BY natural_key)`` semantics,
+    computed by ONE aggregation job: map-side partial ``collect_set``
+    dedups each partition, the merged set is ``array_sort``-ed (struct
+    order = natural-key order; keys are non-null post-imputation) and
+    ``posexplode`` numbers it 1..N.  No unpartitioned window, no extra
+    sampling/counts jobs — one shuffle whose payload is the distinct
+    domain itself, which is what a dimension IS.  The single combiner
+    holds |domain| rows, correct for a classic dimension by definition;
+    a degenerate near-fact-cardinality "dimension" must use
+    ``build_dimension_rank``/``build_dimension_auto`` instead."""
+    packed = df.select(F.struct(*natural_key).alias("__k")).agg(
+        F.array_sort(F.collect_set("__k")).alias("__ks")
     )
+    return packed.select(
+        F.posexplode("__ks").alias("__pos", "__k")
+    ).select(F.col("__k.*"), (F.col("__pos") + 1).cast("int").alias(id_col))
+
+
+def build_dimension_rank(
+    df: DataFrame, natural_key: list[str], id_col: str
+) -> DataFrame:
+    """Same contract as :func:`build_dimension` via the two-phase
+    distributed rank (operators/ranking.py) — no single point holds the
+    whole domain, for dimensions too big to sit in one combiner."""
+    from processo_etl_spark.operators.ranking import distributed_rank
+
+    distinct = df.select(*natural_key).distinct()
+    ranked = distributed_rank(distinct, list(natural_key), out_col=id_col)
+    return ranked.withColumn(id_col, F.col(id_col).cast("int"))
 
 
 def surrogate_keys_scalable(df: DataFrame, id_col: str) -> DataFrame:
@@ -52,22 +76,22 @@ def build_dimension_auto(
     df: DataFrame,
     natural_key: list[str],
     id_col: str,
-    max_windowed_rows: int = 1_000_000,
+    max_agg_rows: int = 1_000_000,
 ) -> DataFrame:
     """Pick the surrogate-key strategy by measured key cardinality.
 
     A cheap ``approx_count_distinct`` probe decides: small distinct
-    domain → deterministic ordered ``row_number`` (SERIAL parity);
-    near-fact cardinality (the degenerate-dimension hazard measured in
-    SCALE.md) → ``zipWithIndex`` with no single-partition window.
+    domain → one-job sorted-aggregate build (SERIAL parity); near-fact
+    cardinality (the degenerate-dimension hazard measured in SCALE.md)
+    → the two-phase distributed rank — same deterministic ordered ids,
+    no single task ever holds the whole domain.
     """
     probe = df.select(
         F.approx_count_distinct(F.concat_ws("\x1f", *natural_key)).alias("n")
     ).first()["n"]
-    if probe <= max_windowed_rows:
+    if probe <= max_agg_rows:
         return build_dimension(df, natural_key, id_col)
-    distinct = df.select(*natural_key).distinct()
-    return surrogate_keys_scalable(distinct, id_col)
+    return build_dimension_rank(df, natural_key, id_col)
 
 
 def attach_fks(

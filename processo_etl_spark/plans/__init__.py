@@ -9,13 +9,17 @@ itself here as a named pair:
   parquet tables (omitted only for genuinely non-SQL-expressible ops,
   where the driver records a weaker rows-only check).
 
-Numeric-parity convention (validated empirically against DuckDB 1.0):
-monetary/quantity aggregates are computed in DECIMAL on both engines and
-cast to a fixed DECIMAL(p,s) — exact, order-insensitive, bit-identical —
-never as raw double sums (double summation order is nondeterministic
-across partitions).  Averages = exact decimal sum → double → divide.
-Timestamps are TIMESTAMP_NTZ on both sides (parquet naive + UTC session).
-Every computed column is aliased identically in both implementations.
+Numeric-parity convention (validated empirically against DuckDB 1.0;
+hardened after the r1 driver hash mismatches): source doubles enter
+DECIMAL via ROUND-at-intent-scale-then-cast on BOTH engines
+(common.dec / ``CAST(ROUND(x, s) AS DECIMAL)``) — the rounded value is
+never near a tie, so any round-to-nearest cast agrees; aggregates then
+run in exact, order-insensitive DECIMAL and re-pin to a fixed
+DECIMAL(p,s) — never raw double sums (double summation order is
+nondeterministic across partitions).  Averages are pinned-scale decimals
+(common.avg_dec).  Timestamps are TIMESTAMP_NTZ on both sides (parquet
+naive + UTC session).  Every computed column is aliased identically in
+both implementations.
 """
 
 from __future__ import annotations

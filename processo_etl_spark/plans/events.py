@@ -308,7 +308,7 @@ def scd2_event_type_history(spark, sf_dir):
     oracle="""
     SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
            count(*) AS n,
-           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS total_value
+           CAST(SUM(CAST(ROUND(e.value, 2) AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS total_value
     FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1
     """,

@@ -106,7 +106,7 @@ def dim_build_priority(spark, sf_dir):
              CAST(row_number() OVER (ORDER BY o_orderstatus) AS INT) AS id_status
       FROM (SELECT DISTINCT o_orderstatus FROM orders))
     SELECT o.o_orderkey, p.id_prio, s.id_status,
-           CAST(o.o_totalprice AS DECIMAL(12,2)) AS total
+           CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(12,2)) AS total
     FROM orders o
     LEFT JOIN dim_prio p ON o.o_orderpriority = p.o_orderpriority
     LEFT JOIN dim_status s ON o.o_orderstatus = s.o_orderstatus
@@ -135,7 +135,7 @@ def star_fact_assembly(spark, sf_dir):
     "star_join_olap",
     oracle="""
     SELECT r.r_name, year(o.o_orderdate) AS ano,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DECIMAL(20,2))
+           CAST(SUM(CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(12,2))) AS DECIMAL(20,2))
              AS receita,
            count(*) AS n_pedidos
     FROM orders o
@@ -172,8 +172,8 @@ def star_join_olap(spark, sf_dir):
     "snowflake_parts_suppliers",
     oracle="""
     SELECT p.p_brand, s.s_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(12,2))))
+           CAST(SUM(CAST(ROUND(l.l_extendedprice, 2) AS DECIMAL(12,2))
+                    * (1 - CAST(ROUND(l.l_discount, 2) AS DECIMAL(12,2))))
                 AS DECIMAL(20,4)) AS receita,
            count(*) AS n
     FROM lineitem l
@@ -204,8 +204,8 @@ def snowflake_parts_suppliers(spark, sf_dir):
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(12,2))))
+           CAST(SUM(CAST(ROUND(l.l_extendedprice, 2) AS DECIMAL(12,2))
+                    * (1 - CAST(ROUND(l.l_discount, 2) AS DECIMAL(12,2))))
                 AS DECIMAL(20,4)) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
@@ -251,8 +251,8 @@ def q3_shipping_priority(spark, sf_dir):
     "q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(12,2))))
+           CAST(SUM(CAST(ROUND(l.l_extendedprice, 2) AS DECIMAL(12,2))
+                    * (1 - CAST(ROUND(l.l_discount, 2) AS DECIMAL(12,2))))
                 AS DECIMAL(20,4)) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey

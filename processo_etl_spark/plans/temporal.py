@@ -22,9 +22,9 @@ _SESSION_GAP_S = 1800
     "asof_purchase_last_view",
     oracle="""
     SELECT p.event_id, p.user_id,
-           CAST(p.value AS DECIMAL(12,2)) AS purchase_value,
+           CAST(ROUND(p.value, 2) AS DECIMAL(12,2)) AS purchase_value,
            v.ts AS view_ts,
-           CAST(v.value AS DECIMAL(12,2)) AS view_value
+           CAST(ROUND(v.value, 2) AS DECIMAL(12,2)) AS view_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
       ON p.user_id = v.user_id AND p.ts >= v.ts

@@ -136,11 +136,45 @@ def window_moving_avg_value(spark, sf_dir):
     """,
 )
 def window_revenue_deciles(spark, sf_dir):
-    """Revenue by order-value decile.  ntile over an unpartitioned window
-    IS a single-partition exchange — acceptable here because the input
-    is one column of one table; the 100 TB path is approx percentile
-    boundaries + a broadcast range join (documented, not needed for the
-    dashboard workload)."""
+    """Revenue by order-value decile — DEFAULT scale-safe plan.
+
+    Exact NTILE(10) semantics via the two-phase distributed rank
+    (operators/ranking.py): range-repartition → local rank → broadcast
+    prefix-sum offsets.  No unpartitioned window, no single-partition
+    exchange — the r1 ``WindowExec: No Partition Defined`` scale-killer
+    is gone while the oracle (true SQL NTILE) stays hash-green.  The
+    global-ntile twin below is the exact-parity reference variant.
+    """
+    from processo_etl_spark.operators.ranking import distributed_ntile
+
+    o = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    tiled = distributed_ntile(
+        o, ["o_totalprice", "o_orderkey"], k=10, out_col="decile"
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("o_totalprice")).cast("decimal(20,2)").alias("revenue"),
+    )
+
+
+@register(
+    "window_revenue_deciles_global",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT)
+             AS decile, o_totalprice
+      FROM orders)
+    SELECT decile, count(*) AS n,
+      CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS revenue
+    FROM d GROUP BY decile
+    """,
+)
+def window_revenue_deciles_global(spark, sf_dir):
+    """Exact-parity variant: literal ntile over an unpartitioned window.
+
+    Single-partition exchange BY CONSTRUCTION — kept only as the
+    semantic reference twin for window_revenue_deciles (and on the
+    plan-audit's documented allow-list); never the default path."""
     o = t(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
@@ -171,16 +205,21 @@ def window_trailing_24h_value(spark, sf_dir):
     """Time-RANGE frame (not ROWS): trailing 24-hour value sum per user.
 
     Spark's rangeBetween is numeric, so the frame runs over epoch
-    seconds — semantically identical to the SQL INTERVAL frame (ties in
-    ts share the frame, unlike a rows frame).  One shuffle on user_id;
-    frame state is bounded by events-per-24h, not history length."""
+    MICROseconds — full timestamp precision, so frame membership at the
+    24h boundary matches the oracle's INTERVAL frame even for sub-second
+    timestamps (ADVICE r1: whole-second unix_timestamp would diverge
+    there).  Ties in ts share the frame, unlike a rows frame.  One
+    shuffle on user_id; frame state is bounded by events-per-24h, not
+    history length."""
     from processo_etl_spark.plans.common import dec, t
 
     ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-24 * 3600, 0)
+        # ts is TIMESTAMP_NTZ; the session timezone is pinned UTC, so the
+        # cast to TIMESTAMP is value-preserving and unix_micros is exact.
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-24 * 3600 * 1_000_000, 0)
     )
     return ev.select(
         "user_id",

@@ -117,10 +117,16 @@ def test_build_dimension_auto_strategies(spark):
     # Small domain -> ordered, contiguous, deterministic ids.
     small = star.build_dimension_auto(df.select("k1").distinct(), ["k1"], "id")
     assert sorted(r["id"] for r in small.collect()) == [1, 2, 3, 4]
-    # Force the scalable path with a tiny threshold: still contiguous 1..N.
-    big = star.build_dimension_auto(df, ["k1", "k2"], "id", max_windowed_rows=10)
+    # Force the scalable path with a tiny threshold: still contiguous,
+    # ordered, deterministic 1..N (distributed rank, r2).
+    big = star.build_dimension_auto(df, ["k1", "k2"], "id", max_agg_rows=10)
     ids = sorted(r["id"] for r in big.collect())
     assert ids == list(range(1, 101))
+    # Order parity with the small-domain aggregate build.
+    agg_ids = {(r["k1"], r["k2"]): r["id"] for r in
+               star.build_dimension(df, ["k1", "k2"], "id").collect()}
+    rank_ids = {(r["k1"], r["k2"]): r["id"] for r in big.collect()}
+    assert agg_ids == rank_ids
 
 
 def test_langid_and_quality(spark):

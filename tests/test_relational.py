@@ -127,3 +127,43 @@ def test_cdc_apply_is_idempotent_and_commutes_with_replay(spark):
     twice = apply_changes(once, changes, ["user_id"], "seq")
     assert once.exceptAll(twice).count() == 0
     assert twice.exceptAll(once).count() == 0
+
+
+# --- distributed ranking (operators/ranking.py) --------------------------------
+
+
+def test_distributed_rank_matches_global_row_number(spark):
+    from pyspark.sql import Window
+
+    from processo_etl_spark.operators import ranking
+
+    df = spark.range(0, 997).select(
+        (F.col("id") * 37 % 991).alias("v"), F.col("id").alias("k")
+    )
+    got = ranking.distributed_rank(df, ["v", "k"], out_col="r", num_partitions=7)
+    want = df.withColumn("r", F.row_number().over(Window.orderBy("v", "k")))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_distributed_ntile_matches_sql_ntile(spark):
+    """Exact NTILE parity on adversarial sizes (remainder buckets, n<k)."""
+    from pyspark.sql import Window
+
+    from processo_etl_spark.operators import ranking
+
+    for n, k in [(25, 10), (1000, 7), (6, 10), (10, 10)]:
+        df = spark.range(0, n).select((F.col("id") * 13 % 101).alias("v"), "id")
+        got = ranking.distributed_ntile(df, ["v", "id"], k=k, out_col="b",
+                                        num_partitions=5)
+        want = df.withColumn("b", F.ntile(k).over(Window.orderBy("v", "id")))
+        assert got.exceptAll(want).count() == 0, (n, k)
+        assert want.exceptAll(got).count() == 0, (n, k)
+
+
+def test_distributed_rank_plan_has_no_single_partition_exchange(spark):
+    from processo_etl_spark.operators import ranking
+
+    df = spark.range(0, 100).select(F.col("id").alias("v"), "id")
+    ranked = ranking.distributed_rank(df, ["v", "id"], num_partitions=4)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan

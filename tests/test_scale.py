@@ -83,6 +83,10 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
         "similarity_topk_int8",
         "similarity_topk_ivf",
     }
+    # Unpartitioned ranking/analytic windows move the WHOLE input through
+    # one task (Exchange SinglePartition under a Window).  Only the
+    # documented exact-parity reference twin may do that (VERDICT r1 #4).
+    allow_global_window = {"window_revenue_deciles_global"}
     bad = []
     for name, fn in plans.all_queries().items():
         if name.startswith(skip_prefix) or name == "etl_star_pipeline":
@@ -93,6 +97,13 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
                 continue
             if smell in plan:
                 bad.append((name, smell))
+        if name not in allow_global_window:
+            for line in plan.splitlines():
+                stripped = line.lstrip(" +-:*")
+                # 'Window [exprs], [part], [order]' vs 'Window [exprs], [order]'
+                if stripped.startswith("Window ") and stripped.count("], [") < 2:
+                    bad.append((name, "unpartitioned-window"))
+                    break
     assert not bad, f"scale smells in plans: {bad}"
 
 

@@ -35,6 +35,29 @@ def norm_cell(v):
     return ("v", str(v))
 
 
+def decimal_cast_hazards(sdf) -> list[str]:
+    """Flag direct double→decimal CASTs with no explicit ROUND.
+
+    The r1 driver hash mismatches came from exactly this shape: tie
+    rounding of a raw double cast to DECIMAL is engine/version-dependent,
+    while ROUND-at-intent-scale-then-cast is stable (ADVICE r1,
+    check_oracles.py:26).  Scans the analyzed plan text for
+    ``cast(col as decimal`` whose child isn't ``round(``/``knownfloating…``;
+    decimal→decimal re-casts are exact and ignored.
+    """
+    import re
+
+    plan = sdf._jdf.queryExecution().analyzed().toString()
+    hazards = []
+    # direct column reference cast: cast(name#123 as decimal(p,s))
+    for m in re.finditer(r"cast\(([a-zA-Z0-9_]+)#\d+ as decimal\(\d+,\d+\)\)", plan):
+        # _we*/_w* are Spark-internal window-expression aliases: those
+        # casts are decimal→decimal re-pins (exact), not double casts.
+        if not m.group(1).startswith("_"):
+            hazards.append(m.group(1))
+    return sorted(set(hazards))
+
+
 def table_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = {}
@@ -93,7 +116,9 @@ def main() -> int:
             diff = [k for k in set(sm) ^ set(dm)][:2]
             print(f"FAIL  {name}: values differ, e.g. {diff}")
         else:
-            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            hz = decimal_cast_hazards(sdf)
+            note = f"  [hazard: unrounded decimal cast of {hz}]" if hz else ""
+            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]{note}")
     print(f"\n{len(failures)} failures: {failures}")
     return 1 if failures else 0
 
