@@ -385,3 +385,18 @@ def test_scd2_history_intervals(spark):
             assert a["valid_to"] == b["valid_from"]  # seamless intervals
             assert a["event_type"] != b["event_type"]  # runs are maximal
         assert runs[-1]["valid_to"] is None  # current version open-ended
+
+
+def test_registered_lsh_config_recall_floor(spark):
+    """The registered similarity_topk_lsh config (8 rotated 4-bit tables)
+    must stay a usable ANN: recall@5 ≥ 0.6 vs brute force at sf0.01
+    while probing only probes/2^bits = 1/2 of the corpus per query."""
+    from processo_etl_spark import catalog
+
+    emb = catalog.load(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             similarity.brute_force_topk(emb, queries, k=5).collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in
+           similarity.lsh_topk(emb, queries, k=5, bits=4, probes=8).collect()}
+    assert len(got & exact) / len(exact) >= 0.6
