@@ -128,3 +128,45 @@ def shuffle_rank(
         df.withColumn(shard_col, (md5_long(c) % F.lit(n_shards)).cast("int"))
         .withColumn(rank_col, F.row_number().over(w))
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    key: str,
+    source_col: str,
+    temperature: float = 2.0,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Temperature-weighted source rebalancing (multilingual-training
+    style): keep-rate_s = (n_s / n_max)^(1/T), so the largest source
+    keeps everything and smaller sources are *relatively* up-weighted as
+    T grows (T=1 ⇒ proportional i.e. keep-all; T→∞ ⇒ uniform mixture).
+
+    Two-pass: a tiny per-source count aggregate (collect of |sources|
+    rows + one scalar max — the legitimate literal-inject pattern, same
+    as exact_median) computes per-source hash thresholds; the corpus
+    pass is then a narrow broadcast-join + hash filter — deterministic,
+    append-consistent, no shuffle of the corpus.
+
+    With the default T=2 the rate is ``sqrt``, which IEEE-754 defines as
+    exactly rounded — so Spark and any SQL oracle engine compute
+    bit-identical thresholds (a generic ``pow`` is NOT guaranteed
+    identical across libms; keep T=2 for oracle-checked paths).
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    n_max = counts.agg(F.max("__n")).first()[0]
+    if temperature == 2.0:
+        rate = F.sqrt(F.col("__n").cast("double") / F.lit(float(n_max)))
+    else:
+        rate = F.pow(
+            F.col("__n").cast("double") / F.lit(float(n_max)),
+            1.0 / temperature,
+        )
+    thr = counts.select(
+        source_col, F.floor(F.lit(n_buckets) * rate).cast("long").alias("__thr")
+    )
+    return (
+        df.join(F.broadcast(thr), on=source_col)
+        .filter(hash_bucket(key, n_buckets) < F.col("__thr"))
+        .drop("__thr")
+    )

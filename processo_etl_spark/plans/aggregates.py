@@ -565,6 +565,82 @@ def customers_with_urgent_orders(spark, sf_dir):
 
 
 @register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice, 2) AS DECIMAL(12,2)))
+                           AS DOUBLE) / 7.0, 4) AS DECIMAL(20,4)) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (SELECT 0.2 * avg(CAST(l2.l_quantity AS DOUBLE))
+                          FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: CORRELATED scalar subquery (per-part average).
+
+    Catalyst decorrelates it into a per-partkey aggregate joined back —
+    one extra pass over (the brand-pruned slice of) lineitem instead of
+    a subquery per row; the brand filter broadcasts part and prunes both
+    sides before the heavy join.  Exercises scalar-subquery
+    decorrelation, the remaining subquery family member r1 lacked.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    li.createOrReplaceTempView("lineitem_q17")
+    p.createOrReplaceTempView("part_q17")
+    return spark.sql(
+        """
+        SELECT CAST(ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice, 2) AS DECIMAL(12,2)))
+                               AS DOUBLE) / 7.0, 4) AS DECIMAL(20,4)) AS avg_yearly
+        FROM lineitem_q17 l JOIN part_q17 p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_quantity < (SELECT 0.2 * avg(CAST(l2.l_quantity AS DOUBLE))
+                              FROM lineitem_q17 l2
+                              WHERE l2.l_partkey = p.p_partkey)
+        """
+    )
+
+
+@register(
+    "q16_supplier_cnt_by_type",
+    oracle="""
+    SELECT p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 2, 3, 4, 5)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY p.p_type, p.p_size
+    """,
+)
+def q16_supplier_cnt_by_type(spark, sf_dir):
+    """TPC-H Q16 shape (partsupp → lineitem): distinct-supplier counts
+    per part attribute with a NOT IN exclusion subquery.
+
+    NOT IN over a non-null key column plans as a broadcast null-aware
+    anti join on the (tiny) excluded-supplier set; the distinct count
+    shuffles once on the group key after the anti join prunes.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    li.createOrReplaceTempView("lineitem_q16")
+    p.createOrReplaceTempView("part_q16")
+    s.createOrReplaceTempView("supplier_q16")
+    return spark.sql(
+        """
+        SELECT p.p_type, p.p_size,
+               CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem_q16 l JOIN part_q16 p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size IN (1, 2, 3, 4, 5)
+          AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier_q16
+                                  WHERE s_acctbal < 0)
+        GROUP BY p.p_type, p.p_size
+        """
+    )
+
+
+@register(
     "q18_large_quantity_orders",
     oracle="""
     SELECT o.o_orderkey, o.o_orderdate,

@@ -629,6 +629,34 @@ def sample_stratified_lang(spark, sf_dir):
 
 
 @register(
+    "sample_mixture_temperature",
+    oracle=f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT max(n) AS nmax FROM c),
+    thr AS (SELECT lang,
+                   CAST(FLOOR(10000 * sqrt(CAST(n AS DOUBLE) / CAST(nmax AS DOUBLE)))
+                        AS BIGINT) AS t
+            FROM c, m)
+    SELECT d.doc_id, d.lang FROM documents d
+    JOIN thr ON d.lang = thr.lang
+    WHERE {_KEY_BUCKET} < thr.t
+    """,
+)
+def sample_mixture_temperature(spark, sf_dir):
+    """Temperature-T=2 source rebalancing over the skewed ``lang`` column
+    (en is 3× fr in the fixture): keep-rate = sqrt(n_lang / n_max), the
+    standard multilingual-mixture reweighting.  sqrt is IEEE-exact on
+    both engines, so thresholds — and therefore the kept set — are
+    bit-identical with the oracle (a generic pow would not be)."""
+    from processo_etl_spark.ml import splits
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return splits.temperature_mixture_sample(
+        docs, "doc_id", "lang", temperature=2.0
+    ).select("doc_id", "lang")
+
+
+@register(
     "shuffle_rank_docs",
     oracle=f"""
     WITH h AS (
