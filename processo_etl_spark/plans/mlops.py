@@ -851,3 +851,81 @@ def tfidf_top_terms(spark, sf_dir):
     return textstats.tfidf_top_terms(
         t(spark, sf_dir, "documents"), "text", "doc_id", k=3
     )
+
+
+# --- end-to-end curation pipeline (the LLM-data flagship) -----------------------
+@register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH winners AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})),
+    g AS (
+      SELECT b.doc_id, len(b.toks) AS n_tokens,
+             (len(b.toks) >= 5
+              AND CAST(list_sum(list_transform(b.toks, t -> length(t))) AS DOUBLE)
+                  / greatest(len(b.toks), 1) BETWEEN 2 AND 12
+              AND CAST(len(list_filter(b.toks, t -> regexp_matches(t, '[A-Za-zÀ-ÿ]'))) AS DOUBLE)
+                  / greatest(len(b.toks), 1) >= 0.6
+              AND CAST(tf.top AS DOUBLE) / greatest(len(b.toks), 1) <= 0.3) AS keep
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents) b
+      JOIN (SELECT doc_id, max(cnt) AS top FROM (
+              SELECT doc_id, tok, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+                    FROM documents) GROUP BY 1, 2)
+            GROUP BY 1) tf USING (doc_id)),
+    ev AS (
+      SELECT DISTINCT unnest({_shingles_k_sql(5)}) AS gram
+      FROM documents WHERE doc_id % 31 = 0),
+    hits AS (
+      SELECT corp.doc_id, count(*) AS n_contaminated
+      FROM (SELECT doc_id, unnest({_shingles_k_sql(5)}) AS gram
+            FROM documents WHERE doc_id % 31 <> 0) corp
+      JOIN ev USING (gram) GROUP BY 1)
+    SELECT d.doc_id, d.lang, d.source,
+           CASE WHEN {_KEY_BUCKET} < 9800 THEN 'train'
+                WHEN {_KEY_BUCKET} < 9900 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(g.n_tokens AS BIGINT) AS n_tokens
+    FROM documents d
+    JOIN winners USING (doc_id)
+    JOIN g USING (doc_id)
+    LEFT JOIN hits h USING (doc_id)
+    WHERE g.keep AND d.doc_id % 31 <> 0
+      AND COALESCE(h.n_contaminated, 0) = 0
+    """,
+)
+def curation_pipeline(spark, sf_dir):
+    """The LLM-data flagship: the full curation path in ONE lazy plan —
+    exact dedup (keep-min fingerprint winner) → Gopher-style quality
+    gate → benchmark decontamination (5-gram overlap vs the held-out
+    set) → deterministic train/val/test split + token counts.
+
+    Every stage is the already-verified operator (ml/dedup, ml/textstats,
+    ml/decontaminate, ml/splits) composed as DataFrame ops, and every
+    stage is SQL-expressible, so the WHOLE pipeline is one oracle-checked
+    query.  Shuffle budget: fingerprint groupBy (1) + token-stat
+    aggregates (1) + broadcast gram probe (0 corpus shuffles) + hash
+    split (0) — the corpus is never shuffled more than the stages'
+    aggregates themselves need, and at 100 TB each stage stays the
+    operator's documented scale shape.
+    """
+    from processo_etl_spark.ml import decontaminate, splits
+
+    docs = t(spark, sf_dir, "documents")
+    winners = dedup.exact_dedup(docs, "text", "doc_id").select("doc_id")
+    flags = textstats.gopher_quality_flags(docs, "text", "doc_id").select(
+        "doc_id", "n_tokens", "keep"
+    )
+    corpus = docs.filter(F.col("doc_id") % 31 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 31 == 0)
+    cont = decontaminate.ngram_contamination(
+        corpus, eval_set, "text", "doc_id", n=5
+    ).select("doc_id", "contaminated")
+    kept = (
+        corpus.join(winners, "doc_id", "left_semi")
+        .join(flags.filter(F.col("keep")).select("doc_id", "n_tokens"), "doc_id")
+        .join(cont.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi")
+    )
+    return splits.with_split(kept, "doc_id").select(
+        "doc_id", "lang", "source", "split", F.col("n_tokens").cast("long").alias("n_tokens")
+    )

@@ -53,3 +53,36 @@ def start_foreach_batch_parquet(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def start_foreach_batch_jdbc_upsert(
+    stream: DataFrame,
+    url: str,
+    table: str,
+    key_cols: list[str],
+    properties: dict[str, str],
+    checkpoint_dir: str,
+):
+    """Streaming → RDBMS with replay-safe insert-if-absent semantics.
+
+    The reference's whole load stage is a per-row psycopg2
+    ``ON CONFLICT DO NOTHING`` loop (dag.py:399-443); this is its
+    streaming-era equivalent: each micro-batch runs the SET-BASED
+    ``sources/jdbc.upsert_insert_only`` (anti-join against current sink
+    keys → bulk append).  At-least-once replays of a batch re-anti-join
+    and insert nothing — idempotence comes from the KEYS, not the batch
+    id, so it also absorbs cross-batch duplicates from the source.
+    """
+    from processo_etl_spark.sources import jdbc
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        jdbc.upsert_insert_only(batch_df, url, table, key_cols, properties)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

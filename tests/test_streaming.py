@@ -227,3 +227,48 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
     replay = spark.createDataFrame(batch0.collect(), batch0.schema)
     sinks.write_batch_idempotent(replay, 0, target)
     assert spark.read.parquet(target).count() == n_src
+
+
+def test_foreach_batch_jdbc_upsert_replay_safe(spark, tmp_path):
+    """Streaming → Derby via insert-if-absent: a full drain lands each
+    key once, and a crash-replay of the same data inserts nothing —
+    idempotence via keys, not batch ids (dag.py:399-443 equivalent)."""
+    from processo_etl_spark.sources import jdbc
+    from processo_etl_spark.streaming import jobs, sinks
+    from tests.test_jdbc_sink import DERBY_PROPS, DERBY_URL, _derby
+
+    conn = _derby(spark)
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE stream_events (event_id BIGINT NOT NULL, "
+        "event_type VARCHAR(40), value DOUBLE PRECISION, "
+        "PRIMARY KEY (event_id))"
+    )
+    try:
+        sf = "/root/testdata/sf0.001"
+        src = jobs.read_events_stream(spark, sf).select(
+            "event_id", "event_type", "value"
+        )
+        q = sinks.start_foreach_batch_jdbc_upsert(
+            src, DERBY_URL, "stream_events", ["event_id"], DERBY_PROPS,
+            str(tmp_path / "ck"),
+        )
+        q.awaitTermination()
+        from processo_etl_spark import catalog
+
+        events = catalog.load(spark, sf, "events")
+        n_src = events.select("event_id").distinct().count()
+        back = spark.read.jdbc(DERBY_URL, "stream_events", properties=DERBY_PROPS)
+        assert back.count() == n_src
+        # Crash-replay: re-upsert the whole source → still no duplicates.
+        jdbc.upsert_insert_only(
+            events.select("event_id", "event_type", "value").limit(50),
+            DERBY_URL, "stream_events", ["event_id"], DERBY_PROPS,
+        )
+        assert (
+            spark.read.jdbc(DERBY_URL, "stream_events", properties=DERBY_PROPS).count()
+            == n_src
+        )
+    finally:
+        st.execute("DROP TABLE stream_events")
+        conn.close()
