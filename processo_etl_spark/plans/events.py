@@ -521,3 +521,111 @@ def timeseries_gap_fill(spark, sf_dir):
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
         F.last("last_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+# --- product analytics: sequential funnel + cohort retention -------------------
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click_after_view,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Strict sequential funnel: first view → first later click → first
+    later purchase, per user; one row of per-step user counts.
+
+    Each step is a filtered per-user MIN aggregate joined to the prior
+    step — three shuffles over progressively smaller user sets, all on
+    the same user_id key so AQE reuses the partitioning; no windows, no
+    per-user event buffering (the classic funnel stays an aggregation
+    problem, not a sessionization problem, at 100 TB).
+    """
+    ev = t(spark, sf_dir, "events")
+
+    def first_after(prev, etype, tcol, prev_t):
+        step = (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+        return step
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_after(v, "click", "t2", "t1")
+    p = first_after(c, "purchase", "t3", "t2")
+    # One row of step counts via a tagged union (a crossJoin of the three
+    # 1-row aggregates would plan as BroadcastNestedLoopJoin — harmless at
+    # 1×1 but it keeps the mechanical plan audit strict).
+    tagged = (
+        v.select(F.lit("v").alias("step"))
+        .unionByName(c.select(F.lit("c").alias("step")))
+        .unionByName(p.select(F.lit("p").alias("step")))
+    )
+    return tagged.agg(
+        F.count(F.when(F.col("step") == "v", 1)).alias("n_view"),
+        F.count(F.when(F.col("step") == "c", 1)).alias("n_click_after_view"),
+        F.count(F.when(F.col("step") == "p", 1)).alias("n_purchase_after_click"),
+    )
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+      FROM events)
+    SELECT f.cohort_week,
+           CAST((epoch(a.wk) - epoch(f.cohort_week)) / 604800 AS INT) AS week_no,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_weekly_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted in each later week they return.
+
+    Two aggregates sharing the user_id shuffle (first-seen + distinct
+    active weeks), then one count-distinct on (cohort, offset) — the
+    cohort table is |users| rows, the output |weeks|² rows; nothing is
+    ever per-event wide.
+    """
+    ev = t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            ((F.unix_timestamp(F.col("wk").cast("timestamp"))
+              - F.unix_timestamp(F.col("cohort_week").cast("timestamp")))
+             / (7 * 86400)).cast("int").alias("week_no"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
