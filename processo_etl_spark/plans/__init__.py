@@ -11,9 +11,11 @@ itself here as a named pair:
 
 Numeric-parity convention (validated empirically against DuckDB 1.0;
 hardened after the r1 driver hash mismatches): source doubles enter
-DECIMAL via ROUND-at-intent-scale-then-cast on BOTH engines
-(common.dec / ``CAST(ROUND(x, s) AS DECIMAL)``) — the rounded value is
-never near a tie, so any round-to-nearest cast agrees; aggregates then
+DECIMAL at their intent scale — Spark via a plain cast (version-pinned
+engine; shortest-repr HALF_UP lands on the intended value, see
+common.dec), the oracle via ``CAST(ROUND(x, s) AS DECIMAL)`` so the
+version-UNKNOWN driver DuckDB is pinned too — the data is never near a
+tie at its intent scale, so any round-to-nearest agrees; aggregates then
 run in exact, order-insensitive DECIMAL and re-pin to a fixed
 DECIMAL(p,s) — never raw double sums (double summation order is
 nondeterministic across partitions).  Averages are pinned-scale decimals

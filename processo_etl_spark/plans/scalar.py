@@ -128,14 +128,14 @@ def impute_median_discount(spark, sf_dir):
 
     Two-pass: tiny median job → literal-injected impute (re-plans with a
     constant; cheaper at scale than a windowed median or cross join).
-    The imputed double (interpolated median is at most 3dp) is ROUNDed at
-    scale 4 before the decimal cast on both sides (r1 hash-mismatch fix).
+    The imputed double (interpolated median is at most 3dp, so never near
+    a scale-4 tie) is ROUNDed at scale 4 before the decimal cast on the
+    ORACLE side to pin the driver's DuckDB version; Spark's own cast is
+    already tie-free for this data (see plans/common.dec).
     """
     li = t(spark, sf_dir, "lineitem")
     med = cleaning.exact_median(li, "l_discount", exclude_zero=True)
-    imputed = F.round(cleaning.impute_null_or_zero("l_discount", med), 4).cast(
-        "decimal(12,4)"
-    )
+    imputed = cleaning.impute_null_or_zero("l_discount", med).cast("decimal(12,4)")
     return li.groupBy("l_returnflag").agg(
         F.sum(imputed).cast("decimal(20,4)").alias("sum_disc_imputed"),
         F.count(F.lit(1)).alias("n"),

@@ -35,26 +35,27 @@ def norm_cell(v):
     return ("v", str(v))
 
 
-def decimal_cast_hazards(sdf) -> list[str]:
-    """Flag direct double→decimal CASTs with no explicit ROUND.
+def decimal_cast_hazards(oracle_sql: str) -> list[str]:
+    """Flag ORACLE-side decimal CASTs whose operand isn't ROUNDed.
 
     The r1 driver hash mismatches came from exactly this shape: tie
-    rounding of a raw double cast to DECIMAL is engine/version-dependent,
-    while ROUND-at-intent-scale-then-cast is stable (ADVICE r1,
-    check_oracles.py:26).  Scans the analyzed plan text for
-    ``cast(col as decimal`` whose child isn't ``round(``/``knownfloating…``;
-    decimal→decimal re-casts are exact and ignored.
+    rounding of a raw double cast to DECIMAL is engine/version-dependent
+    on the driver's (version-unknown) DuckDB, while
+    ``CAST(ROUND(x, s) AS DECIMAL)`` is stable because the data is never
+    near a tie at its intent scale (ADVICE r1).  The Spark side is
+    version-pinned and deliberately uses a plain cast (plans/common.dec),
+    so the scan targets the oracle SQL text, where the hazard lives.
     """
     import re
 
-    plan = sdf._jdf.queryExecution().analyzed().toString()
     hazards = []
-    # direct column reference cast: cast(name#123 as decimal(p,s))
-    for m in re.finditer(r"cast\(([a-zA-Z0-9_]+)#\d+ as decimal\(\d+,\d+\)\)", plan):
-        # _we*/_w* are Spark-internal window-expression aliases: those
-        # casts are decimal→decimal re-pins (exact), not double casts.
-        if not m.group(1).startswith("_"):
-            hazards.append(m.group(1))
+    # CAST(<simple operand> AS DECIMAL(p,s)) where operand isn't ROUND(..)
+    for m in re.finditer(
+        r"CAST\(\s*([A-Za-z_][\w.]*)\s+AS\s+DECIMAL\(\d+,\d+\)\)",
+        oracle_sql,
+        re.IGNORECASE,
+    ):
+        hazards.append(m.group(1))
     return sorted(set(hazards))
 
 
@@ -116,8 +117,8 @@ def main() -> int:
             diff = [k for k in set(sm) ^ set(dm)][:2]
             print(f"FAIL  {name}: values differ, e.g. {diff}")
         else:
-            hz = decimal_cast_hazards(sdf)
-            note = f"  [hazard: unrounded decimal cast of {hz}]" if hz else ""
+            hz = decimal_cast_hazards(oracles[name])
+            note = f"  [hazard: unrounded oracle decimal cast of {hz}]" if hz else ""
             print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]{note}")
     print(f"\n{len(failures)} failures: {failures}")
     return 1 if failures else 0
