@@ -16,7 +16,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -49,6 +49,62 @@ def exact_dedup(
         .agg(
             F.min(id_col).alias(id_col),
             F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """C4/CCNet-style sub-document dedup: split each document into
+    consecutive ``chunk_tokens``-word chunks, keep only the globally
+    FIRST occurrence of each chunk (ordered by (doc, position)), and
+    reassemble the cleaned text.  Catches boilerplate paragraphs that
+    whole-document dedup misses.
+
+    Plan: narrow chunking (sequence + slice HOFs, no explode shuffle
+    cost beyond the rows themselves) → posexplode → ONE shuffle
+    partitioned by the chunk content to rank occurrences → groupBy doc
+    to reassemble.  The corpus crosses the wire exactly twice (rank +
+    regroup), each time as (id, pos, chunk) rows — no all-pairs work, no
+    driver state, so the plan holds at 100 TB.  The occurrence rank is a
+    per-chunk window (partitioned — bounded state per key), never a
+    global window.
+
+    Returns one row per document: n_chunks, n_kept, clean_text.
+    """
+    tk = normalize_text(text_col)
+    toks = F.split(tk, " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+    )
+    w = Window.partitionBy("chunk").orderBy(id_col, "pos")
+    flagged = exploded.withColumn("kept", F.row_number().over(w) == 1)
+    kept_struct = F.when(
+        F.col("kept"), F.struct(F.col("pos"), F.col("chunk"))
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
         )
     )
 

@@ -104,6 +104,79 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def _max_run(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array — i.e. the
+    max multiplicity of any value — via a single HOF fold (no shuffle)."""
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )["best"]
+
+
+def word_bigrams(tk: Column) -> Column:
+    """Adjacent word pairs from a token array (empty when <2 tokens)."""
+    n = F.size(tk)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(
+            F.slice(tk, 1, n - 1),
+            F.slice(tk, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    )
+
+
+def repetition_ratios(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher/MassiveText repetition signals per document:
+
+    - dup_token_frac:  fraction of tokens that are repeat occurrences
+      (1 − distinct/total) — the "duplicate word fraction" rule
+    - dup_bigram_frac: same over adjacent word 2-grams
+    - top_bigram_frac: occurrences of the most frequent 2-gram / total
+      2-grams — catches boilerplate loops exact-dedup misses
+
+    Entirely per-row HOF expressions over let-bound arrays: a narrow
+    projection with NO shuffle, so at 100 TB it runs at scan speed and
+    feeds the downstream quality filter without a single exchange.
+    Denominators use greatest(n, 1) on both engines so the doubles are
+    bit-identical IEEE divisions.
+    """
+    toks = tokens_ws(text_col)
+
+    def _feats(tk: Column) -> Column:
+        n = F.size(tk)
+        bg = word_bigrams(tk)
+        nb = F.size(bg)
+        d = F.greatest(n, F.lit(1)).cast("double")
+        db = F.greatest(nb, F.lit(1)).cast("double")
+        return F.struct(
+            n.alias("n_tokens"),
+            ((n - F.size(F.array_distinct(tk))).cast("double") / d).alias(
+                "dup_token_frac"
+            ),
+            ((nb - F.size(F.array_distinct(bg))).cast("double") / db).alias(
+                "dup_bigram_frac"
+            ),
+            (_max_run(F.array_sort(bg)).cast("double") / db).alias(
+                "top_bigram_frac"
+            ),
+        )
+
+    feats = F.element_at(F.transform(F.array(toks), _feats), 1)
+    return df.select(F.col(id_col), feats.alias("f")).select(id_col, "f.*")
+
+
 def gopher_quality_flags(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Gopher-rules-style quality signals per document (public heuristics
     from the Gopher/MassiveText filtering literature):
@@ -125,23 +198,7 @@ def gopher_quality_flags(df: DataFrame, text_col: str, id_col: str) -> DataFrame
         )
         # top token frequency via aggregate over a map would need UDF;
         # sort + adjacent-run max is native: count max run in sorted array.
-        sorted_tk = F.array_sort(tk)
-        runs = F.aggregate(
-            sorted_tk,
-            F.struct(
-                F.lit("").alias("prev"),
-                F.lit(0).alias("run"),
-                F.lit(0).alias("best"),
-            ),
-            lambda acc, x: F.struct(
-                x.alias("prev"),
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-                F.greatest(
-                    acc["best"],
-                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-                ).alias("best"),
-            ),
-        )["best"]
+        runs = _max_run(F.array_sort(tk))
         return F.struct(
             n.alias("n_tokens"),
             (total_len.cast("double") / F.greatest(n, F.lit(1)).cast("double")).alias(

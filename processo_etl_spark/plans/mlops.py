@@ -427,6 +427,74 @@ def text_gopher_flags(spark, sf_dir):
     )
 
 
+@register(
+    "text_repetition_ratios",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+    bi AS (
+      SELECT doc_id, toks,
+        list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                       i -> toks[i] || ' ' || toks[i+1]) AS bg
+      FROM base),
+    top AS (
+      SELECT doc_id, max(cnt) AS top_bg FROM (
+        SELECT doc_id, g, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(bg) AS g FROM bi) GROUP BY 1, 2)
+      GROUP BY 1)
+    SELECT b.doc_id,
+      len(b.toks) AS n_tokens,
+      CAST(len(b.toks) - len(list_distinct(b.toks)) AS DOUBLE)
+        / greatest(len(b.toks), 1) AS dup_token_frac,
+      CAST(len(b.bg) - len(list_distinct(b.bg)) AS DOUBLE)
+        / greatest(len(b.bg), 1) AS dup_bigram_frac,
+      CAST(COALESCE(top.top_bg, 0) AS DOUBLE)
+        / greatest(len(b.bg), 1) AS top_bigram_frac
+    FROM bi b LEFT JOIN top USING (doc_id)
+    """,
+)
+def text_repetition_ratios(spark, sf_dir):
+    """Gopher repetition rules: duplicate-token / duplicate-2-gram /
+    top-2-gram fractions per document — shuffle-free HOF expressions
+    (the oracle needs a groupBy only because SQL lacks the fold)."""
+    return textstats.repetition_ratios(
+        t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+@register(
+    "dedup_chunk_corpus",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+    chunks AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS chunk
+      FROM base,
+           UNNEST(generate_series(0,
+             CAST(ceil(len(toks) / 10.0) AS INT) - 1)) AS u(i)),
+    flagged AS (
+      SELECT doc_id, pos, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) = 1
+               AS kept
+      FROM chunks)
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(chunk, ' ' ORDER BY pos)
+                    FILTER (WHERE kept), '') AS clean_text
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def dedup_chunk_corpus(spark, sf_dir):
+    """C4-style sub-document dedup: 10-token chunks, keep only each
+    chunk's first (doc, position) occurrence corpus-wide, reassemble the
+    cleaned text.  One content-partitioned shuffle — never all-pairs."""
+    return dedup.chunk_dedup(
+        t(spark, sf_dir, "documents"), "text", "doc_id", chunk_tokens=10
+    )
+
+
 # --- PII scrubbing ---------------------------------------------------------------------------
 @register(
     "text_scrub_pii",

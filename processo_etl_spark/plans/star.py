@@ -303,3 +303,129 @@ def q5_local_supplier_volume(spark, sf_dir):
         .agg(F.sum(revenue).cast("decimal(20,4)").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice, 2) AS DECIMAL(12,2))
+                    * (1 - CAST(ROUND(l.l_discount, 2) AS DECIMAL(12,2))))
+                AS DECIMAL(20,4)) AS revenue,
+           CAST(ROUND(c.c_acctbal, 2) AS DECIMAL(12,2)) AS c_acctbal,
+           n.n_name, c.c_mktsegment
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c_acctbal, n.n_name, c.c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): one quarter of orders,
+    returned lineitems only, revenue per customer, top 20.
+
+    The only wide exchange is fact-fact (lineitem ⋈ orders, both sides
+    pre-filtered so the shuffle carries a quarter × returnflag slice);
+    customer and nation broadcast.  Filters sit on the scan side of the
+    joins so parquet row-group pruning sees them.
+    """
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            dec("c_acctbal").alias("c_acctbal"),
+            "n_name",
+            "c_mktsegment",
+        )
+        .agg(F.sum(revenue).cast("decimal(20,4)").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "c_mktsegment")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(ROUND(l.l_extendedprice, 2) AS DECIMAL(12,2))
+               * (1 - CAST(ROUND(l.l_discount, 2) AS DECIMAL(12,2))) AS rev,
+             p.p_type LIKE 'PROMO%' AS promo
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00')
+    SELECT CAST(SUM(CASE WHEN promo THEN rev ELSE 0 END) AS DECIMAL(20,4))
+             AS promo_revenue,
+           CAST(SUM(rev) AS DECIMAL(20,4)) AS total_revenue,
+           (100.0 * CAST(CAST(SUM(CASE WHEN promo THEN rev ELSE 0 END)
+                              AS DECIMAL(20,4)) AS DOUBLE))
+             / CAST(CAST(SUM(rev) AS DECIMAL(20,4)) AS DOUBLE)
+             AS promo_revenue_pct
+    FROM j
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): one month of lineitem joined
+    to part, conditional revenue ratio.
+
+    part is a dim → broadcast hash join, zero shuffle on the fact; the
+    aggregate is a single global row (partial-combined).  The percentage
+    is emitted as a raw IEEE division of the two exact decimal sums —
+    identical operands and operation order on both engines, so the
+    double is bit-stable without any rounding convention.
+    """
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("promo")
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    zero = F.lit(0).cast("decimal(12,2)") * F.lit(1).cast("decimal(12,2)")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("promo"), rev).otherwise(zero))
+            .cast("decimal(20,4)")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("decimal(20,4)").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (
+            (F.lit(100.0) * F.col("promo_revenue").cast("double"))
+            / F.col("total_revenue").cast("double")
+        ).alias("promo_revenue_pct"),
+    )

@@ -400,3 +400,55 @@ def test_registered_lsh_config_recall_floor(spark):
     got = {(r["query_id"], r["neighbor_id"]) for r in
            similarity.lsh_topk(emb, queries, k=5, bits=4, probes=8).collect()}
     assert len(got & exact) / len(exact) >= 0.6
+
+
+def test_repetition_ratios_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # heavy bigram repetition
+            (2, "one two three four"),    # no repetition
+            (3, "x"),                     # single token: no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.repetition_ratios(df, "text", "doc_id").collect()
+    }
+    # doc 1: tokens a,b ×3 → dup_token_frac=(6-2)/6; bigrams: ab,ba,ab,ba,ab
+    #        → dup=(5-2)/5, top run "a b"×3 → 3/5
+    assert out[1]["n_tokens"] == 6
+    assert out[1]["dup_token_frac"] == pytest.approx(4 / 6)
+    assert out[1]["dup_bigram_frac"] == pytest.approx(3 / 5)
+    assert out[1]["top_bigram_frac"] == pytest.approx(3 / 5)
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["dup_bigram_frac"] == 0.0
+    # single-token doc: zero bigrams, guarded denominators
+    assert out[3]["n_tokens"] == 1
+    assert out[3]["dup_bigram_frac"] == 0.0
+    assert out[3]["top_bigram_frac"] == 0.0
+
+
+def test_chunk_dedup_keeps_first_occurrence(spark):
+    boiler = "terms of service apply to all users of this site every"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " unique alpha content here now"),
+            (2, boiler + " unique beta content here now"),
+            (3, "totally original document with no shared chunks at all ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.chunk_dedup(df, "text", "doc_id", chunk_tokens=11).collect()
+    }
+    # doc 1 keeps everything (first occurrence of the boilerplate chunk)
+    assert out[1]["n_chunks"] == out[1]["n_kept"] == 2
+    # doc 2 loses exactly the 11-token boilerplate chunk, keeps its tail
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == "unique beta content here now"
+    assert "terms of service" not in out[2]["clean_text"]
+    # untouched doc reassembles to its normalized self
+    assert out[3]["n_kept"] == out[3]["n_chunks"]
+    assert out[3]["clean_text"] == "totally original document with no shared chunks at all ok"
