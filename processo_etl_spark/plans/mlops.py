@@ -90,10 +90,10 @@ def minhash_signature(spark, sf_dir):
 
 
 # --- MinHash + LSH near-dup pairs ----------------------------------------------------
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH base AS (
+# Shared CTE chain (k=8, 2 bands × 4 rows, Jaccard ≥ 0.2) — used by both
+# the pairs query and the connected-components clustering oracle.
+_LSH_CTES = f"""
+    base AS (
       SELECT doc_id AS doc, {_SHINGLES} AS sh FROM documents),
     sigs AS (
       SELECT doc, sh,
@@ -116,6 +116,13 @@ def minhash_signature(spark, sf_dir):
       FROM cand c
       JOIN base a ON a.doc = c.id_a
       JOIN base b ON b.doc = c.id_b)
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_LSH_CTES}
     SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.2
     """,
 )
@@ -160,14 +167,39 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-# --- SimHash (rows-only: 60 chained aggregates are legal SQL but impractical) -----------
-@register("dedup_simhash")
+# --- SimHash ---------------------------------------------------------------------------
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH th AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+            FROM documents)),
+    votes AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, UNNEST(generate_series(0, 59)) AS b(i)
+      GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM votes GROUP BY 1),
+    base AS (SELECT doc_id, sig, sig >> 48 AS blk FROM sig)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM base a JOIN base b USING (blk)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.sig, b.sig)) <= 20
+    """,
+)
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 20, 12-bit prefix blocking).
 
-    Rows-only check: the 60-bit majority-vote signature is expressible
-    in SQL but the mirrored query is pathological; invariants (symmetry,
-    Hamming bound, self-similarity) are asserted in tests instead.
+    The oracle mirrors the 60-bit majority vote relationally (token ×
+    bit fan-out + two groupBys) — pathological as a production plan but
+    fine as a 500-doc differential check; the engine side computes the
+    same signature in ONE narrow fold per document (ml/dedup.simhash64).
     """
     return dedup.simhash_dedup_pairs(
         t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=20, prefix_bits=12
@@ -381,12 +413,32 @@ def text_quality_score(spark, sf_dir):
 
 
 # --- dedup clustering: connected components over near-dup pairs ------------------------------
-@register("dedup_clusters")
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_CTES},
+    edges AS (
+      SELECT id_a, id_b FROM verified WHERE jaccard >= 0.2),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM edges
+      UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+    SELECT a AS doc, least(a, min(b)) AS cluster FROM reach GROUP BY a
+    """,
+)
 def dedup_clusters(spark, sf_dir):
     """Duplicate clusters: MinHash-LSH pairs → connected components via
-    min-label propagation (rows-only; transitivity/canonical-min
-    invariants asserted in tests).  (doc, cluster) with cluster = min
-    doc id of the component."""
+    min-label propagation; (doc, cluster) with cluster = min doc id of
+    the component.
+
+    The engine runs O(log D) distributed label-propagation rounds (the
+    scalable plan); the oracle computes the same fixpoint as a recursive
+    transitive closure — exponential-ish in SQL but exact at gate scale,
+    which is what makes an iterative algorithm differentially checkable.
+    """
     pairs = dedup.minhash_lsh_pairs(
         t(spark, sf_dir, "documents"), "doc_id", "text", k=8, bands=2, threshold=0.2
     )
@@ -530,12 +582,29 @@ def text_scrub_pii(spark, sf_dir):
 
 
 # --- multimodal plumbing (stubbed decode ⇒ rows-only checks) --------------------------------
-@register("multimodal_features")
+@register(
+    "multimodal_features",
+    oracle="""
+    WITH media AS (SELECT doc_id AS media_id, text AS s FROM documents)
+    SELECT media_id,
+           CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
+           list_transform(generate_series(0, 7), i ->
+             CAST(COALESCE(list_sum(list_transform(
+                    generate_series(i + 1, length(s), 8),
+                    p -> ord(substr(s, p, 1)))), 0) % 997 AS DOUBLE) / 997.0
+           ) AS feature
+    FROM media
+    """,
+)
 def multimodal_features(spark, sf_dir):
-    """Binary media column → Arrow-batched feature extraction (stub decode).
+    """Binary media column → Arrow-batched feature extraction.
 
-    Rows-only: the decode is a deterministic fake (libraries absent);
-    tests assert schema, determinism, and batch plumbing.
+    The decode is the deterministic stub (real libraries absent), which
+    makes even the ``mapInPandas`` path oracle-checkable: the fake
+    derives each of 8 features from strided byte sums, mirrored in SQL
+    via ord/substr over the (ASCII) payload.  What the differential
+    check proves is the PLUMBING — Arrow batch iteration, schema, null
+    handling — not the stubbed decode math.
     """
     from processo_etl_spark.ml import multimodal
 

@@ -15,17 +15,92 @@ from processo_etl_spark.plans import register
 from processo_etl_spark.plans.common import dec, t
 
 
-# --- end-to-end reference-parity pipeline (rows-only; invariants in tests) -----
-@register("etl_star_pipeline")
+# --- end-to-end reference-parity pipeline ------------------------------------
+# The fixture input is deterministic, so the full pipeline output is a
+# 66-row constant: the oracle is the golden table itself (regenerate with
+# the snippet in tests/test_etl_pipeline.py if the fixture ever changes).
+_ETL_GOLDEN = """
+    SELECT * FROM (VALUES
+      (1, 1, 20, 1, 9, 3, 2, 1, 0, 2022, 'Janeiro', 'Madrugada', true, false),
+      (1, 2, 23, 7, 10, 3, 2, 1, 0, 2022, 'Janeiro', 'Madrugada', true, false),
+      (10, 20, 9, 9, 26, 3, 2, 1, 0, 2023, 'Maio', 'Amanhecer', false, false),
+      (10, 9, 7, 3, 20, 3, 2, 1, 0, 2023, 'Maio', 'Amanhecer', false, false),
+      (11, 18, 33, 6, 19, 3, 2, 1, 0, 2022, 'Novembro', 'Amanhecer', false, false),
+      (12, 18, 33, 6, 19, 3, 2, 1, 0, 2023, 'Novembro', 'Amanhecer', false, true),
+      (13, 26, 19, 7, 8, 3, 2, 1, 0, 2022, 'Janeiro', 'Dia', true, false),
+      (13, 7, 22, 1, 6, 3, 2, 1, 0, 2022, 'Janeiro', 'Dia', true, false),
+      (14, 26, 19, 7, 8, 3, 2, 1, 0, 2023, 'Janeiro', 'Dia', true, false),
+      (14, 7, 22, 1, 6, 3, 2, 1, 0, 2023, 'Janeiro', 'Dia', true, false),
+      (15, 16, 14, 4, 9, 3, 2, 1, 0, 2022, 'Julho', 'Dia', false, false),
+      (15, 28, 17, 10, 4, 3, 2, 1, 0, 2022, 'Julho', 'Dia', false, false),
+      (16, 16, 14, 4, 9, 3, 2, 1, 0, 2023, 'Julho', 'Dia', false, false),
+      (16, 28, 17, 10, 4, 3, 2, 1, 0, 2023, 'Julho', 'Dia', false, false),
+      (17, 32, 27, 11, 15, 3, 2, 1, 0, 2022, 'Março', 'Dia', false, false),
+      (18, 32, 27, 11, 15, 3, 2, 1, 0, 2023, 'Março', 'Dia', false, false),
+      (19, 24, 3, 8, 12, 3, 2, 1, 0, 2022, 'Setembro', 'Dia', true, true),
+      (19, 5, 5, 2, 23, 3, 2, 1, 0, 2022, 'Setembro', 'Dia', true, true),
+      (2, 1, 20, 1, 9, 3, 2, 1, 0, 2023, 'Janeiro', 'Madrugada', true, false),
+      (2, 2, 23, 7, 10, 3, 2, 1, 0, 2023, 'Janeiro', 'Madrugada', true, false),
+      (20, 24, 3, 8, 12, 3, 2, 1, 0, 2023, 'Setembro', 'Dia', true, true),
+      (20, 5, 5, 2, 23, 3, 2, 1, 0, 2023, 'Setembro', 'Dia', true, true),
+      (21, 12, 10, 3, 29, 3, 2, 1, 0, 2022, 'Maio', 'Tarde', false, false),
+      (21, 23, 12, 9, 28, 3, 2, 1, 0, 2022, 'Maio', 'Tarde', false, false),
+      (22, 12, 10, 3, 29, 3, 2, 1, 0, 2023, 'Maio', 'Tarde', false, false),
+      (22, 23, 12, 9, 28, 3, 2, 1, 0, 2023, 'Maio', 'Tarde', false, false),
+      (23, 31, 32, 12, 27, 3, 2, 1, 0, 2022, 'Novembro', 'Tarde', false, false),
+      (24, 14, 29, 6, 25, 3, 2, 1, 0, 2022, 'Novembro', 'Tarde', false, true),
+      (25, 14, 29, 6, 25, 3, 2, 1, 0, 2023, 'Novembro', 'Tarde', false, true),
+      (26, 31, 32, 12, 27, 3, 2, 1, 0, 2023, 'Novembro', 'Tarde', false, true),
+      (27, 10, 24, 1, 5, 3, 2, 1, 0, 2022, 'Janeiro', 'Tarde', true, false),
+      (27, 21, 21, 7, 2, 3, 2, 1, 0, 2022, 'Janeiro', 'Tarde', true, false),
+      (28, 10, 24, 1, 5, 3, 2, 1, 0, 2023, 'Janeiro', 'Tarde', true, false),
+      (28, 21, 21, 7, 2, 3, 2, 1, 0, 2023, 'Janeiro', 'Tarde', true, false),
+      (29, 19, 16, 4, 7, 3, 2, 1, 0, 2022, 'Julho', 'Tarde', false, false),
+      (29, 29, 13, 10, 1, 3, 2, 1, 0, 2022, 'Julho', 'Tarde', false, false),
+      (3, 3, 18, 4, 8, 3, 2, 1, 0, 2022, 'Julho', 'Madrugada', false, false),
+      (3, 4, 15, 10, 3, 3, 2, 1, 0, 2022, 'Julho', 'Madrugada', false, false),
+      (30, 19, 16, 4, 7, 3, 2, 1, 0, 2023, 'Julho', 'Tarde', false, false),
+      (30, 29, 13, 10, 1, 3, 2, 1, 0, 2023, 'Julho', 'Tarde', false, false),
+      (31, 17, 25, 5, 17, 3, 2, 1, 0, 2022, 'Março', 'Noite', false, false),
+      (32, 17, 25, 5, 17, 3, 2, 1, 0, 2023, 'Março', 'Noite', false, false),
+      (33, 27, 6, 8, 13, 3, 2, 1, 0, 2022, 'Setembro', 'Noite', true, true),
+      (33, 8, 2, 2, 21, 3, 2, 1, 0, 2022, 'Setembro', 'Noite', true, true),
+      (34, 27, 6, 8, 13, 3, 2, 1, 0, 2023, 'Setembro', 'Noite', true, true),
+      (34, 8, 2, 2, 21, 3, 2, 1, 0, 2023, 'Setembro', 'Noite', true, true),
+      (35, 25, 8, 9, 24, 3, 2, 1, 0, 2022, 'Maio', 'Noite', false, false),
+      (35, 6, 11, 3, 18, 3, 2, 1, 0, 2022, 'Maio', 'Noite', false, false),
+      (36, 25, 8, 9, 24, 3, 2, 1, 0, 2023, 'Maio', 'Noite', false, false),
+      (36, 6, 11, 3, 18, 3, 2, 1, 0, 2023, 'Maio', 'Noite', false, false),
+      (37, 15, 31, 6, 22, 3, 2, 1, 0, 2022, 'Novembro', 'Noite', false, false),
+      (37, 33, 30, 12, 28, 3, 2, 1, 0, 2022, 'Novembro', 'Noite', false, false),
+      (38, 15, 31, 6, 22, 3, 2, 1, 0, 2023, 'Novembro', 'Noite', false, true),
+      (38, 33, 30, 12, 28, 3, 2, 1, 0, 2023, 'Novembro', 'Noite', false, true),
+      (4, 3, 18, 4, 8, 3, 2, 1, 0, 2023, 'Julho', 'Madrugada', false, false),
+      (4, 4, 15, 10, 3, 3, 2, 1, 0, 2023, 'Julho', 'Madrugada', false, false),
+      (5, 13, 26, 5, 11, 3, 2, 1, 0, 2022, 'Março', 'Amanhecer', false, false),
+      (5, 30, 28, 11, 16, 3, 2, 1, 1, 2022, 'Março', 'Amanhecer', false, false),
+      (6, 13, 26, 5, 11, 3, 2, 1, 0, 2023, 'Março', 'Amanhecer', false, false),
+      (6, 30, 28, 11, 16, 3, 2, 1, 1, 2023, 'Março', 'Amanhecer', false, false),
+      (7, 11, 4, 2, 19, 3, 2, 1, 0, 2022, 'Setembro', 'Amanhecer', true, true),
+      (7, 22, 1, 8, 14, 3, 2, 1, 0, 2022, 'Setembro', 'Amanhecer', true, true),
+      (8, 11, 4, 2, 19, 3, 2, 1, 0, 2023, 'Setembro', 'Amanhecer', true, true),
+      (8, 22, 1, 8, 14, 3, 2, 1, 0, 2023, 'Setembro', 'Amanhecer', true, true),
+      (9, 20, 9, 9, 26, 3, 2, 1, 0, 2022, 'Maio', 'Amanhecer', false, false),
+      (9, 9, 7, 3, 20, 3, 2, 1, 0, 2022, 'Maio', 'Amanhecer', false, false)
+    ) AS t(id_tempo, id_rodovia, id_local, id_descritivo, id_veiculo, pessoas_envolvidas, veiculos_envolvidos, feridos, obitos, ano, mes, fase_dia, feriado, dia_util)
+"""
+
+
+@register("etl_star_pipeline", oracle=_ETL_GOLDEN)
 def etl_star_pipeline(spark, sf_dir):
     """The FULL reference pipeline (dag.py end-to-end): dirty raw CSVs →
     merge → clean → transform → union → star schema; returns the fact
     joined to dim_tempo (proves FK integrity in the returned frame).
 
-    Rows-only: inputs are the deterministic mini-datatran fixture
-    (etl/fixtures.py), not the sf tables, so the result is constant
-    across scale factors; the 11 notebook invariants are asserted in
-    tests/test_etl_pipeline.py.
+    Inputs are the deterministic mini-datatran fixture (etl/fixtures.py),
+    not the sf tables, so the result is constant across scale factors and
+    the oracle is its golden table; the 11 notebook invariants are
+    asserted in tests/test_etl_pipeline.py.
     """
     import tempfile
 
@@ -428,4 +503,100 @@ def q14_promo_revenue(spark, sf_dir):
             (F.lit(100.0) * F.col("promo_revenue").cast("double"))
             / F.col("total_revenue").cast("double")
         ).alias("promo_revenue_pct"),
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(12,2))
+                    * CAST(ROUND(l_discount, 2) AS DECIMAL(12,2)))
+                AS DECIMAL(20,4)) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape (forecast revenue change): pure scan-side filters,
+    single global decimal aggregate — zero joins, zero wide shuffles.
+
+    The year + discount-band + quantity predicates all push to the
+    parquet scan (row-group stats prune whole chunks on l_shipdate);
+    what remains is a partial-aggregated one-row reduce.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount"))
+        .cast("decimal(20,4)")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice, 2) AS DECIMAL(12,2))
+                    * (1 - CAST(ROUND(l.l_discount, 2) AS DECIMAL(12,2))))
+                AS DECIMAL(20,4)) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive mixed-table predicates over a part
+    join.
+
+    part is broadcast; the disjunction splits into the part-only prefix
+    (p_brand ∈ {12,23,34} — applied BEFORE the broadcast, shrinking the
+    hash table) and the residual mixed predicate evaluated post-join.
+    No shuffle touches lineitem.
+    """
+    p = t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+    ).select("p_partkey", "p_brand", "p_size")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast("decimal(20,4)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
     )
