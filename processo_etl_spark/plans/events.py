@@ -629,3 +629,111 @@ def cohort_weekly_retention(spark, sf_dir):
         )
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+# --- geospatial (extension: the reference carries lat/lon columns, C12) ----------------
+# The events fixture has no coordinates, so deterministic synthetic ones are
+# derived from the ids (integer modulo -> exact-IEEE double arithmetic,
+# identical on both engines) -- the same seeding pattern as text_scrub_pii.
+_GEO = """
+      SELECT event_id, user_id,
+             CAST(event_id % 1800 AS DOUBLE) / 10.0 - 90.0 AS lat,
+             CAST((event_id * 7 + user_id) % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon
+      FROM events
+"""
+
+
+def _geo_events(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        ((F.col("event_id") % 1800).cast("double") / 10.0 - 90.0).alias("lat"),
+        (((F.col("event_id") * 7 + F.col("user_id")) % 3600).cast("double") / 10.0
+         - 180.0).alias("lon"),
+    )
+
+
+@register(
+    "geo_cell_counts",
+    oracle=f"""
+    WITH geo AS ({_GEO})
+    SELECT CAST(floor(lat / 15) AS BIGINT) AS cell_lat,
+           CAST(floor(lon / 15) AS BIGINT) AS cell_lon,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM geo GROUP BY 1, 2
+    """,
+)
+def geo_cell_counts(spark, sf_dir):
+    """Spatial grid rollup: bucket points into 15-degree cells, count
+    points and distinct users per cell.
+
+    The cell id is a pure scan-side expression, so this is ONE map-side
+    combinable aggregate on a bounded key space (12x24 cells) — the
+    standard first stage of any tile/heatmap pipeline, and the shape
+    that replaces a geo index for scan-heavy workloads at 100 TB.
+    """
+    geo = _geo_events(spark, sf_dir)
+    return (
+        geo.groupBy(
+            F.floor(F.col("lat") / 15).cast("long").alias("cell_lat"),
+            F.floor(F.col("lon") / 15).cast("long").alias("cell_lon"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "geo_nearest_poi",
+    oracle=f"""
+    WITH geo AS ({_GEO}),
+    poi AS (
+      SELECT n_nationkey AS poi_id,
+             CAST((n_nationkey * 37) % 180 AS DOUBLE) - 89.5 AS plat,
+             CAST((n_nationkey * 73) % 360 AS DOUBLE) - 179.5 AS plon
+      FROM nation),
+    scored AS (
+      SELECT g.event_id, p.poi_id,
+             (g.lat - p.plat) * (g.lat - p.plat)
+               + (g.lon - p.plon) * (g.lon - p.plon) AS dist2
+      FROM geo g CROSS JOIN poi p),
+    keyed AS (
+      SELECT event_id,
+             min(CAST(floor(dist2 * 10000) AS BIGINT) * 1000 + poi_id) AS k
+      FROM scored GROUP BY 1)
+    SELECT event_id, CAST(k % 1000 AS INT) AS poi_id
+    FROM keyed
+    """,
+)
+def geo_nearest_poi(spark, sf_dir):
+    """Nearest-POI assignment: broadcast the (tiny) POI table against
+    every point and take the argmin by squared equirectangular distance.
+
+    The POI side broadcasts, so the fact never shuffles and the argmin
+    folds map-side (min over an encoded (floor(dist2*1e4), poi_id) key —
+    integer encoding makes the tie-break exact and engine-portable,
+    where a raw double argmin could diverge on ties).  Haversine would
+    add transcendentals whose last-ULP differs across engines; the
+    squared planar form is IEEE-exact on both.  At 100 TB this is the
+    canonical spatial-enrichment join: dims broadcast, facts stay put.
+    """
+    geo = _geo_events(spark, sf_dir)
+    poi = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("poi_id"),
+        ((F.col("n_nationkey") * 37 % 180).cast("double") - 89.5).alias("plat"),
+        ((F.col("n_nationkey") * 73 % 360).cast("double") - 179.5).alias("plon"),
+    )
+    dist2 = (F.col("lat") - F.col("plat")) * (F.col("lat") - F.col("plat")) + (
+        F.col("lon") - F.col("plon")
+    ) * (F.col("lon") - F.col("plon"))
+    key = F.floor(dist2 * 10000).cast("long") * 1000 + F.col("poi_id")
+    return (
+        geo.join(F.broadcast(poi))
+        .groupBy("event_id")
+        .agg(F.min(key).alias("k"))
+        .select("event_id", (F.col("k") % 1000).cast("int").alias("poi_id"))
+    )

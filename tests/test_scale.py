@@ -78,10 +78,14 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
     # CERTIFICATE for the driver's tolerance gate (8 fixed queries ×
     # corpus = linear in corpus, not all-pairs); the IVF side itself is
     # the cell-pruned equi-join.
+    # geo_nearest_poi broadcasts a BOUNDED poi dim (|nation| rows)
+    # against every point: linear in the fact, the intended spatial
+    # enrichment plan — not an all-pairs blowup.
     allow_nested_loop = {
         "similarity_topk_bruteforce",
         "similarity_topk_int8",
         "similarity_topk_ivf",
+        "geo_nearest_poi",
     }
     # Unpartitioned ranking/analytic windows move the WHOLE input through
     # one task (Exchange SinglePartition under a Window).  Only the
