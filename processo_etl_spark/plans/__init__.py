@@ -46,6 +46,7 @@ _PLAN_MODULES = (
     "mlops",
     "events",
     "temporal",
+    "tpch",
 )
 
 # Driver-visibility priority (VERDICT r1 #1): the correctness driver grades

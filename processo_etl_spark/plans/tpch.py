@@ -1,0 +1,676 @@
+"""Remaining TPC-H query shapes (Q2, Q4, Q7–Q9, Q11–Q13, Q15, Q20–Q22).
+
+Together with q1/q3/q5/q6/q10/q14/q16/q17/q18/q19 elsewhere in the
+registry this completes all 22 TPC-H query shapes.  The fixture schema
+(TESTDATA.md) lacks ``partsupp``, ``l_commitdate``/``l_receiptdate``/
+``l_shipmode``, ``c_phone`` and the comment columns, so each query here
+keeps the ORIGINAL operator shape (correlated min subquery, EXISTS /
+NOT EXISTS semi/anti joins, scalar-subquery thresholds, substring
+grouping) while substituting available columns; every substitution is
+documented on the query.
+
+Numeric parity follows the registry convention (plans/__init__): source
+doubles enter DECIMAL at intent scale (Spark plain cast, oracle
+``CAST(ROUND(x, s) AS DECIMAL)``), aggregates run in exact decimal, and
+division-derived ratios take the ``avg_exact`` double route (exact
+decimal sum → double ÷ count: IEEE-identical on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from processo_etl_spark.plans import register
+from processo_etl_spark.plans.common import dec, t
+
+_REVENUE_SQL = """CAST(ROUND(l.l_extendedprice, 2) AS DECIMAL(12,2))
+                    * (1 - CAST(ROUND(l.l_discount, 2) AS DECIMAL(12,2)))"""
+
+
+def _revenue() -> F.Column:
+    return dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+
+
+@register(
+    "q2_min_acctbal_supplier",
+    oracle="""
+    WITH cand AS (
+      SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+             CAST(ROUND(s.s_acctbal, 2) AS DECIMAL(12,2)) AS s_acctbal,
+             n.n_name
+      FROM part p
+      JOIN lineitem l ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE' AND p.p_size <= 10),
+    best AS (
+      SELECT p_partkey, min(s_acctbal) AS min_bal FROM cand GROUP BY 1)
+    SELECT c.p_partkey, c.p_name, c.s_name, c.s_acctbal, c.n_name
+    FROM cand c JOIN best b
+      ON b.p_partkey = c.p_partkey AND c.s_acctbal = b.min_bal
+    """,
+)
+def q2_min_acctbal_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: per-part argmin over a region-restricted supplier
+    pool (original: min ps_supplycost over partsupp; here min s_acctbal
+    over suppliers observed shipping the part — no partsupp in fixture).
+
+    The correlated-min subquery is expressed Spark-first as groupBy-min
+    + equi-join back (what Catalyst rewrites a correlated scalar
+    subquery into anyway).  Dims (supplier⋈nation⋈region, part) are
+    broadcast; only lineitem scans at fact scale, pre-projected to two
+    key columns before the distinct.  Ref: reference test queries use
+    the same dim-filtered lookup pattern (dag.py:215-287).
+    """
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") <= 10).select(
+        "p_partkey", "p_name"
+    )
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", dec("s_acctbal").alias("s_acctbal"), "n_name")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    cand = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .distinct()
+    )
+    best = cand.groupBy("p_partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        cand.alias("c")
+        .join(
+            F.broadcast(best).alias("b"),
+            (F.col("c.p_partkey") == F.col("b.p_partkey"))
+            & (F.col("c.s_acctbal") == F.col("b.min_bal")),
+        )
+        .select("c.p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+    )
+
+
+@register(
+    "q4_order_priority_exists",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS-correlated semi join then priority counts
+    (original predicate l_commitdate < l_receiptdate; fixture carries
+    neither, so the late-ship proxy l_shipdate > o_orderdate + 30 days
+    keeps the correlated non-equi EXISTS).
+
+    The quarter filter pushes to the orders scan; the EXISTS plans as a
+    LEFT SEMI join on l_orderkey with the date predicate as a join-side
+    filter, so each order is emitted at most once without a distinct.
+    """
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM({_REVENUE_SQL}) AS DECIMAL(20,4)) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: bidirectional nation-pair trade volume by ship year.
+
+    Both nation lookups broadcast (25 rows); supplier and the
+    nation-pair disjunction prune before the single fact-side shuffle
+    into the group-by.  The OR-pair predicate sits on broadcast-joined
+    columns, so it costs nothing extra at scale.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_revenue()).cast("decimal(20,4)").alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             {_REVENUE_SQL} AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+    SELECT o_year,
+           CAST(ROUND(
+             CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                           ELSE CAST(0.00 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS DECIMAL(10,6)) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: national market share inside a region/part-type slice.
+
+    The share is a conditional-sum ÷ total-sum ratio: both sums stay in
+    exact decimal (order-insensitive), the final division runs in IEEE
+    double on both engines (same two exact inputs → same quotient), then
+    rounds to a pinned 6-decimal scale — the ``avg_exact`` route, which
+    is what keeps this hash-stable under the driver's DuckDB.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_regionkey")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    vol = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _revenue().alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit("0.00").cast("decimal(12,2)")
+    share = (
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(zero))
+        .cast("double")
+        / F.sum("volume").cast("double")
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(share, 6).cast("decimal(10,6)").alias("mkt_share")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS INT) AS o_year,
+           CAST(SUM({_REVENUE_SQL}
+                    - CAST(ROUND(p.p_retailprice, 2) AS DECIMAL(12,2))
+                      * CAST(ROUND(l.l_quantity, 2) AS DECIMAL(12,2)))
+                AS DECIMAL(22,4)) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit (revenue − cost) by supplier nation and
+    year over a part-name LIKE slice (original cost ps_supplycost ×
+    l_quantity; no partsupp in the fixture, so p_retailprice stands in
+    as the unit cost — same expression tree, same join shape minus the
+    partsupp hop).
+
+    The LIKE-filtered part side and supplier⋈nation broadcast; profit
+    is a pure decimal expression (exact on both engines), folded
+    map-side into one 25×7-group aggregate.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    profit = _revenue() - dec("p_retailprice") * dec("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("nation", F.year("l_shipdate").alias("o_year"))
+        .agg(F.sum(profit).cast("decimal(22,4)").alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH scoped AS (
+      SELECT l.l_partkey, {_REVENUE_SQL} AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA')
+    SELECT l_partkey, CAST(SUM(val) AS DECIMAL(20,4)) AS part_value
+    FROM scoped
+    GROUP BY l_partkey
+    HAVING SUM(val) > (SELECT SUM(val) * 0.001 FROM scoped)
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: per-part value with a HAVING threshold that is a
+    scalar subquery over the SAME scoped set (original: partsupp value
+    of one nation's suppliers; here lineitem revenue of one region's
+    suppliers — the group-sum vs fraction-of-global-sum shape is
+    intact).
+
+    The global total is a one-row aggregate broadcast against the
+    grouped sums (no driver-side collect); both sides of the comparison
+    are exact decimals, so the strict-inequality cut is engine-stable.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    scoped = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("l_partkey", _revenue().alias("val"))
+    )
+    grouped = scoped.groupBy("l_partkey").agg(F.sum("val").alias("sum_val"))
+    total = scoped.agg((F.sum("val") * F.lit("0.001").cast("decimal(4,3)")).alias("thr"))
+    return (
+        grouped.join(F.broadcast(total))
+        .filter(F.col("sum_val") > F.col("thr"))
+        .select("l_partkey", F.col("sum_val").cast("decimal(20,4)").alias("part_value"))
+    )
+
+
+@register(
+    "q12_ship_delay_priority",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30
+                THEN 'FAST'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
+                THEN 'MEDIUM' ELSE 'SLOW' END AS delay_class,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q12_ship_delay_priority(spark, sf_dir):
+    """TPC-H Q12 shape: per-category high/low-priority line counts
+    (original category l_shipmode; fixture has none, so the category is
+    a ship-delay bucket derived from datediff(l_shipdate, o_orderdate)
+    — the two conditional-sum aggregates are unchanged).
+
+    One fact-fact equi-join (orders projected to 2 columns), then a
+    3-group conditional-count aggregate that folds map-side; the year
+    filter is pushed to the lineitem scan.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    delay_class = (
+        F.when(delay <= 30, "FAST").when(delay <= 90, "MEDIUM").otherwise("SLOW")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(delay_class.alias("delay_class"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: order-count-per-customer distribution via a filtered
+    LEFT OUTER join (original excludes comment-matched orders; no
+    o_comment in the fixture, so the join-side filter excludes
+    '1-URGENT' — the count(outer key) semantics, where unmatched
+    customers count 0, is the point and is unchanged).
+
+    Two shuffles minimum by nature (group by customer, regroup by
+    count); the second input is one row per customer, so the regroup is
+    trivial.  count(o_orderkey) — not count(*) — is what makes the
+    NULL-extended rows count as zero.
+    """
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l.l_suppkey AS supplier_no,
+             CAST(SUM({_REVENUE_SQL}) AS DECIMAL(20,4)) AS total_revenue
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue — the
+    view + scalar-max-subquery shape.
+
+    The revenue view aggregates once; the max is a one-row broadcast
+    joined back on equality (Catalyst's rewrite of the scalar
+    subquery), so nothing recomputes and nothing collects.  Equality on
+    exact decimals makes the tie set engine-stable.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_revenue()).cast("decimal(20,4)").alias("total_revenue"))
+        .persist()
+    )
+    best = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    out = (
+        revenue.join(F.broadcast(best), F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+    return out
+
+
+@register(
+    "q20_part_promotion",
+    oracle="""
+    WITH shipped AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             SUM(CAST(ROUND(l.l_quantity, 2) AS DECIMAL(12,2))) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'small%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2),
+    tot AS (SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT sh.l_suppkey FROM shipped sh
+      JOIN tot ON tot.l_partkey = sh.l_partkey
+      WHERE sh.qty > tot.total_qty * 0.3)
+    """,
+)
+def q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers passing a correlated-aggregate
+    threshold on a name-LIKE part slice, consumed through a semi join
+    (original: ps_availqty > ½ the supplier's shipped quantity; no
+    partsupp, so the threshold is "this supplier shipped >30% of the
+    part's total" — still nested aggregate → correlated compare →
+    IN-subquery).
+
+    shipped is aggregated once and reused for the per-part totals (the
+    second aggregate is a rollup of the first, not a rescan); the
+    qualifying supplier keys come back to the supplier dim as a
+    broadcast LEFT SEMI join.  Exact-decimal quantities keep the 0.3×
+    threshold comparison engine-stable.
+    """
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    shipped = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .persist()
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("tk")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    qualifying = (
+        shipped.join(tot, F.col("l_partkey") == F.col("tk"))
+        .filter(F.col("qty") > F.col("total_qty") * F.lit("0.3").cast("decimal(2,1)"))
+        .select("l_suppkey")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(
+        F.broadcast(qualifying),
+        F.col("s_suppkey") == F.col("l_suppkey"),
+        "left_semi",
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: the EXISTS + NOT-EXISTS double self-reference on
+    lineitem — "my line was the last to ship in a multi-supplier 'F'
+    order" (original lateness predicate uses receipt/commit dates; the
+    fixture substitutes l_shipdate, keeping both correlated quantifiers
+    and the non-equi anti condition).
+
+    The semi and anti joins both carry the l_orderkey equi-component,
+    so they plan as shuffled equi-joins with residual conditions — not
+    nested loops; the self-joined sides are projected to 3 columns
+    before shuffling.  Top-20 is tie-broken on s_name for deterministic
+    LIMIT on both engines.
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = li.alias("l1").join(o, F.col("l1.l_orderkey") == F.col("o_orderkey"))
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    ).alias("l2")
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("d3"),
+    ).alias("l3")
+    waiting = l1.join(
+        l2,
+        (F.col("k2") == F.col("l1.l_orderkey")) & (F.col("s2") != F.col("l1.l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("k3") == F.col("l1.l_orderkey"))
+        & (F.col("s3") != F.col("l1.l_suppkey"))
+        & (F.col("d3") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(s), F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q22_global_sales",
+    oracle="""
+    WITH pos AS (SELECT c_custkey, c_acctbal,
+                        substring(c_name, 17, 2) AS cntrycode
+                 FROM customer),
+    thr AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal, 2) AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*) AS avg_bal
+      FROM pos WHERE c_acctbal > 0.0)
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(SUM(CAST(ROUND(c_acctbal, 2) AS DECIMAL(12,2)))
+                AS DECIMAL(20,2)) AS totacctbal
+    FROM pos, thr
+    WHERE cntrycode IN ('00', '11', '22', '33', '44', '55', '66', '77', '88', '99')
+      AND c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = pos.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY cntrycode
+    """,
+)
+def q22_global_sales(spark, sf_dir):
+    """TPC-H Q22 shape: substring-derived country code + above-average
+    balance (scalar subquery) + NOT EXISTS orders anti join (original
+    code is substring(c_phone,1,2); no c_phone, so the code is two
+    digits of the zero-padded c_name — same derivation and IN-list
+    shape, stable across scale factors because the padding is fixed).
+    The anti join keeps customers with no RECENT order (the every-
+    customer-orders fixture would make the literal no-orders form
+    empty at every SF).
+
+    The average-balance threshold is the ``avg_exact`` double route
+    (exact decimal sum → IEEE division — identical on both engines) and
+    broadcasts as one row; customers-without-orders is a LEFT ANTI join
+    against the projected orders key column.
+    """
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", F.substring("c_name", 17, 2).alias("cntrycode")
+    )
+    codes = ["00", "11", "22", "33", "44", "55", "66", "77", "88", "99"]
+    thr = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+        )
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    return (
+        c.filter(F.col("cntrycode").isin(codes))
+        .join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("decimal(20,2)").alias("totacctbal"),
+        )
+    )
