@@ -9,19 +9,24 @@ itself here as a named pair:
   parquet tables (omitted only for genuinely non-SQL-expressible ops,
   where the driver records a weaker rows-only check).
 
-Numeric-parity convention (validated empirically against DuckDB 1.0;
-hardened after the r1 driver hash mismatches): source doubles enter
-DECIMAL at their intent scale — Spark via a plain cast (version-pinned
-engine; shortest-repr HALF_UP lands on the intended value, see
-common.dec), the oracle via ``CAST(ROUND(x, s) AS DECIMAL)`` so the
-version-UNKNOWN driver DuckDB is pinned too — the data is never near a
-tie at its intent scale, so any round-to-nearest agrees; aggregates then
-run in exact, order-insensitive DECIMAL and re-pin to a fixed
-DECIMAL(p,s) — never raw double sums (double summation order is
-nondeterministic across partitions).  Averages are pinned-scale decimals
-(common.avg_dec).  Timestamps are TIMESTAMP_NTZ on both sides (parquet
-naive + UTC session).  Every computed column is aliased identically in
-both implementations.
+Numeric-parity convention (hardened after the r2 driver verdict):
+aggregates run in exact, order-insensitive DECIMAL internally — never
+raw double sums (double summation order is nondeterministic across
+partitions) — but **no registry query emits a DecimalType output
+column**: every final numeric output is ``.cast("double")`` on the
+Spark side and ``CAST(... AS DOUBLE)`` in the oracle.  The r2 judge
+proved the driver's hasher canonicalizes Spark vs DuckDB decimals
+differently regardless of value (6/6 decimal-output queries hash-failed
+with identical values; 44/44 non-decimal passed), so DOUBLE is the
+output convention; the exact decimal value maps to the same nearest
+IEEE double on both engines, and double ratios/averages derived from
+exact operands are bit-identical.  Source-column passthroughs stay raw
+(same parquet value on both sides).  Timestamps are TIMESTAMP_NTZ on
+both sides (parquet naive + UTC session).  Every computed column is
+aliased identically in both implementations.  The ``canary_decimal_*``
+queries at the bottom of the priority window re-test the driver's
+decimal normalization each round (if they ever come back green the ban
+can be lifted).
 """
 
 from __future__ import annotations
@@ -85,14 +90,12 @@ _PRIORITY = (
     "median_quantity",
     "null_audit",
     "value_counts_event_type",
-    "distinct_year_count",
     "histogram_hours",
     "histogram_auto_price",
     "quartiles_quantity",
     "all_valid_flags",
     "constraint_violation_count",
-    "approx_distinct_users",
-    # r1 driver hash-mismatch queries (now ROUND-stable) — must re-grade
+    # r2 driver hash-mismatch queries (outputs now DOUBLE) — must re-grade
     "grouping_sets_revenue",
     "q18_large_quantity_orders",
     "impute_median_discount",
@@ -113,6 +116,15 @@ _PRIORITY = (
     "split_train_val_test",
     "pack_sequences_docs",
     "text_token_stats",
+    # Driver-normalization canaries (VERDICT r2 #2): constant one-row
+    # decimal outputs that empirically pin how the driver hashes
+    # DecimalType.  They occupy the last two of the driver's 50 graded
+    # slots (displacing approx_distinct_users and distinct_year_count,
+    # both twice driver-green and still local-oracle-checked).  Expected
+    # RED under the r2-diagnosed hasher; if they ever grade green, the
+    # no-decimal-output convention (plans/common.dec) can be lifted.
+    "canary_decimal_12_2",
+    "canary_decimal_20_6",
 )
 
 
