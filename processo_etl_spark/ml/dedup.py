@@ -403,9 +403,10 @@ def simhash_dedup_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs, blocked by the top signature bits.
 
-    Blocking on the high ``prefix_bits`` keeps the join linear; a full
-    production rollout would use 4 rotated prefix tables (pigeonhole on
-    max_hamming) — one table suffices for the demo and tests.
+    Single-prefix blocking is FAST but approximate: pairs whose
+    differing bits straddle the prefix are missed.  For the
+    guaranteed-recall scale path use ``simhash_dedup_pairs_banded``
+    (pigeonhole over max_hamming+1 bands).
     """
     base = df.select(
         F.col(id_col).alias("doc"),
@@ -422,4 +423,75 @@ def simhash_dedup_pairs(
         .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def _band_layout(sig_bits: int, n_bands: int) -> list[tuple[int, int, int]]:
+    """(band, shift, mask) triples splitting ``sig_bits`` into ``n_bands``
+    contiguous bands, widest first."""
+    widths = [
+        sig_bits // n_bands + (1 if i < sig_bits % n_bands else 0)
+        for i in range(n_bands)
+    ]
+    out, shift = [], 0
+    for band, w in enumerate(widths):
+        out.append((band, shift, (1 << w) - 1))
+        shift += w
+    return out
+
+
+def simhash_dedup_pairs_banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs with GUARANTEED recall at ``max_hamming``.
+
+    Pigeonhole (Manku et al., WWW'07 fingerprint blocking, generalized):
+    split the 60-bit signature into ``max_hamming + 1`` contiguous
+    bands; a pair differing in ≤ max_hamming bits can corrupt at most
+    max_hamming bands, so it agrees EXACTLY on at least one — an
+    equi-join on (band, band_value) finds every such pair.  (VERDICT r3
+    suggested 4 rotated 16-bit prefix tables, but 4 tables pigeonhole
+    only hamming ≤ 3; hamming ≤ 8 needs 9 bands.)
+
+    Scale shape: signatures are computed once (one narrow fold per doc,
+    persisted), exploded 9× into (band, val) keys, self-equi-joined —
+    never all-pairs.  Cost vs the single-prefix variant: 9× key rows
+    and ~6-7-bit band keys, so band-join fan-out is the price of exact
+    recall; at 100 TB compose with a coarse blocking key (e.g. length
+    bucket or language) or drop to ``simhash_dedup_pairs`` where
+    approximate recall is acceptable.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        simhash64(F.split(normalize_text(text_col), " ")).alias("sig"),
+    ).persist()
+    layout = _band_layout(60, max_hamming + 1)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.shiftright("sig", shift).bitwiseAND(F.lit(mask)).alias("val"),
+            )
+            for band, shift, mask in layout
+        ]
+    )
+    ex = base.select("doc", "sig", F.explode(bands).alias("bv")).select(
+        "doc", "sig", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+    a = ex.select(
+        F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"), "band", "val"
+    )
+    b = ex.select(
+        F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"), "band", "val"
+    )
+    return (
+        a.join(b, on=["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming64(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
     )

@@ -5,11 +5,12 @@ metadata struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched Pandas UDFs over ``mapInPandas`` so the (heavy) Python work
 is amortized per batch, not per row.
 
-The decode internals are STUBBED — the image/audio libraries are not in
-this container — behind ``_decode_image_stub`` (a deterministic fake
-deriving "pixels" from the payload bytes).  The Spark-side plumbing
-(schema, partition sizing, UDF signatures, batch iteration) is real and
-tested; swapping the stub for Pillow/ffmpeg is a one-function change.
+Decode is FEATURE-FLAGGED: ``decode_image`` is the real Pillow path,
+active wherever Pillow is importable (``HAS_PIL``); this container ships
+without it, so ``_decode_image_stub`` (a deterministic fake deriving
+"pixels" from the payload bytes) carries the tests here.  The Spark-side
+plumbing (schema, partition sizing, UDF signatures, batch iteration) is
+identical for both decoders.
 """
 
 from __future__ import annotations
@@ -68,17 +69,50 @@ def synthesize_media(df: DataFrame, id_col: str, seed_col: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):
-    """REAL image decode — NOT IMPLEMENTED in this container.
+# Feature flag (VERDICT r3 #8): real decode activates iff Pillow is
+# importable; this container ships without it, so the deterministic stub
+# carries the tests and the real path lights up on clusters that have it.
+try:  # pragma: no cover - exercised only where Pillow exists
+    from PIL import Image as _PILImage
 
-    The image libraries (Pillow / torchvision / ffmpeg) are not
-    installed; production swaps this in for ``_decode_image_stub`` and
-    the rest of the plumbing is unchanged.
+    HAS_PIL = True
+except ImportError:  # pragma: no cover
+    _PILImage = None
+    HAS_PIL = False
+
+
+def decode_image(payload: bytes, n_features: int = 8) -> list[float]:
+    """REAL image decode via Pillow (feature-flagged on ``HAS_PIL``).
+
+    Grayscale-decodes the payload, resizes to an ``n_features`` square,
+    and emits per-column mean intensities normalized to [0, 1] — the
+    same output shape and range as ``_decode_image_stub``, so the two
+    decoders are drop-in interchangeable in ``extract_features``.
+    Raises NotImplementedError when Pillow is absent (the stub is the
+    sanctioned fallback, chosen by ``default_decoder``).
     """
-    raise NotImplementedError(
-        "real image decode needs Pillow/torchvision; the engine ships the "
-        "deterministic stub _decode_image_stub for plumbing tests"
+    if not HAS_PIL:
+        raise NotImplementedError(
+            "real image decode needs Pillow; use _decode_image_stub (the "
+            "deterministic fallback) where the library is unavailable"
+        )
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload)).convert("L").resize(
+        (n_features, n_features)
     )
+    data = list(img.getdata())
+    return [
+        sum(data[r * n_features + c] for r in range(n_features))
+        / (n_features * 255.0)
+        for c in range(n_features)
+    ]
+
+
+def default_decoder(real: bool = False):
+    """Pick the decode function: the real Pillow path only when asked for
+    AND available; the deterministic stub otherwise."""
+    return decode_image if (real and HAS_PIL) else _decode_image_stub
 
 
 def _decode_image_stub(payload: bytes, n_features: int = 8) -> list[float]:
@@ -95,26 +129,31 @@ def _decode_image_stub(payload: bytes, n_features: int = 8) -> list[float]:
     ]
 
 
-def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
+def extract_features(
+    media: DataFrame, n_features: int = 8, real_decode: bool = False
+) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     ``mapInPandas``: one Python call per Arrow batch (not per row); the
     output schema is fixed so downstream plans are stable.  Partition
     sizing guidance for real payloads: repartition so a batch of rows ×
     payload size fits executor memory (e.g. ~64 MB batches).
+
+    ``real_decode=True`` uses the Pillow decoder when available
+    (``HAS_PIL`` feature flag — resolved on the EXECUTOR, where the
+    import actually happens); otherwise the deterministic stub.
     """
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        dec = default_decoder(real_decode)
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": pdf["payload"].map(lambda p: 0 if p is None else len(p)).astype("int64"),
-                    "feature": pdf["payload"].map(
-                        lambda p: _decode_image_stub(p, n_features)
-                    ),
+                    "feature": pdf["payload"].map(lambda p: dec(p, n_features)),
                 }
             )
 

@@ -20,7 +20,7 @@ from processo_etl_spark.plans.common import dec, t
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n,
-           CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS total_value
+           CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -34,7 +34,7 @@ def tumbling_window_counts(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec("value")).cast("decimal(20,2)").alias("total_value"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
         )
     )
 
@@ -308,7 +308,7 @@ def scd2_event_type_history(spark, sf_dir):
     oracle="""
     SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
            count(*) AS n,
-           CAST(SUM(CAST(ROUND(e.value, 2) AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS total_value
+           CAST(SUM(CAST(ROUND(e.value, 2) AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1
     """,
@@ -325,7 +325,7 @@ def enrich_events_segment(spark, sf_dir):
         .groupBy(F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec("value")).cast("decimal(20,2)").alias("total_value"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
         )
     )
 

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from processo_etl_spark.functions import cleaning
 from processo_etl_spark.operators import relational as R
 from processo_etl_spark.plans import register
-from processo_etl_spark.plans.common import dec, decsum, t
+from processo_etl_spark.plans.common import dec, t
 
 
 # --- P1-P4: projection ------------------------------------------------------

@@ -118,7 +118,7 @@ def recode_event_type(spark, sf_dir):
     SELECT l_returnflag,
            CAST(SUM(CAST(ROUND(CASE WHEN l_discount IS NULL OR l_discount = 0
                               THEN med ELSE l_discount END, 4) AS DECIMAL(12,4)))
-                AS DECIMAL(20,4)) AS sum_disc_imputed,
+                AS DOUBLE) AS sum_disc_imputed,
            count(*) AS n
     FROM lineitem, m GROUP BY l_returnflag
     """,
@@ -131,13 +131,14 @@ def impute_median_discount(spark, sf_dir):
     The imputed double (interpolated median is at most 3dp, so never near
     a scale-4 tie) is ROUNDed at scale 4 before the decimal cast on the
     ORACLE side to pin the driver's DuckDB version; Spark's own cast is
-    already tie-free for this data (see plans/common.dec).
+    already tie-free for this data.  Exact decimal sum internally, DOUBLE
+    out (see plans/common.dec).
     """
     li = t(spark, sf_dir, "lineitem")
     med = cleaning.exact_median(li, "l_discount", exclude_zero=True)
     imputed = cleaning.impute_null_or_zero("l_discount", med).cast("decimal(12,4)")
     return li.groupBy("l_returnflag").agg(
-        F.sum(imputed).cast("decimal(20,4)").alias("sum_disc_imputed"),
+        F.sum(imputed).cast("double").alias("sum_disc_imputed"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -303,17 +304,18 @@ def region_name_valid(spark, sf_dir):
     oracle="""
     SELECT event_type,
            CAST(SUM(CAST(hour(ts) + minute(ts) / 60.0 AS DECIMAL(12,6)))
-                AS DECIMAL(20,6)) AS sum_hour_dec,
+                AS DOUBLE) AS sum_hour_dec,
            count(*) AS n
     FROM events GROUP BY event_type
     """,
 )
 def hour_decimal_avg(spark, sf_dir):
-    """C17 (Análise.ipynb:~1113): hour + minute/60 arithmetic, exact sums."""
+    """C17 (Análise.ipynb:~1113): hour + minute/60 arithmetic — exact
+    decimal sums internally, DOUBLE out (r2 hash-mismatch fix)."""
     ev = t(spark, sf_dir, "events")
     hd = derive.hour_decimal("ts").cast("decimal(12,6)")
     return ev.groupBy("event_type").agg(
-        F.sum(hd).cast("decimal(20,6)").alias("sum_hour_dec"),
+        F.sum(hd).cast("double").alias("sum_hour_dec"),
         F.count(F.lit(1)).alias("n"),
     )
 

@@ -124,7 +124,7 @@ def etl_star_pipeline(spark, sf_dir):
 _SQL_DEMO = """
 SELECT r_name AS region, o_orderpriority AS priority,
        count(*) AS n_orders,
-       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS revenue
+       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(12,2))) AS DOUBLE) AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
@@ -181,7 +181,7 @@ def dim_build_priority(spark, sf_dir):
              CAST(row_number() OVER (ORDER BY o_orderstatus) AS INT) AS id_status
       FROM (SELECT DISTINCT o_orderstatus FROM orders))
     SELECT o.o_orderkey, p.id_prio, s.id_status,
-           CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(12,2)) AS total
+           CAST(CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(12,2)) AS DOUBLE) AS total
     FROM orders o
     LEFT JOIN dim_prio p ON o.o_orderpriority = p.o_orderpriority
     LEFT JOIN dim_status s ON o.o_orderstatus = s.o_orderstatus
@@ -201,7 +201,10 @@ def star_fact_assembly(spark, sf_dir):
         },
     )
     return fact.select(
-        "o_orderkey", "id_prio", "id_status", dec("o_totalprice").alias("total")
+        "o_orderkey",
+        "id_prio",
+        "id_status",
+        dec("o_totalprice").cast("double").alias("total"),
     )
 
 
@@ -210,7 +213,7 @@ def star_fact_assembly(spark, sf_dir):
     "star_join_olap",
     oracle="""
     SELECT r.r_name, year(o.o_orderdate) AS ano,
-           CAST(SUM(CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(12,2))) AS DECIMAL(20,2))
+           CAST(SUM(CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(12,2))) AS DOUBLE)
              AS receita,
            count(*) AS n_pedidos
     FROM orders o
@@ -236,7 +239,7 @@ def star_join_olap(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", F.year("o_orderdate").alias("ano"))
         .agg(
-            F.sum(dec("o_totalprice")).cast("decimal(20,2)").alias("receita"),
+            F.sum(dec("o_totalprice")).cast("double").alias("receita"),
             F.count(F.lit(1)).alias("n_pedidos"),
         )
     )
@@ -249,7 +252,7 @@ def star_join_olap(spark, sf_dir):
     SELECT p.p_brand, s.s_name,
            CAST(SUM(CAST(ROUND(l.l_extendedprice, 2) AS DECIMAL(12,2))
                     * (1 - CAST(ROUND(l.l_discount, 2) AS DECIMAL(12,2))))
-                AS DECIMAL(20,4)) AS receita,
+                AS DOUBLE) AS receita,
            count(*) AS n
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -268,7 +271,7 @@ def snowflake_parts_suppliers(spark, sf_dir):
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("p_brand", "s_name")
         .agg(
-            F.sum(receita).cast("decimal(20,4)").alias("receita"),
+            F.sum(receita).cast("double").alias("receita"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -281,7 +284,7 @@ def snowflake_parts_suppliers(spark, sf_dir):
     SELECT l.l_orderkey,
            CAST(SUM(CAST(ROUND(l.l_extendedprice, 2) AS DECIMAL(12,2))
                     * (1 - CAST(ROUND(l.l_discount, 2) AS DECIMAL(12,2))))
-                AS DECIMAL(20,4)) AS revenue,
+                AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -315,7 +318,7 @@ def q3_shipping_priority(spark, sf_dir):
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast("decimal(20,4)").alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -328,7 +331,7 @@ def q3_shipping_priority(spark, sf_dir):
     SELECT n.n_name,
            CAST(SUM(CAST(ROUND(l.l_extendedprice, 2) AS DECIMAL(12,2))
                     * (1 - CAST(ROUND(l.l_discount, 2) AS DECIMAL(12,2))))
-                AS DECIMAL(20,4)) AS revenue
+                AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -375,7 +378,7 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("decimal(20,4)").alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -386,8 +389,8 @@ def q5_local_supplier_volume(spark, sf_dir):
     SELECT c.c_custkey, c.c_name,
            CAST(SUM(CAST(ROUND(l.l_extendedprice, 2) AS DECIMAL(12,2))
                     * (1 - CAST(ROUND(l.l_discount, 2) AS DECIMAL(12,2))))
-                AS DECIMAL(20,4)) AS revenue,
-           CAST(ROUND(c.c_acctbal, 2) AS DECIMAL(12,2)) AS c_acctbal,
+                AS DOUBLE) AS revenue,
+           CAST(CAST(ROUND(c.c_acctbal, 2) AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal,
            n.n_name, c.c_mktsegment
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -433,11 +436,11 @@ def q10_returned_items(spark, sf_dir):
         .groupBy(
             "c_custkey",
             "c_name",
-            dec("c_acctbal").alias("c_acctbal"),
+            dec("c_acctbal").cast("double").alias("c_acctbal"),
             "n_name",
             "c_mktsegment",
         )
-        .agg(F.sum(revenue).cast("decimal(20,4)").alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "c_mktsegment")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -454,12 +457,12 @@ def q10_returned_items(spark, sf_dir):
       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
         AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00')
-    SELECT CAST(SUM(CASE WHEN promo THEN rev ELSE 0 END) AS DECIMAL(20,4))
+    SELECT CAST(SUM(CASE WHEN promo THEN rev ELSE 0 END) AS DOUBLE)
              AS promo_revenue,
-           CAST(SUM(rev) AS DECIMAL(20,4)) AS total_revenue,
+           CAST(SUM(rev) AS DOUBLE) AS total_revenue,
            (100.0 * CAST(CAST(SUM(CASE WHEN promo THEN rev ELSE 0 END)
-                              AS DECIMAL(20,4)) AS DOUBLE))
-             / CAST(CAST(SUM(rev) AS DECIMAL(20,4)) AS DOUBLE)
+                              AS DOUBLE) AS DOUBLE))
+             / CAST(CAST(SUM(rev) AS DOUBLE) AS DOUBLE)
              AS promo_revenue_pct
     FROM j
     """,
@@ -491,9 +494,9 @@ def q14_promo_revenue(spark, sf_dir):
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             F.sum(F.when(F.col("promo"), rev).otherwise(zero))
-            .cast("decimal(20,4)")
+            .cast("double")
             .alias("promo_revenue"),
-            F.sum(rev).cast("decimal(20,4)").alias("total_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
         )
     )
     return agg.select(
@@ -511,7 +514,7 @@ def q14_promo_revenue(spark, sf_dir):
     oracle="""
     SELECT CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(12,2))
                     * CAST(ROUND(l_discount, 2) AS DECIMAL(12,2)))
-                AS DECIMAL(20,4)) AS revenue,
+                AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -537,7 +540,7 @@ def q6_forecast_revenue(spark, sf_dir):
     )
     return li.agg(
         F.sum(dec("l_extendedprice") * dec("l_discount"))
-        .cast("decimal(20,4)")
+        .cast("double")
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
@@ -548,7 +551,7 @@ def q6_forecast_revenue(spark, sf_dir):
     oracle="""
     SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice, 2) AS DECIMAL(12,2))
                     * (1 - CAST(ROUND(l.l_discount, 2) AS DECIMAL(12,2))))
-                AS DECIMAL(20,4)) AS revenue,
+                AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -596,7 +599,7 @@ def q19_discounted_revenue(spark, sf_dir):
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
-            F.sum(rev).cast("decimal(20,4)").alias("revenue"),
+            F.sum(rev).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

@@ -22,9 +22,9 @@ _SESSION_GAP_S = 1800
     "asof_purchase_last_view",
     oracle="""
     SELECT p.event_id, p.user_id,
-           CAST(ROUND(p.value, 2) AS DECIMAL(12,2)) AS purchase_value,
+           CAST(CAST(ROUND(p.value, 2) AS DECIMAL(12,2)) AS DOUBLE) AS purchase_value,
            v.ts AS view_ts,
-           CAST(ROUND(v.value, 2) AS DECIMAL(12,2)) AS view_value
+           CAST(CAST(ROUND(v.value, 2) AS DECIMAL(12,2)) AS DOUBLE) AS view_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
       ON p.user_id = v.user_id AND p.ts >= v.ts
@@ -39,10 +39,13 @@ def asof_purchase_last_view(spark, sf_dir):
     """
     ev = t(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", dec("value").alias("purchase_value")
+        "event_id",
+        "user_id",
+        "ts",
+        dec("value").cast("double").alias("purchase_value"),
     )
     views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", dec("value").alias("view_value")
+        "user_id", "ts", dec("value").cast("double").alias("view_value")
     )
     out = asof_join(purchases, views, on=["user_id"], ts="ts", payload=["view_value"])
     return out.select(

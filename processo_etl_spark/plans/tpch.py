@@ -46,7 +46,8 @@ def _revenue() -> F.Column:
       WHERE r.r_name = 'EUROPE' AND p.p_size <= 10),
     best AS (
       SELECT p_partkey, min(s_acctbal) AS min_bal FROM cand GROUP BY 1)
-    SELECT c.p_partkey, c.p_name, c.s_name, c.s_acctbal, c.n_name
+    SELECT c.p_partkey, c.p_name, c.s_name,
+           CAST(c.s_acctbal AS DOUBLE) AS s_acctbal, c.n_name
     FROM cand c JOIN best b
       ON b.p_partkey = c.p_partkey AND c.s_acctbal = b.min_bal
     """,
@@ -89,7 +90,13 @@ def q2_min_acctbal_supplier(spark, sf_dir):
             (F.col("c.p_partkey") == F.col("b.p_partkey"))
             & (F.col("c.s_acctbal") == F.col("b.min_bal")),
         )
-        .select("c.p_partkey", "p_name", "s_name", "s_acctbal", "n_name")
+        .select(
+            "c.p_partkey",
+            "p_name",
+            "s_name",
+            F.col("c.s_acctbal").cast("double").alias("s_acctbal"),
+            "n_name",
+        )
     )
 
 
@@ -138,7 +145,7 @@ def q4_order_priority_exists(spark, sf_dir):
     oracle=f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INT) AS l_year,
-           CAST(SUM({_REVENUE_SQL}) AS DECIMAL(20,4)) AS revenue
+           CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -181,7 +188,7 @@ def q7_volume_shipping(spark, sf_dir):
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(_revenue()).cast("decimal(20,4)").alias("revenue"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
     )
 
 
@@ -207,7 +214,7 @@ def q7_volume_shipping(spark, sf_dir):
            CAST(ROUND(
              CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
                            ELSE CAST(0.00 AS DECIMAL(12,2)) END) AS DOUBLE)
-             / CAST(SUM(volume) AS DOUBLE), 6) AS DECIMAL(10,6)) AS mkt_share
+             / CAST(SUM(volume) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
     FROM vol GROUP BY o_year
     """,
 )
@@ -256,7 +263,7 @@ def q8_market_share(spark, sf_dir):
         / F.sum("volume").cast("double")
     )
     return vol.groupBy("o_year").agg(
-        F.round(share, 6).cast("decimal(10,6)").alias("mkt_share")
+        F.round(share, 6).cast("double").alias("mkt_share")
     )
 
 
@@ -267,7 +274,7 @@ def q8_market_share(spark, sf_dir):
            CAST(SUM({_REVENUE_SQL}
                     - CAST(ROUND(p.p_retailprice, 2) AS DECIMAL(12,2))
                       * CAST(ROUND(l.l_quantity, 2) AS DECIMAL(12,2)))
-                AS DECIMAL(22,4)) AS sum_profit
+                AS DOUBLE) AS sum_profit
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -301,7 +308,7 @@ def q9_product_profit(spark, sf_dir):
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("nation", F.year("l_shipdate").alias("o_year"))
-        .agg(F.sum(profit).cast("decimal(22,4)").alias("sum_profit"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
     )
 
 
@@ -315,7 +322,7 @@ def q9_product_profit(spark, sf_dir):
       JOIN nation n ON n.n_nationkey = s.s_nationkey
       JOIN region r ON r.r_regionkey = n.n_regionkey
       WHERE r.r_name = 'ASIA')
-    SELECT l_partkey, CAST(SUM(val) AS DECIMAL(20,4)) AS part_value
+    SELECT l_partkey, CAST(SUM(val) AS DOUBLE) AS part_value
     FROM scoped
     GROUP BY l_partkey
     HAVING SUM(val) > (SELECT SUM(val) * 0.001 FROM scoped)
@@ -347,7 +354,7 @@ def q11_important_parts(spark, sf_dir):
     return (
         grouped.join(F.broadcast(total))
         .filter(F.col("sum_val") > F.col("thr"))
-        .select("l_partkey", F.col("sum_val").cast("decimal(20,4)").alias("part_value"))
+        .select("l_partkey", F.col("sum_val").cast("double").alias("part_value"))
     )
 
 
@@ -441,7 +448,7 @@ def q13_customer_distribution(spark, sf_dir):
     oracle=f"""
     WITH revenue AS (
       SELECT l.l_suppkey AS supplier_no,
-             CAST(SUM({_REVENUE_SQL}) AS DECIMAL(20,4)) AS total_revenue
+             CAST(SUM({_REVENUE_SQL}) AS DOUBLE) AS total_revenue
       FROM lineitem l
       WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -466,7 +473,7 @@ def q15_top_supplier(spark, sf_dir):
     )
     revenue = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(_revenue()).cast("decimal(20,4)").alias("total_revenue"))
+        .agg(F.sum(_revenue()).cast("double").alias("total_revenue"))
         .persist()
     )
     best = revenue.agg(F.max("total_revenue").alias("max_rev"))
@@ -624,7 +631,7 @@ def q21_waiting_supplier(spark, sf_dir):
       FROM pos WHERE c_acctbal > 0.0)
     SELECT cntrycode, count(*) AS numcust,
            CAST(SUM(CAST(ROUND(c_acctbal, 2) AS DECIMAL(12,2)))
-                AS DECIMAL(20,2)) AS totacctbal
+                AS DOUBLE) AS totacctbal
     FROM pos, thr
     WHERE cntrycode IN ('00', '11', '22', '33', '44', '55', '66', '77', '88', '99')
       AND c_acctbal > thr.avg_bal
@@ -671,6 +678,6 @@ def q22_global_sales(spark, sf_dir):
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(dec("c_acctbal")).cast("decimal(20,2)").alias("totacctbal"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )

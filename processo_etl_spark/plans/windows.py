@@ -25,7 +25,7 @@ from processo_etl_spark.plans.common import dec, t
       CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(12,2)))
            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        AS DECIMAL(20,2)) AS running_total
+        AS DOUBLE) AS running_total
     FROM orders
     """,
 )
@@ -41,7 +41,7 @@ def window_running_revenue(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(dec("o_totalprice")).over(w).cast("decimal(20,2)").alias("running_total"),
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
     )
 
 
@@ -131,7 +131,7 @@ def window_moving_avg_value(spark, sf_dir):
              AS decile, o_totalprice
       FROM orders)
     SELECT decile, count(*) AS n,
-      CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS revenue
+      CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(12,2))) AS DOUBLE) AS revenue
     FROM d GROUP BY decile
     """,
 )
@@ -153,7 +153,7 @@ def window_revenue_deciles(spark, sf_dir):
     )
     return tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(dec("o_totalprice")).cast("decimal(20,2)").alias("revenue"),
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
     )
 
 
@@ -165,7 +165,7 @@ def window_revenue_deciles(spark, sf_dir):
              AS decile, o_totalprice
       FROM orders)
     SELECT decile, count(*) AS n,
-      CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(12,2))) AS DECIMAL(20,2)) AS revenue
+      CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(12,2))) AS DOUBLE) AS revenue
     FROM d GROUP BY decile
     """,
 )
@@ -185,7 +185,7 @@ def window_revenue_deciles_global(spark, sf_dir):
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec("o_totalprice")).cast("decimal(20,2)").alias("revenue"),
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
         )
     )
 
@@ -197,7 +197,7 @@ def window_revenue_deciles_global(spark, sf_dir):
            CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(12,2))) OVER (
              PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
-           AS DECIMAL(20,2)) AS trailing_24h
+           AS DOUBLE) AS trailing_24h
     FROM events WHERE user_id < 10
     """,
 )
@@ -225,5 +225,5 @@ def window_trailing_24h_value(spark, sf_dir):
         "user_id",
         "ts",
         "event_id",
-        F.sum(dec("value")).over(w).cast("decimal(20,2)").alias("trailing_24h"),
+        F.sum(dec("value")).over(w).cast("double").alias("trailing_24h"),
     )

@@ -27,17 +27,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema pinned from a
     batch peek — streaming sources require an explicit schema)."""
     # The file source wants a directory: stream the sf_dir with a glob
-    # pinned to the events file.  ts arrives as a nanosecond long
-    # (nanosAsLong — see catalog.load) and is rebuilt as a TIMESTAMP;
-    # watermarks require the tz-aware type (session tz pinned UTC).
+    # pinned to the events file.  ts may arrive as a nanosecond long
+    # (nanosAsLong — see catalog.load) or as a native timestamp depending
+    # on the testdata generation; only the bigint form is rebuilt
+    # (VERDICT r3 #5).  Watermarks require a timestamp type; the session
+    # tz is pinned UTC.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(catalog.table_path(sf_dir, "events")).schema
+    raw = spark.read.parquet(catalog.table_path(sf_dir, "events"))
     stream = (
-        spark.readStream.schema(raw_schema)
+        spark.readStream.schema(raw.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dict(raw.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Watermarks require the tz-aware TIMESTAMP type; with the session tz
+    # pinned UTC the NTZ→TZ cast is value-identity.
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -52,7 +58,7 @@ def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
         .groupBy(F.window("ts", "1 hour").start.alias("window_start"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec("value")).cast("decimal(20,2)").alias("total_value"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
         )
     )
 
@@ -345,6 +351,6 @@ def run_enrich_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec("value")).cast("decimal(20,2)").alias("total_value"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
         )
     )

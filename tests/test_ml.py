@@ -452,3 +452,58 @@ def test_chunk_dedup_keeps_first_occurrence(spark):
     # untouched doc reassembles to its normalized self
     assert out[3]["n_kept"] == out[3]["n_chunks"]
     assert out[3]["clean_text"] == "totally original document with no shared chunks at all ok"
+
+
+def test_simhash_banded_recall_guarantee(spark):
+    """Pigeonhole guarantee (VERDICT r3 #7): the 9-band blocked join finds
+    EVERY pair at hamming <= 8 — zero missed vs the all-pairs truth."""
+    from processo_etl_spark import catalog
+
+    docs = catalog.load(spark, "/root/testdata/sf0.001", "documents")
+    sigs = docs.select(
+        F.col("doc_id").alias("doc"),
+        dedup.simhash64(F.split(dedup.normalize_text("text"), " ")).alias("sig"),
+    ).persist()
+    a = sigs.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sigs.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)  # all-pairs TRUTH — test-only, tiny fixture
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dedup.hamming64(F.col("sig_a"), F.col("sig_b")) <= 8)
+        .collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_dedup_pairs_banded(
+            docs, "doc_id", "text", max_hamming=8
+        ).collect()
+    }
+    sigs.unpersist()
+    assert truth, "fixture must contain at least one hamming<=8 pair"
+    assert got == truth  # exact recall AND no false extras
+
+
+def test_real_image_decode_when_pillow_present(spark):
+    """Feature-flagged Pillow decode (VERDICT r3 #8): runs only where the
+    library exists; elsewhere the stub path is asserted as the fallback."""
+    if not multimodal.HAS_PIL:
+        assert multimodal.default_decoder(real=True) is multimodal._decode_image_stub
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG")
+        pytest.skip("Pillow not installed - stub fallback verified")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (32, 32), color=128).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(buf.getvalue()), 32, 32)],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    row = multimodal.extract_features(media, n_features=4, real_decode=True).collect()[0]
+    assert row["media_id"] == 1
+    assert len(row["feature"]) == 4
+    # uniform mid-gray image -> every column mean ~= 128/255
+    assert all(abs(v - 128.0 / 255.0) < 0.02 for v in row["feature"])

@@ -81,11 +81,19 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
     # geo_nearest_poi broadcasts a BOUNDED poi dim (|nation| rows)
     # against every point: linear in the fact, the intended spatial
     # enrichment plan — not an all-pairs blowup.
+    # q11 / q22 broadcast a ONE-ROW global aggregate (the HAVING / avg
+    # threshold scalar subquery) with no join condition — Spark plans a
+    # condition-less broadcast join as BroadcastNestedLoopJoin, but with
+    # a single-row build side it is a linear scan attaching a scalar,
+    # exactly what Catalyst itself produces for a decorrelated scalar
+    # subquery.  Not a quadratic smell.
     allow_nested_loop = {
         "similarity_topk_bruteforce",
         "similarity_topk_int8",
         "similarity_topk_ivf",
         "geo_nearest_poi",
+        "q11_important_parts",
+        "q22_global_sales",
     }
     # Unpartitioned ranking/analytic windows move the WHOLE input through
     # one task (Exchange SinglePartition under a Window).  Only the
