@@ -306,3 +306,50 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "term", "tfidf", "rk")
     )
+
+
+def corpus_frequency_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    rare_threshold: int = 2,
+) -> DataFrame:
+    """Per-document corpus-statistics quality score — the count-based
+    proxy for LM-perplexity filtering (CCNet/Gopher pipelines score docs
+    by how "expected" their tokens are; rare-token-heavy docs are noise,
+    all-boilerplate docs sit at the other extreme).
+
+    Emits per doc: ``n_tokens``, ``mean_term_freq`` (occurrence-weighted
+    mean corpus frequency of the doc's tokens) and ``rare_frac``
+    (fraction of token occurrences whose term appears ≤ rare_threshold
+    times in the corpus).  Deliberately transcendental-free (no ln/exp):
+    integer sums + one IEEE division, so the DuckDB oracle matches
+    bit-for-bit — a real log-perplexity would differ in the last ulp
+    across libm implementations.
+
+    Scale shape: term frequencies and per-(doc, term) tf are both
+    map-side-combinable groupBys; the join carries DISTINCT (doc, term)
+    pairs (not raw token occurrences) against the |vocab|-sized
+    frequency table; one final groupBy on the doc id.  freq·tf products
+    are summed as DECIMAL(38,0) (a 100 TB corpus puts freq ~1e11 × tf
+    ~1e3 past int64) then emitted as DOUBLE.
+    """
+    freq = vocab_counts(df, text_col)
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens_ws(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    joined = tf.join(freq, "term")
+    weighted = (F.col("n_occurrences") * F.col("tf")).cast("decimal(38,0)")
+    rare_occ = F.when(
+        F.col("n_occurrences") <= rare_threshold, F.col("tf")
+    ).otherwise(F.lit(0))
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            (F.sum(weighted).cast("double") / F.sum("tf")).alias("mean_term_freq"),
+            (F.sum(rare_occ).cast("double") / F.sum("tf")).alias("rare_frac"),
+        )
+    )

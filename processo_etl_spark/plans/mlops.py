@@ -371,6 +371,35 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 # --- text analysis -------------------------------------------------------------------------
 @register(
+    "text_corpus_freq_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents),
+    freq AS (
+      SELECT term, count(*) AS n_occurrences FROM toks GROUP BY 1),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+    SELECT t.doc_id,
+           CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(f.n_occurrences * t.tf AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(SUM(t.tf) AS BIGINT) AS mean_term_freq,
+           CAST(SUM(CASE WHEN f.n_occurrences <= 2 THEN t.tf ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(t.tf) AS BIGINT) AS rare_frac
+    FROM tf t JOIN freq f USING (term)
+    GROUP BY t.doc_id
+    """,
+)
+def text_corpus_freq_score(spark, sf_dir):
+    """CCNet-style LM-perplexity proxy: per-doc occurrence-weighted mean
+    corpus term frequency + rare-token fraction
+    (ml/textstats.corpus_frequency_score) — deliberately
+    transcendental-free so both engines agree bit-for-bit."""
+    return textstats.corpus_frequency_score(
+        t(spark, sf_dir, "documents"), "text", "doc_id", rare_threshold=2
+    )
+
+
+@register(
     "text_token_stats",
     oracle=f"""
     SELECT lang,

@@ -507,3 +507,18 @@ def test_real_image_decode_when_pillow_present(spark):
     assert len(row["feature"]) == 4
     # uniform mid-gray image -> every column mean ~= 128/255
     assert all(abs(v - 128.0 / 255.0) < 0.02 for v in row["feature"])
+
+
+def test_corpus_frequency_score_invariants(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a rare1"), (3, "rare2")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in textstats.corpus_frequency_score(
+        df, "text", "doc_id", rare_threshold=1
+    ).collect()}
+    # corpus counts: a=3, b=1, rare1=1, rare2=1
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["mean_term_freq"] == pytest.approx((3 + 3 + 1) / 3)
+    assert out[1]["rare_frac"] == pytest.approx(1 / 3)      # only 'b' is rare
+    assert out[3]["rare_frac"] == 1.0                        # all-rare doc
+    assert out[2]["mean_term_freq"] == pytest.approx((3 + 1) / 2)
