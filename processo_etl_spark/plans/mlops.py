@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from processo_etl_spark.ml import dedup, similarity, textstats
+from processo_etl_spark.ml import dedup, semdedup, similarity, textstats
 from processo_etl_spark.plans import register
 from processo_etl_spark.plans.common import t
 
@@ -366,6 +366,47 @@ def dedup_embedding_cosine(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     return similarity.embedding_cosine_pairs(
         emb, "vec_id", "embedding", threshold=0.4, bits=6
+    )
+
+
+# --- SemDeDup: semantic dedup over embedding cells ----------------------------------------
+@register(
+    "dedup_semantic_cells",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding, CAST({_bkt_sql("embeddings", 6, 0)} AS BIGINT) AS cell
+      FROM embeddings),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM base a JOIN base b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_COS_AB} >= 0.4)
+    SELECT base.vec_id, base.cell FROM base
+    WHERE base.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def dedup_semantic_cells(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) with deterministic sign-LSH cells:
+    within each cell, keep only the lowest-id member of any group whose
+    pairwise cosine ≥ 0.4 (ml/semdedup.semantic_dedup_cells).  Catches
+    semantic near-dups (paraphrases, templated pages) that lexical
+    MinHash misses; cell blocking keeps the check linear-ish, never
+    all-pairs."""
+    return semdedup.semantic_dedup_cells(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.4, bits=6,
+    )
+
+
+@register("dedup_semantic_kmeans")  # rows-only: iterative k-means has no SQL twin
+def dedup_semantic_kmeans(spark, sf_dir):
+    """The paper's quantizer: k-means cells (shared with the IVF ANN
+    index) + the same keep-lowest-id prune.  Rows-only by design —
+    k-means training is iterative; semantics are pinned by
+    tests/test_ml.py (planted near-dup collapses to one survivor) and
+    by the oracle-checked ``dedup_semantic_cells`` twin."""
+    return semdedup.semantic_dedup_kmeans(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.4, nlist=8,
     )
 
 

@@ -24,8 +24,20 @@ def write_bucketed(
     path: str | None = None,
     sort_cols: list[str] | None = None,
 ) -> None:
-    """Write as a bucketed (and bucket-sorted) catalog table."""
-    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    """Write as a bucketed (and bucket-sorted) catalog table.
+
+    The ``repartition(n_buckets, *bucket_cols)`` first aligns write
+    tasks with buckets (Spark's repartition and bucketBy share the same
+    Murmur3 hash): task i holds exactly bucket i's rows, so the layout
+    is one file per bucket.  Without it every write task emits a file
+    for every bucket it happens to see — a (tasks × buckets) small-file
+    explosion that turns the downstream scan into a footer-read storm.
+    """
+    writer = (
+        df.repartition(n_buckets, *bucket_cols)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
     writer = writer.sortBy(*(sort_cols or bucket_cols))
     if path:
         writer = writer.option("path", path)

@@ -522,3 +522,38 @@ def test_corpus_frequency_score_invariants(spark):
     assert out[1]["rare_frac"] == pytest.approx(1 / 3)      # only 'b' is rare
     assert out[3]["rare_frac"] == 1.0                        # all-rare doc
     assert out[2]["mean_term_freq"] == pytest.approx((3 + 1) / 2)
+
+
+def test_semantic_dedup_collapses_planted_group(spark):
+    """A planted trio of near-identical vectors collapses to its lowest
+    id; orthogonal vectors all survive — for both quantizers."""
+    from processo_etl_spark.ml import semdedup
+
+    dim = 8
+    base = [1.0, 0.2, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0]
+    near1 = [1.0, 0.21, 0.1, 0.0, 0.0, 0.0, 0.0, 0.01]
+    near2 = [0.99, 0.2, 0.11, 0.0, 0.0, 0.0, 0.0, 0.0]
+    # Distinct directions: negative leading dims put them in other cells;
+    # even same-cell they are far below the threshold.
+    other1 = [-1.0, 0.0, 0.5, 0.0, 0.0, 0.0, 0.0, 0.0]
+    other2 = [0.0, -1.0, 0.0, 0.8, 0.0, 0.0, 0.0, 0.0]
+    rows = [
+        (10, base), (11, near1), (12, near2), (20, other1), (21, other2),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    kept_cells = {
+        r["vec_id"]
+        for r in semdedup.semantic_dedup_cells(
+            df, "vec_id", "embedding", threshold=0.95, bits=4
+        ).collect()
+    }
+    assert kept_cells == {10, 20, 21}
+
+    kept_km = {
+        r["vec_id"]
+        for r in semdedup.semantic_dedup_kmeans(
+            df, "vec_id", "embedding", threshold=0.95, nlist=2
+        ).collect()
+    }
+    assert kept_km == {10, 20, 21}
