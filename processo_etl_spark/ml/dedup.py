@@ -495,3 +495,56 @@ def simhash_dedup_pairs_banded(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicate TEXT-SPAN detection — word-granular ExactSubstr
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): the maximal runs of token positions whose word n-gram
+    occurs in ≥ ``min_docs`` distinct documents.  Finer-grained than
+    ``chunk_dedup`` (fixed blocks): spans start and end exactly where
+    the cross-document repetition does, so a downstream pass can excise
+    boilerplate without clipping unique text.
+
+    Returns (doc_id, span_start, span_end, n_dup_grams), token-indexed
+    (1-based, inclusive).
+
+    Plan shape — two slim shuffles plus one per-doc window, never
+    all-pairs: positional shingle (narrow) → one shuffle on the gram
+    for a partial-aggregated distinct-doc count → hits re-join (the
+    dup-gram side is the filtered minority) → per-doc gaps-and-islands
+    (``pos - row_number()`` is constant exactly on consecutive
+    positions) merges adjacent duplicated grams into maximal spans.
+    At 100 TB the gram join is the cost; its key is content-hashed and
+    uniform, and the hits relation is corpus-size × duplication-rate,
+    not quadratic.
+    """
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_shingles(F.col(text_col), n)).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "g")
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        grams.join(dup, on="g")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("grp", F.col("pos") - F.col("rn"))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_dup_grams")
+    )

@@ -369,6 +369,38 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+# --- exact duplicate-span detection (Lee et al. 2022 ExactSubstr, word-granular) ----------
+@register(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
+      FROM toks, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)),
+    dup AS (
+      SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      FROM grams JOIN dup USING (g))
+    SELECT doc_id, min(pos) AS span_start,
+           CAST(max(pos) + 2 AS BIGINT) AS span_end,
+           count(*) AS n_dup_grams
+    FROM hits GROUP BY doc_id, pos - rn
+    """,
+)
+def dedup_duplicate_spans(spark, sf_dir):
+    """Maximal cross-document duplicated token spans (trigram-level):
+    ml/dedup.duplicate_spans — gram doc-frequency shuffle + per-doc
+    gaps-and-islands merge.  The excision-grade complement to
+    chunk_dedup's fixed blocks."""
+    return dedup.duplicate_spans(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n=3, min_docs=2
+    )
+
+
 # --- SemDeDup: semantic dedup over embedding cells ----------------------------------------
 @register(
     "dedup_semantic_cells",

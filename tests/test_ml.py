@@ -557,3 +557,23 @@ def test_semantic_dedup_collapses_planted_group(spark):
         ).collect()
     }
     assert kept_km == {10, 20, 21}
+
+
+def test_duplicate_spans_hand_computed(spark):
+    """Two docs sharing a 5-token run + one unique doc: the shared run
+    yields one maximal span per doc covering exactly those tokens
+    (trigrams at positions p..p+2 merge via gaps-and-islands)."""
+    shared = "the quick brown fox jumps"
+    rows = [
+        (1, f"alpha beta {shared} gamma delta"),
+        (2, f"{shared} omega psi chi phi"),
+        (3, "nothing here repeats at all ever once"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in dedup.duplicate_spans(df, "text", "doc_id", n=3).collect()
+    }
+    # doc 1: shared tokens at 3..7 -> trigram positions 3,4,5 -> span 3..7
+    # doc 2: shared tokens at 1..5 -> trigram positions 1,2,3 -> span 1..5
+    assert spans == {1: (3, 7, 3), 2: (1, 5, 3)}
