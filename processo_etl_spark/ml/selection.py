@@ -1,0 +1,101 @@
+"""Data selection for LM pretraining: DSIR-style importance weights.
+
+Xie et al. 2023 ("Data Selection for Language Models via Importance
+Resampling", arXiv:2302.03169): score every raw-corpus document by how
+much more likely its hashed-n-gram profile is under a TARGET
+distribution (the high-quality corpus you want more of) than under the
+RAW distribution, then resample proportionally.  This is the principled
+replacement for hand-tuned quality thresholds: the target corpus
+defines "quality" implicitly.
+
+Engine semantics (deterministic, engine-portable — the DuckDB oracle
+replays it bit-for-bit):
+
+- unigram buckets: ``md5_long(token) % n_buckets`` — same md5-prefix
+  hash family as the dedup/minhash ops;
+- per-bucket likelihood ratio with add-one smoothing, computed as ONE
+  division of two exact int64 products (both < 2^53, so their double
+  conversion is exact and the quotient is the correctly-rounded true
+  rational — no transcendental ``ln`` whose last ULP differs between
+  libm implementations):
+
+      r[b] = ((ct[b]+1) * (nr+B))  /  ((cr[b]+1) * (nt+B))
+
+- document weight = mean of ``r`` over its tokens.  A plain double
+  groupBy-sum is partition-order dependent in its last ULP, and casting
+  doubles to DECIMAL diverges between engines (Spark converts via the
+  shortest decimal representation, DuckDB via the exact binary value) —
+  so the per-doc sum is a LEFT FOLD over the VALUE-SORTED addend list:
+  identical multiset ⇒ identical order ⇒ bit-identical IEEE sum on both
+  engines.  Per-doc list size is bounded by document length, not corpus
+  size.
+
+The paper sums ``log r`` (log-likelihood ratio); the mean-ratio
+surrogate keeps the same "more target-like ⇒ larger" direction while
+staying transcendental-free.  Selection on the weight is a separate
+concern: pair with ``operators/ranking.distributed_ntile`` or a
+hash-threshold (``ml/splits``) — never a global ORDER BY.
+
+100 TB shape: one explode + one shuffle to build the B-bucket stats
+(B ~ 1k-100k rows — broadcast back), one shuffle on doc_id for the
+per-doc mean.  Token rows dominate; both shuffles are linear and the
+bucket join is map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from processo_etl_spark.ml.dedup import md5_long, normalize_text
+
+
+def importance_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target: Column,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """(doc_id, n_tokens, importance): mean hashed-unigram likelihood
+    ratio of each document against the ``target`` sub-corpus.
+
+    ``target`` is a boolean Column over ``df``'s rows (e.g.
+    ``F.col("lang") == "en"``) defining the target distribution; the
+    raw distribution is the whole input.
+    """
+    b = n_buckets
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        target.alias("is_t"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    ).withColumn("b", md5_long(F.col("tok")) % b)
+
+    bstats = toks.groupBy("b").agg(
+        F.count(F.when(F.col("is_t"), 1)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    totals = toks.agg(
+        F.count(F.when(F.col("is_t"), 1)).alias("nt"),
+        F.count(F.lit(1)).alias("nr"),
+    )
+    ratios = bstats.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            ((F.col("ct") + 1) * (F.col("nr") + b)).cast("double")
+            / ((F.col("cr") + 1) * (F.col("nt") + b)).cast("double")
+        ).alias("r"),
+    )
+    fold_sum = F.aggregate(
+        F.sort_array(F.collect_list("r")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        toks.join(F.broadcast(ratios), on="b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (fold_sum / F.count(F.lit(1))).alias("importance"),
+        )
+    )

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from processo_etl_spark.ml import dedup, semdedup, similarity, textstats
+from processo_etl_spark.ml import dedup, selection, semdedup, similarity, textstats
 from processo_etl_spark.plans import register
 from processo_etl_spark.plans.common import t
 
@@ -439,6 +439,43 @@ def dedup_semantic_kmeans(spark, sf_dir):
     return semdedup.semantic_dedup_kmeans(
         t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         threshold=0.4, nlist=8,
+    )
+
+
+# --- DSIR importance weights (data selection) ---------------------------------------------
+@register(
+    "select_importance_dsir",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             unnest(string_split({_NORM}, ' ')) AS tok
+      FROM documents),
+    hb AS (
+      SELECT doc_id, is_t, {_md5_long_sql("tok")} % 1024 AS b FROM ex),
+    bs AS (
+      SELECT b, count(*) FILTER (is_t) AS ct, count(*) AS cr
+      FROM hb GROUP BY b),
+    tot AS (
+      SELECT count(*) FILTER (is_t) AS nt, count(*) AS nr FROM hb),
+    r AS (
+      SELECT b, CAST((ct + 1) * (nr + 1024) AS DOUBLE)
+                / CAST((cr + 1) * (nt + 1024) AS DOUBLE) AS r
+      FROM bs, tot)
+    SELECT h.doc_id, count(*) AS n_tokens,
+           list_reduce(list_sort(list(r.r)), (x, y) -> x + y)
+             / count(*) AS importance
+    FROM hb h JOIN r USING (b)
+    GROUP BY h.doc_id
+    """,
+)
+def select_importance_dsir(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023) against the lang='en'
+    target: ml/selection.importance_weights — hashed-unigram likelihood
+    ratios, value-sorted-fold document mean.  Selection pairs with
+    distributed_ntile / hash thresholds, never a global sort."""
+    docs = t(spark, sf_dir, "documents")
+    return selection.importance_weights(
+        docs, "text", "doc_id", target=F.col("lang") == "en", n_buckets=1024
     )
 
 

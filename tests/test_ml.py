@@ -577,3 +577,29 @@ def test_duplicate_spans_hand_computed(spark):
     # doc 1: shared tokens at 3..7 -> trigram positions 3,4,5 -> span 3..7
     # doc 2: shared tokens at 1..5 -> trigram positions 1,2,3 -> span 1..5
     assert spans == {1: (3, 7, 3), 2: (1, 5, 3)}
+
+
+def test_dsir_importance_direction_and_counts(spark):
+    """Docs made of target-corpus tokens score above docs of off-target
+    tokens; n_tokens is the whitespace token count."""
+    from processo_etl_spark.ml import selection
+
+    rows = [
+        (1, "alpha beta alpha beta alpha", True),
+        (2, "alpha beta gamma alpha beta", True),
+        (3, "zeta eta theta zeta eta", False),
+        (4, "zeta eta theta theta zeta", False),
+        (5, "alpha beta alpha beta gamma", False),  # target-like but raw
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["importance"])
+        for r in selection.importance_weights(
+            df, "text", "doc_id", target=F.col("is_t"), n_buckets=64
+        ).collect()
+    }
+    assert all(out[d][0] == 5 for d in out)
+    # Target-vocabulary docs (1, 2, 5) outrank off-target docs (3, 4).
+    for d_hi in (1, 2, 5):
+        for d_lo in (3, 4):
+            assert out[d_hi][1] > out[d_lo][1]

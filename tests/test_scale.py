@@ -87,7 +87,11 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
     # a single-row build side it is a linear scan attaching a scalar,
     # exactly what Catalyst itself produces for a decorrelated scalar
     # subquery.  Not a quadratic smell.
+    # select_importance_dsir broadcasts the ONE-ROW (nt, nr) token-total
+    # aggregate under the per-bucket ratio table — the same linear
+    # scalar-attach shape as q11/q22.
     allow_nested_loop = {
+        "select_importance_dsir",
         "similarity_topk_bruteforce",
         "similarity_topk_int8",
         "similarity_topk_ivf",
