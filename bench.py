@@ -42,6 +42,11 @@ HEADLINE = (
     "pack_sequences_docs",
     "tfidf_top_terms",
     "scd2_event_type_history",
+    # r4 flagship additions: semantic dedup, duplicate-span excision,
+    # DSIR data selection — the new training-data-pipeline heads.
+    "dedup_semantic_cells",
+    "dedup_duplicate_spans",
+    "select_importance_dsir",
 )
 
 

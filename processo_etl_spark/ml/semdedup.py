@@ -55,18 +55,33 @@ def _prune_cells(
     smaller-id near-twin in its cell survives.  One equi-join on cell
     plus one distinct and one anti-join; no connected components needed
     (the rule is a NOT EXISTS, not a grouping).
+
+    Norms are precomputed per ROW before the self-join, so each of the
+    O(Σ|cell|²) pairs evaluates one dot product and a scalar
+    multiply/divide instead of three array folds — same sqrt/mul/div
+    tree as ``similarity.cosine`` (and the SQL oracle), so the doubles
+    are bit-identical.
     """
-    a = assigned.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "cell"
+    normed = assigned.withColumn("nrm", similarity.l2_norm(F.col("v")))
+    a = normed.select(
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "cell",
     )
-    b = assigned.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "cell"
+    b = normed.select(
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "cell",
     )
     dropped = (
         a.join(b, on="cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            similarity.cosine(F.col("va"), F.col("vb")) >= F.lit(threshold)
+            similarity.dot(F.col("va"), F.col("vb"))
+            / (F.col("na") * F.col("nb"))
+            >= F.lit(threshold)
         )
         .select(F.col("id_b").alias(id_col))
         .distinct()

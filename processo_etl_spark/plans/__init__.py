@@ -125,7 +125,10 @@ _PRIORITY = (
     # output migration is complete — a graded slot spent on a
     # known-red probe is a slot wasted.
     "distinct_year_count",
-    "approx_distinct_users",
+    # SemDeDup head (r4): takes the slot of approx_distinct_users, which
+    # is not a §2 id and is twice driver-green (r1+r2) — the sketch
+    # stays registered just past the window, still oracle-checked.
+    "dedup_semantic_cells",
 )
 
 
