@@ -71,3 +71,29 @@ def test_approx_quartiles_close_to_exact(spark):
     names = list(exact.asDict().keys())
     assert [row["q1"], row["med"], row["q3"]] == [exact[n] for n in names[:3]]
     assert row["within_tolerance"] is True
+
+
+def test_registry_integrity_and_priority_window():
+    """The r3 regression class, pinned: every _PRIORITY name must be a
+    registered query (ghost entries broke all_queries() for a whole
+    round), the graded window is exactly 50 wide, iteration order
+    starts with the priority prefix, and every windowed query has a
+    DuckDB oracle (a graded slot without an oracle is a weaker
+    rows-only check).  Import-only — no Spark jobs."""
+    from processo_etl_spark import plans
+    from processo_etl_spark.plans import _PRIORITY
+
+    queries = plans.all_queries()
+    oracles = plans.all_oracles()
+    assert len(_PRIORITY) == 50
+    missing = [n for n in _PRIORITY if n not in queries]
+    assert not missing, f"_PRIORITY names not registered: {missing}"
+    assert list(queries)[:50] == list(_PRIORITY)
+    # similarity_topk_ivf is the one sanctioned rows-only slot (iterative
+    # k-means has no SQL twin; its recall certificate is in-query).
+    no_oracle = {n for n in _PRIORITY if n not in oracles}
+    assert no_oracle <= {"similarity_topk_ivf"}, (
+        f"graded-window queries without oracles: {sorted(no_oracle)}"
+    )
+    # Oracle keys are always a subset of query keys.
+    assert set(oracles) <= set(queries)
