@@ -553,3 +553,89 @@ def duplicate_spans(
         )
         .select("doc_id", "span_start", "span_end", "n_dup_grams")
     )
+
+
+def minhash_lsh_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental dedup: match an APPEND BATCH against an existing
+    corpus — the production daily-ingest shape.  Candidates only ever
+    cross batch × corpus (an equi-join on (band, band_hash) between the
+    two sides); the quadratic-ish within-corpus work happened once when
+    the corpus was first deduplicated, and at cluster scale the
+    corpus's banded signature relation is a persisted parquet "index"
+    table that each day's batch probes.
+
+    Returns one row per batch doc: (id, dup_of, jaccard) where
+    ``dup_of`` is the LOWEST corpus id whose verified Jaccard ≥
+    threshold (NULL for genuinely-new docs, which are safe to append).
+    """
+
+    def prep(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col(id_col).alias("doc"),
+            F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+        ).withColumn("sig", minhash_signature(F.col("sh"), k))
+
+    rows_per_band = k // bands
+
+    def banded(base: DataFrame) -> DataFrame:
+        return base.select(
+            "doc",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _band_hash(F.col("sig"), b, rows_per_band).alias("bh"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("lsh"),
+        ).select("doc", "lsh.band", "lsh.bh")
+
+    corpus_base = prep(corpus).persist()
+    batch_base = prep(batch).persist()
+    cand = (
+        banded(batch_base)
+        .select(F.col("doc").alias("bid"), "band", "bh")
+        .join(
+            banded(corpus_base).select(F.col("doc").alias("cid"), "band", "bh"),
+            on=["band", "bh"],
+        )
+        .select("bid", "cid")
+        .dropDuplicates(["bid", "cid"])
+    )
+    pairs = cand.join(
+        batch_base.select(F.col("doc").alias("bid"), F.col("sh").alias("sh_b")),
+        on="bid",
+    ).join(
+        corpus_base.select(F.col("doc").alias("cid"), F.col("sh").alias("sh_c")),
+        on="cid",
+    )
+    inter = F.size(F.array_intersect("sh_b", "sh_c"))
+    union = F.size("sh_b") + F.size("sh_c") - inter
+    verified = (
+        pairs.withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    # Lowest matching corpus id per batch doc — min over (cid, jaccard)
+    # structs is deterministic because cid is unique within a bid group.
+    best = verified.groupBy("bid").agg(
+        F.min(F.struct("cid", "jaccard")).alias("m")
+    )
+    return batch_base.select(F.col("doc").alias(id_col)).join(
+        best.select(
+            F.col("bid").alias(id_col),
+            F.col("m.cid").alias("dup_of"),
+            F.col("m.jaccard").alias("jaccard"),
+        ),
+        on=id_col,
+        how="left",
+    )

@@ -140,6 +140,58 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+# --- incremental dedup: append batch vs indexed corpus ---------------------------------
+@register(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id AS doc, {_SHINGLES} AS sh, doc_id % 10 = 0 AS is_batch
+      FROM documents),
+    sigs AS (
+      SELECT doc, sh, is_batch,
+        [{", ".join(_minhash_sql(i, 8) for i in range(8))}] AS sig
+      FROM base),
+    banded AS (
+      SELECT doc, is_batch, b.band,
+        md5(concat_ws(',', CAST(sig[b.band*4+1] AS VARCHAR), CAST(sig[b.band*4+2] AS VARCHAR),
+                           CAST(sig[b.band*4+3] AS VARCHAR), CAST(sig[b.band*4+4] AS VARCHAR))) AS bh
+      FROM sigs, (SELECT unnest([0,1]) AS band) b),
+    cand AS (
+      SELECT DISTINCT l.doc AS bid, r.doc AS cid
+      FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh
+      WHERE l.is_batch AND NOT r.is_batch),
+    verified AS (
+      SELECT c.bid, c.cid,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          AS jaccard
+      FROM cand c
+      JOIN base a ON a.doc = c.bid
+      JOIN base b ON b.doc = c.cid
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          >= 0.2),
+    best AS (SELECT bid, min(cid) AS dup_of FROM verified GROUP BY bid)
+    SELECT s.doc AS doc_id, best.dup_of AS dup_of, v.jaccard AS jaccard
+    FROM (SELECT doc FROM base WHERE is_batch) s
+    LEFT JOIN best ON s.doc = best.bid
+    LEFT JOIN verified v ON v.bid = best.bid AND v.cid = best.dup_of
+    """,
+)
+def dedup_incremental_lsh(spark, sf_dir):
+    """Incremental (append-batch) dedup: docs with doc_id % 10 = 0 play
+    today's ingest, the rest the already-deduplicated corpus —
+    ml/dedup.minhash_lsh_incremental probes the corpus's banded
+    signature index; candidates only cross batch × corpus.  dup_of is
+    the lowest matching corpus id (NULL ⇒ safe to append)."""
+    docs = t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.minhash_lsh_incremental(
+        corpus, batch, "doc_id", "text", k=8, bands=2, shingle_n=3, threshold=0.2
+    )
+
+
 # --- blocked exact n-gram Jaccard ------------------------------------------------------
 @register(
     "dedup_ngram_jaccard",

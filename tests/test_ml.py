@@ -603,3 +603,31 @@ def test_dsir_importance_direction_and_counts(spark):
     for d_hi in (1, 2, 5):
         for d_lo in (3, 4):
             assert out[d_hi][1] > out[d_lo][1]
+
+
+def test_incremental_lsh_flags_dups_and_passes_new(spark):
+    """A batch doc near-identical to a corpus doc gets dup_of set to
+    that corpus id; a genuinely new doc comes back NULL (safe to
+    append); batch docs never match each other."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different corpus text about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "entirely novel content never seen before anywhere"),
+            (12, "entirely novel content never seen before anywhere"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["dup_of"]
+        for r in dedup.minhash_lsh_incremental(
+            corpus, batch, "doc_id", "text", k=8, bands=2, threshold=0.5
+        ).collect()
+    }
+    assert out == {10: 1, 11: None, 12: None}
