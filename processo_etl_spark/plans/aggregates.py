@@ -449,14 +449,14 @@ def grouped_quartiles_returnflag(spark, sf_dir):
         SUM(CAST(ROUND(l_quantity, 2) AS DECIMAL(12,2)) * CAST(ROUND(l_discount, 2) AS DECIMAL(12,2))) AS sxz
       FROM lineitem)
     SELECT
-      CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      ROUND(CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         / ( sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
           * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) )
-        AS DOUBLE) AS corr_qty_price,
-      CAST((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+        AS DOUBLE), 12) AS corr_qty_price,
+      ROUND(CAST((CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
         / ( sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
           * sqrt(CAST(n AS DOUBLE) * CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)) )
-        AS DOUBLE) AS corr_qty_discount
+        AS DOUBLE), 12) AS corr_qty_discount
     FROM s
     """,
 )
@@ -465,9 +465,15 @@ def corr_matrix_lineitem(spark, sf_dir):
 
     Built-in `corr` accumulates doubles whose value depends on partition
     order — not reproducible, and not oracle-matchable.  Exact decimal
-    sums (n, Σx, Σy, Σxy, …) are order-insensitive; the final double
-    formula then matches DuckDB bit-for-bit.  Same single-shuffle shape
-    as any global aggregate, and the moment sums are map-side combined.
+    sums (n, Σx, Σy, Σxy, …) are order-insensitive; the final formula is
+    then rounded to 12 decimals on both engines: once a scaled moment
+    exceeds 2^53, DuckDB's decimal→double cast (int128→double, then
+    divide by 10^scale — two roundings) can land 1 ULP away from
+    Spark's correctly-rounded BigDecimal conversion (first seen at
+    sf0.1; sf0.01 moments stay under 2^53).  12 decimals keeps ~9
+    significant digits of a |corr|≈1e-3 value — far above the ULP noise,
+    never near a rounding tie.  Same single-shuffle shape as any global
+    aggregate, and the moment sums are map-side combined.
     """
     li = t(spark, sf_dir, "lineitem")
     x, y, z = dec("l_quantity"), dec("l_extendedprice"), dec("l_discount")
@@ -488,8 +494,8 @@ def corr_matrix_lineitem(spark, sf_dir):
         return (num / den).cast("double")
 
     return s.select(
-        corr_of("sxy", "sx", "sy", "sxx", "syy").alias("corr_qty_price"),
-        corr_of("sxz", "sx", "sz", "sxx", "szz").alias("corr_qty_discount"),
+        F.round(corr_of("sxy", "sx", "sy", "sxx", "syy"), 12).alias("corr_qty_price"),
+        F.round(corr_of("sxz", "sx", "sz", "sxx", "szz"), 12).alias("corr_qty_discount"),
     )
 
 

@@ -198,3 +198,36 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) >= {"id", "v", "new_col"}
     assert merged.count() == 10
     assert merged.filter(F.col("new_col").isNull()).count() == 5
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
+    """Z-order clustering prunes row groups for selective predicates on
+    EITHER interleaved column; single-column sort only prunes its own.
+    Uses two independent uniform dims so neither ordering is free."""
+    import pyspark.sql.functions as F
+
+    from processo_etl_spark.sources import layout
+
+    n = 1 << 14
+    df = (
+        spark.range(n)
+        .withColumn("x", (F.col("id") * 2654435761 % n) % 256)
+        .withColumn("y", (F.col("id") * 40503 % n) % 256)
+        .drop("id")
+    )
+    zpath = str(tmp_path / "zorder")
+    layout.write_zordered(df, zpath, "x", "y", bits=8, num_files=4)
+    spath = str(tmp_path / "xsort")
+    layout.write_sorted(df, spath, ["x"], num_files=4)
+
+    def frac(path, col):
+        return layout.skipping_fraction(layout.row_group_ranges(path, col), 10, 20)
+
+    # Z-order: meaningful pruning on BOTH dims.
+    assert frac(zpath, "x") >= 0.5
+    assert frac(zpath, "y") >= 0.5
+    # x-sort: strong on x (bounded by row-group quantization), none on y.
+    assert frac(spath, "x") >= 0.7
+    assert frac(spath, "y") <= 0.15
+    # Layout never changes content.
+    assert spark.read.parquet(zpath).count() == n
