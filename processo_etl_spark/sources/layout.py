@@ -23,15 +23,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _write(df: DataFrame, path: str, parquet_block_bytes: int | None) -> None:
+    w = df.write.mode("overwrite")
+    if parquet_block_bytes:
+        # Row-group granularity bounds how finely stats pruning can skip:
+        # a file is pruned row-group-at-a-time, so clustering pays off in
+        # proportion to groups-per-file.  Default (128 MB) is right for
+        # production files; tests shrink it to model a many-group file.
+        w = w.option("parquet.block.size", parquet_block_bytes)
+    w.parquet(path)
+
+
 def write_sorted(
-    df: DataFrame, path: str, cluster_cols: list[str], num_files: int | None = None
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int | None = None,
+    parquet_block_bytes: int | None = None,
 ) -> None:
     out = (
         df.repartitionByRange(num_files, *cluster_cols)
         if num_files
         else df.repartitionByRange(*cluster_cols)
     )
-    out.sortWithinPartitions(*cluster_cols).write.mode("overwrite").parquet(path)
+    _write(out.sortWithinPartitions(*cluster_cols), path, parquet_block_bytes)
 
 
 def row_group_ranges(path: str, column: str) -> list[tuple]:
@@ -95,6 +110,7 @@ def write_zordered(
     col2: str,
     bits: int = 16,
     num_files: int | None = None,
+    parquet_block_bytes: int | None = None,
 ) -> None:
     """Write clustered on the Z-order key of (col1, col2): range-exchange
     + local sort on the interleaved key, key column dropped from the
@@ -107,4 +123,4 @@ def write_zordered(
         if num_files
         else keyed.repartitionByRange("__z")
     )
-    out.sortWithinPartitions("__z").drop("__z").write.mode("overwrite").parquet(path)
+    _write(out.sortWithinPartitions("__z").drop("__z"), path, parquet_block_bytes)

@@ -203,7 +203,13 @@ def test_schema_evolution_merge(spark, tmp_path):
 def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
     """Z-order clustering prunes row groups for selective predicates on
     EITHER interleaved column; single-column sort only prunes its own.
-    Uses two independent uniform dims so neither ordering is free."""
+
+    Dims must be genuinely independent: two linear-congruential maps of
+    the same id are correlated at row-group granularity (an x-sorted
+    run is an arithmetic progression of ids, which clusters any other
+    affine map of id), so hash-derive each dim with its own seed.
+    Small parquet.block.size gives many row groups per file — the unit
+    stats pruning actually skips — like a production 128 MB-group file."""
     import pyspark.sql.functions as F
 
     from processo_etl_spark.sources import layout
@@ -211,14 +217,18 @@ def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
     n = 1 << 14
     df = (
         spark.range(n)
-        .withColumn("x", (F.col("id") * 2654435761 % n) % 256)
-        .withColumn("y", (F.col("id") * 40503 % n) % 256)
+        .withColumn("x", F.pmod(F.xxhash64("id"), F.lit(256)))
+        .withColumn("y", F.pmod(F.xxhash64("id", F.lit(1)), F.lit(256)))
         .drop("id")
     )
     zpath = str(tmp_path / "zorder")
-    layout.write_zordered(df, zpath, "x", "y", bits=8, num_files=4)
+    layout.write_zordered(
+        df, zpath, "x", "y", bits=8, num_files=4, parquet_block_bytes=16 * 1024
+    )
     spath = str(tmp_path / "xsort")
-    layout.write_sorted(df, spath, ["x"], num_files=4)
+    layout.write_sorted(
+        df, spath, ["x"], num_files=4, parquet_block_bytes=16 * 1024
+    )
 
     def frac(path, col):
         return layout.skipping_fraction(layout.row_group_ranges(path, col), 10, 20)
