@@ -639,3 +639,41 @@ def minhash_lsh_incremental(
         on=id_col,
         how="left",
     )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Keep-one dedup: pick the best-scoring document per duplicate
+    cluster (the step that turns pair/cluster output into an actual
+    deduplicated corpus — RefinedWeb/C4-style "keep longest/best").
+
+    ``pairs`` is any near-dup pair set (MinHash-LSH, SimHash, ...);
+    clusters come from :func:`connected_components`.  Docs untouched by
+    any pair are their own singleton cluster and always kept.  Winner =
+    max ``score_col``, ties broken by min id — fully deterministic.
+
+    Scale shape: components are O(log D) distributed rounds over the
+    (tiny) pair graph only; the corpus-wide work is one left join on id
+    (broadcastable — the cluster map is |pair-touched docs|, orders of
+    magnitude smaller than the corpus) plus one window shuffle on
+    cluster.  Skew-safe: a pathological mega-cluster is itself the
+    signal to fix upstream thresholds, and the window state per cluster
+    is one row_number counter, not a buffer.
+    """
+    clusters = connected_components(pairs).withColumnRenamed("doc", id_col)
+    labeled = docs.join(F.broadcast(clusters), on=id_col, how="left").withColumn(
+        "cluster", F.coalesce(F.col("cluster"), F.col(id_col))
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return labeled.select(
+        id_col,
+        "cluster",
+        F.col(score_col),
+        (F.row_number().over(w) == 1).alias("kept"),
+    )

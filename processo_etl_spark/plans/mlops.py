@@ -1300,3 +1300,69 @@ def curation_pipeline(spark, sf_dir):
     return splits.with_split(kept, "doc_id").select(
         "doc_id", "lang", "source", "split", F.col("n_tokens").cast("long").alias("n_tokens")
     )
+
+
+# --- document chunking: fixed-size sliding token windows -------------------------------
+@register(
+    "chunk_documents_sliding",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, toks,
+            unnest(generate_series(0, greatest(len(toks) - 1, 0), 32)) AS start
+          FROM w)
+    SELECT doc_id,
+      CAST(start // 32 AS BIGINT) AS chunk_id,
+      CAST(start AS BIGINT) AS chunk_start,
+      CAST(len(toks[start + 1 : start + 64]) AS BIGINT) AS n_tokens,
+      array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def chunk_documents_sliding(spark, sf_dir):
+    """Sliding-window chunking (size 64, stride 32 — 50% overlap): the
+    RAG / long-context prep step.  Pure narrow map (split → posexplode →
+    slice), zero shuffles; fan-out bounded at size/stride ≈ 2×."""
+    from processo_etl_spark.ml import chunking
+
+    return chunking.chunk_documents(
+        t(spark, sf_dir, "documents"), "doc_id", "text", size=64, stride=32
+    )
+
+
+# --- keep-one dedup: best-scoring representative per duplicate cluster ----------------
+@register(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_CTES},
+    edges AS (
+      SELECT id_a, id_b FROM verified WHERE jaccard >= 0.2),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM edges
+      UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+    clusters AS (
+      SELECT a AS doc, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+    labeled AS (
+      SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster, d.n_chars
+      FROM documents d LEFT JOIN clusters c ON c.doc = d.doc_id)
+    SELECT doc_id, cluster, n_chars,
+      row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) = 1
+        AS kept
+    FROM labeled
+    """,
+)
+def dedup_cluster_keep_best(spark, sf_dir):
+    """Keep-one dedup: LSH pairs → connected components → keep the
+    LONGEST doc per cluster (RefinedWeb/C4 keep-best heuristic), ties
+    to min id.  Singletons always kept.  Corpus-side cost: one
+    broadcast join + one window shuffle on cluster."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=8, bands=2, shingle_n=3, threshold=0.2
+    )
+    return dedup.cluster_representatives(
+        docs.select("doc_id", "n_chars"), pairs, "doc_id", "n_chars"
+    )

@@ -631,3 +631,48 @@ def test_incremental_lsh_flags_dups_and_passes_new(spark):
         ).collect()
     }
     assert out == {10: 1, 11: None, 12: None}
+
+
+def test_chunking_windows_hand_computed(spark):
+    """Sliding windows: exact starts/lengths on a known token stream;
+    short doc emits one full-copy chunk; no input row dropped."""
+    from processo_etl_spark.ml import chunking
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "solo")], ["doc_id", "text"]
+    )
+    out = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunking.chunk_documents(
+            df, "doc_id", "text", size=4, stride=3
+        ).collect()
+    }
+    # doc 1: 10 tokens, starts 0,3,6,9 -> lengths 4,4,4,1
+    assert [out[(1, i)]["chunk_start"] for i in range(4)] == [0, 3, 6, 9]
+    assert [out[(1, i)]["n_tokens"] for i in range(4)] == [4, 4, 4, 1]
+    assert out[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert out[(1, 3)]["chunk_text"] == "w9"
+    # doc 2: single token -> exactly one chunk, the whole text
+    assert {(d, c) for (d, c) in out if d == 2} == {(2, 0)}
+    assert out[(2, 0)]["chunk_text"] == "solo"
+
+
+def test_cluster_representatives_keeps_best_and_singletons(spark):
+    """Keep-one dedup: winner by score desc then min id; docs outside
+    every pair survive as their own singleton cluster."""
+    from processo_etl_spark.ml import dedup
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 7)], ["doc_id", "score"]
+    )
+    # 1-2-3 form one component (via 1-2 and 2-3); 4 untouched.
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9)], ["id_a", "id_b", "jaccard"]
+    )
+    rows = dedup.cluster_representatives(docs, pairs, "doc_id", "score").collect()
+    kept = {r["doc_id"]: r["kept"] for r in rows}
+    cluster = {r["doc_id"]: r["cluster"] for r in rows}
+    # score tie 2 vs 3 -> min id 2 wins; singleton 4 kept.
+    assert kept == {1: False, 2: True, 3: False, 4: True}
+    assert cluster == {1: 1, 2: 1, 3: 1, 4: 4}
