@@ -139,6 +139,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probes: int = 1,
+    exclude_equal: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's sign-LSH bucket.
 
@@ -149,25 +150,36 @@ def lsh_topk(
     rises roughly multiplicatively in table count while the join stays
     linear — the standard multi-table LSH trade (probes× candidate
     cost for recall).
+
+    ``exclude_equal``: name of a column present on both sides; candidate
+    pairs AGREEING on it are dropped (hard-negative mining: nearest
+    vectors with a *different* label).  The filter sits on the bucket
+    join output, so pruning and linearity are unchanged.
     """
     cands = []
+    extra_q = [F.col(exclude_equal).alias("_q_ex")] if exclude_equal else []
+    extra_c = [F.col(exclude_equal).alias("_c_ex")] if exclude_equal else []
+    out_extra = ["_c_ex"] if exclude_equal else []
     for p in range(probes):
         off = p * bits
         q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
             sign_bucket_at(F.col(vec_col), bits, off).alias("bkt"),
+            *extra_q,
         )
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
             sign_bucket_at(F.col(vec_col), bits, off).alias("bkt"),
+            *extra_c,
         )
-        cands.append(
-            c.join(F.broadcast(q), on="bkt")
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", "neighbor_id", "cv", "qv")
+        cand = c.join(F.broadcast(q), on="bkt").filter(
+            F.col("neighbor_id") != F.col("query_id")
         )
+        if exclude_equal:
+            cand = cand.filter(F.col("_c_ex") != F.col("_q_ex"))
+        cands.append(cand.select("query_id", "neighbor_id", "cv", "qv", *out_extra))
     from functools import reduce
 
     pool = reduce(DataFrame.unionByName, cands).dropDuplicates(
@@ -175,11 +187,19 @@ def lsh_topk(
     )
     scored = pool.withColumn("cos", cosine(F.col("cv"), F.col("qv")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
+    ranked = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
     )
+    if exclude_equal:
+        return ranked.select(
+            "query_id",
+            "neighbor_id",
+            "cos",
+            "rank",
+            F.col("_c_ex").alias(f"neighbor_{exclude_equal}"),
+        )
+    return ranked.select("query_id", "neighbor_id", "cos", "rank")
 
 
 # --- IVF (inverted-file) ANN: k-means coarse quantizer + cell-probed search ---------

@@ -1366,3 +1366,42 @@ def dedup_cluster_keep_best(spark, sf_dir):
     return dedup.cluster_representatives(
         docs.select("doc_id", "n_chars"), pairs, "doc_id", "n_chars"
     )
+
+
+# --- hard-negative mining: nearest neighbors with a DIFFERENT label -------------------
+@register(
+    "hard_negatives_topk",
+    oracle=f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS_SQL} AS cos,
+           CAST(row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY {_COS_SQL} DESC, c.vec_id) AS INT) AS rank,
+           c.label AS neighbor_label
+    FROM embeddings q
+    JOIN embeddings c
+      ON ({_MULTIPROBE_ON})
+     AND c.vec_id != q.vec_id
+     AND c.label != q.label
+    WHERE q.vec_id < 8
+    QUALIFY rank <= 5
+    """,
+)
+def hard_negatives_topk(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-5 most-similar vectors carrying a DIFFERENT label — the
+    negatives that actually move a contrastive loss.  Same multi-table
+    sign-LSH candidate generation as ``similarity_topk_lsh`` (bucket
+    equi-joins, linear, never all-pairs) with the label-mismatch filter
+    applied on the bucket-join output; at 100 TB the anchor set is a
+    sampled minibatch stream and the corpus side stays the bucketed
+    scan."""
+    emb = t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 8)
+    return similarity.lsh_topk(
+        emb,
+        anchors,
+        k=5,
+        bits=_LSH_BITS,
+        probes=_LSH_PROBES,
+        exclude_equal="label",
+    )

@@ -676,3 +676,30 @@ def test_cluster_representatives_keeps_best_and_singletons(spark):
     # score tie 2 vs 3 -> min id 2 wins; singleton 4 kept.
     assert kept == {1: False, 2: True, 3: False, 4: True}
     assert cluster == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_hard_negatives_exclude_anchor_label(spark):
+    """Hard-negative mining returns nearest DIFFERENT-label vectors:
+    a same-label near-twin is skipped in favor of the best cross-label
+    candidate, and every emitted neighbor disagrees with its anchor."""
+    from processo_etl_spark.ml import similarity
+
+    # All four share the sign pattern (+,-,+,-) so sign-LSH puts them in
+    # one bucket and the test isolates the label-exclusion logic.
+    rows = [
+        (0, [1.0, -1.0, 1.0, -1.0], "a"),  # anchor
+        (1, [0.9, -0.9, 1.1, -1.2], "a"),  # same-label twin: excluded
+        (2, [0.8, -0.7, 0.9, -1.5], "b"),  # best valid negative
+        (3, [0.1, -2.0, 0.5, -0.1], "b"),  # weaker negative
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = similarity.lsh_topk(
+        emb,
+        emb.filter("vec_id = 0"),
+        k=2,
+        bits=4,
+        probes=1,
+        exclude_equal="label",
+    ).collect()
+    assert [r["neighbor_id"] for r in out] == [2, 3]
+    assert all(r["neighbor_label"] == "b" for r in out)
