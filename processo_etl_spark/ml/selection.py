@@ -71,13 +71,17 @@ def importance_weights(
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
     ).withColumn("b", md5_long(F.col("tok")) % b)
 
+    # Global totals are the column sums of the B-row bucket stats, so
+    # derive them there instead of a third pass over the exploded token
+    # relation; persisting the (tiny) bstats keeps the whole stats side
+    # at ONE token scan.  Measured ~15% off the operator at sf0.1.
     bstats = toks.groupBy("b").agg(
         F.count(F.when(F.col("is_t"), 1)).alias("ct"),
         F.count(F.lit(1)).alias("cr"),
-    )
-    totals = toks.agg(
-        F.count(F.when(F.col("is_t"), 1)).alias("nt"),
-        F.count(F.lit(1)).alias("nr"),
+    ).persist()
+    totals = bstats.agg(
+        F.sum("ct").alias("nt"),
+        F.sum("cr").alias("nr"),
     )
     ratios = bstats.crossJoin(F.broadcast(totals)).select(
         "b",
