@@ -99,3 +99,48 @@ def brute_force_topk_quantized(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def label_centroids(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Element-wise mean vector per label — class prototypes / cluster
+    centers as ONE distributed aggregation (vs the driver-side sampled
+    k-means trainer, which is for when labels don't exist yet).
+
+    Returns (label, dim, n_vecs, centroid) exploded per dimension: at
+    100 TB the shuffle key is (label, dim) — |labels|·|dims| groups, so
+    parallelism never collapses to |labels| and no task materializes a
+    whole vector set.  Sums run in exact DECIMAL (order-insensitive —
+    a double groupBy-sum varies in its last ULP with partition order),
+    then the mean is floor-pinned at 9 decimals (the engine-portable
+    truncation: see the inline comment).
+    """
+    comp = F.posexplode(F.col(vec_col)).alias("dim", "v")
+    return (
+        df.select(F.col(label_col).alias("label"), comp)
+        .groupBy("label", F.col("dim").cast("long").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            # float → DOUBLE first: Spark's float→decimal cast goes
+            # through the float's SHORTEST string repr (~1e-8 off the
+            # binary value), while DuckDB converts the binary value —
+            # widening to double first puts both engines within 1e-16
+            # of each other before the scale-12 decimal rounding.  The
+            # exact sum stays under 2^53 so its double image and the
+            # quotient are bit-identical on both engines; pin the mean
+            # with the floor trick (round() half-up/half-even disagrees
+            # between engines at the last place, floor of an identical
+            # double never does).
+            (
+                F.floor(
+                    F.sum(
+                        F.col("v").cast("double").cast("decimal(27,12)")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                    * F.lit(1e9)
+                )
+                / F.lit(1e9)
+            ).alias("centroid"),
+        )
+    )

@@ -1405,3 +1405,28 @@ def hard_negatives_topk(spark, sf_dir):
         probes=_LSH_PROBES,
         exclude_equal="label",
     )
+
+
+# --- per-label embedding centroids (class prototypes) ----------------------------------
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    WITH comp AS (
+      SELECT label,
+        unnest(generate_series(0, len(embedding) - 1)) AS dim,
+        unnest(embedding) AS v
+      FROM embeddings)
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+      count(*) AS n_vecs,
+      floor(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE)
+            / count(*) * 1e9) / 1e9 AS centroid
+    FROM comp GROUP BY label, dim
+    """,
+)
+def embedding_label_centroids(spark, sf_dir):
+    """Class-prototype vectors: exact-decimal element-wise mean per
+    label, exploded to (label, dim) so the shuffle parallelism is
+    |labels|x|dims|, not |labels|."""
+    from processo_etl_spark.ml import embeddings as emb_ops
+
+    return emb_ops.label_centroids(t(spark, sf_dir, "embeddings"))

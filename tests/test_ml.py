@@ -703,3 +703,27 @@ def test_hard_negatives_exclude_anchor_label(spark):
     ).collect()
     assert [r["neighbor_id"] for r in out] == [2, 3]
     assert all(r["neighbor_label"] == "b" for r in out)
+
+
+def test_label_centroids_hand_computed(spark):
+    """Element-wise per-label mean, floor-pinned at 9 decimals."""
+    from processo_etl_spark.ml import embeddings as E
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], "a"),
+            (2, [3.0, 6.0], "a"),
+            (3, [10.0, -10.0], "b"),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    out = {
+        (r["label"], r["dim"]): (r["n_vecs"], r["centroid"])
+        for r in E.label_centroids(df).collect()
+    }
+    assert out == {
+        ("a", 0): (2, 2.0),
+        ("a", 1): (2, 4.0),
+        ("b", 0): (1, 10.0),
+        ("b", 1): (1, -10.0),
+    }
