@@ -497,6 +497,38 @@ def simhash_dedup_pairs_banded(
     )
 
 
+def _positional_grams(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(doc_id, pos, g): word n-grams with their 1-based start position."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_shingles(F.col(text_col), n)).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "g")
+
+
+def _dup_gram_keys(grams: DataFrame, min_docs: int) -> DataFrame:
+    """Grams occurring in ≥ min_docs distinct docs — the shuffle that
+    finds cross-document repetition."""
+    if min_docs == 2:
+        # "≥2 distinct docs" ⟺ min(doc) ≠ max(doc): min/max partial-
+        # aggregate map-side for pennies, where count_distinct builds a
+        # per-gram hash set before it can combine.  Measured 15–20%
+        # off the whole operator at sf0.1.
+        return (
+            grams.groupBy("g")
+            .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+            .filter(F.col("_mn") != F.col("_mx"))
+            .select("g")
+        )
+    return (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str,
@@ -530,28 +562,8 @@ def duplicate_spans(
     materialized once, switch the join key to ``md5_long(g)`` to cut
     shuffle bytes ~2.5×.
     """
-    grams = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(word_shingles(F.col(text_col), n)).alias("pos0", "g"),
-    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "g")
-    if min_docs == 2:
-        # "≥2 distinct docs" ⟺ min(doc) ≠ max(doc): min/max partial-
-        # aggregate map-side for pennies, where count_distinct builds a
-        # per-gram hash set before it can combine.  Measured 15–20%
-        # off the whole operator at sf0.1.
-        dup = (
-            grams.groupBy("g")
-            .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
-            .filter(F.col("_mn") != F.col("_mx"))
-            .select("g")
-        )
-    else:
-        dup = (
-            grams.groupBy("g")
-            .agg(F.count_distinct("doc_id").alias("nd"))
-            .filter(F.col("nd") >= min_docs)
-            .select("g")
-        )
+    grams = _positional_grams(df, text_col, id_col, n)
+    dup = _dup_gram_keys(grams, min_docs)
     w = Window.partitionBy("doc_id").orderBy("pos")
     return (
         grams.join(dup, on="g")
@@ -564,6 +576,74 @@ def duplicate_spans(
             F.count(F.lit(1)).alias("n_dup_grams"),
         )
         .select("doc_id", "span_start", "span_end", "n_dup_grams")
+    )
+
+
+def excise_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove cross-document duplicated spans from the text — the
+    excision half of ExactSubstr dedup (Lee et al. 2022): every token
+    covered by a word n-gram that occurs in ≥ ``min_docs`` distinct
+    documents is dropped; the survivors are re-joined in order.
+
+    Returns (doc_id, clean_text, n_tokens_kept, n_tokens_removed); a
+    fully-boilerplate document survives as an empty ``clean_text`` row
+    rather than vanishing, so downstream counts reconcile.
+
+    Plan shape: the same gram doc-frequency shuffle as
+    :func:`duplicate_spans`, then covered positions are the dup-gram
+    hits exploded n ways (bounded fan-out, no range join), removed from
+    the token stream with a LEFT ANTI equi-join on (doc, pos).  The
+    per-doc re-assembly sorts a collected (pos, token) list — bounded
+    by document length, the same bound the text column itself already
+    imposes on a row.
+    """
+    words = F.split(normalize_text(text_col), " ")
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("w"))
+    toks = base.select(
+        "doc_id", F.posexplode("w").alias("pos0", "t")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "t")
+    grams = _positional_grams(df, text_col, id_col, n)
+    dup = _dup_gram_keys(grams, min_docs)
+    covered = (
+        grams.join(dup, on="g")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, on=["doc_id", "pos"], how="left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "t"))),
+                lambda s: s["t"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc_id", F.size("w").cast("long").alias("_n_total"))
+        .join(agg, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens_kept", F.lit(0))
+            .cast("long")
+            .alias("n_tokens_kept"),
+            (F.col("_n_total") - F.coalesce("n_tokens_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
     )
 
 

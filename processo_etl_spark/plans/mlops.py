@@ -1430,3 +1430,46 @@ def embedding_label_centroids(spark, sf_dir):
     from processo_etl_spark.ml import embeddings as emb_ops
 
     return emb_ops.label_centroids(t(spark, sf_dir, "embeddings"))
+
+
+# --- ExactSubstr excision: rewrite text with duplicated spans removed ------------------
+@register(
+    "dedup_excise_spans",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    tok AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, w[i] AS t
+      FROM base, UNNEST(generate_series(1, len(w))) AS s(i)),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
+      FROM base, UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS s(i)),
+    dup AS (
+      SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    covered AS (
+      SELECT DISTINCT h.doc_id, h.pos + d.d AS pos
+      FROM (SELECT doc_id, pos FROM grams JOIN dup USING (g)) h,
+           UNNEST(generate_series(0, 2)) AS d(d)),
+    kept AS (
+      SELECT tok.doc_id, tok.pos, tok.t
+      FROM tok ANTI JOIN covered USING (doc_id, pos)),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(t, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT b.doc_id,
+      coalesce(a.clean_text, '') AS clean_text,
+      coalesce(a.n_kept, 0) AS n_tokens_kept,
+      len(b.w) - coalesce(a.n_kept, 0) AS n_tokens_removed
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_excise_spans(spark, sf_dir):
+    """ExactSubstr EXCISION: drop every token covered by a cross-document
+    duplicated trigram and re-join the survivors in order — the step
+    that actually produces the deduplicated corpus from
+    ``dedup_duplicate_spans``'s findings."""
+    return dedup.excise_duplicate_spans(
+        t(spark, sf_dir, "documents"), "text", "doc_id", n=3, min_docs=2
+    )

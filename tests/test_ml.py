@@ -727,3 +727,26 @@ def test_label_centroids_hand_computed(spark):
         ("b", 0): (1, 10.0),
         ("b", 1): (1, -10.0),
     }
+
+
+def test_excise_spans_hand_computed(spark):
+    """Excision removes exactly the tokens covered by shared trigrams;
+    untouched docs pass through whole."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta unique1 tail1"),
+            (2, "alpha beta gamma delta unique2 tail2"),
+            (3, "totally different words here now ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.excise_duplicate_spans(df, "text", "doc_id").collect()
+    }
+    # Shared grams start at pos 1 and 2 -> covered positions 1..4.
+    assert out[1]["clean_text"] == "unique1 tail1"
+    assert out[1]["n_tokens_kept"] == 2 and out[1]["n_tokens_removed"] == 4
+    assert out[2]["clean_text"] == "unique2 tail2"
+    assert out[3]["clean_text"] == "totally different words here now ok"
+    assert out[3]["n_tokens_removed"] == 0
