@@ -170,3 +170,54 @@ def temperature_mixture_sample(
         .filter(hash_bucket(key, n_buckets) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def mixture_token_plan(
+    df: DataFrame,
+    source_col: str,
+    token_count: Column,
+    budget: int,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Token-budget mixture plan: how many tokens to draw from each
+    source to fill ``budget`` under temperature-weighted rebalancing
+    (w_s ∝ n_s^(1/T) — T=1 is proportional, T→∞ uniform; the
+    multilingual-mixture standard).  ``epochs`` > 1 means the source
+    repeats — the signal to cap or upweight elsewhere.
+
+    T=2 keeps the engine/oracle twins bit-identical (sqrt is IEEE
+    correctly-rounded on both; a general pow is not), and the Σ over
+    sources is a value-sorted left fold — the DSIR summation trick —
+    so the tiny source-count aggregate is order-insensitive too.
+
+    Scale: one combinable groupBy over the corpus, then arithmetic on
+    |sources| rows with the ONE-ROW Σ aggregate broadcast underneath —
+    the linear scalar-attach shape (Spark plans a condition-less
+    one-row broadcast as BroadcastNestedLoopJoin; with a single build
+    row that is a scalar attach, not an all-pairs blowup).
+    """
+    if temperature != 2.0:
+        raise NotImplementedError("oracle-parity path pins T=2 (sqrt)")
+    per = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(F.sum(token_count).cast("long").alias("n_tokens"))
+        .withColumn("_r", F.sqrt(F.col("n_tokens").cast("double")))
+    )
+    tot = per.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list("_r")),
+            F.lit(0.0).cast("double"),
+            lambda a, x: a + x,
+        ).alias("_S")
+    )
+    share = F.lit(float(budget)) * F.col("_r") / F.col("_S")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            (F.col("_r") / F.col("_S")).alias("weight"),
+            F.floor(share).cast("long").alias("target_tokens"),
+            (share / F.col("n_tokens")).alias("epochs"),
+        )
+    )

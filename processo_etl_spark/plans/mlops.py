@@ -1473,3 +1473,103 @@ def dedup_excise_spans(spark, sf_dir):
     return dedup.excise_duplicate_spans(
         t(spark, sf_dir, "documents"), "text", "doc_id", n=3, min_docs=2
     )
+
+
+# --- CCNet-style perplexity bucketing: head / middle / tail per language --------------
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents),
+    freq AS (
+      SELECT term, count(*) AS n_occurrences FROM toks GROUP BY 1),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    score AS (
+      SELECT t.doc_id,
+             CAST(SUM(CAST(f.n_occurrences * t.tf AS DECIMAL(38,0))) AS DOUBLE)
+               / CAST(SUM(t.tf) AS BIGINT) AS mean_term_freq
+      FROM tf t JOIN freq f USING (term)
+      GROUP BY t.doc_id),
+    bucketed AS (
+      SELECT s.doc_id, d.lang, s.mean_term_freq,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.mean_term_freq DESC, s.doc_id) AS nt
+      FROM score s JOIN documents d USING (doc_id))
+    SELECT doc_id, lang, mean_term_freq,
+      CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        AS ppl_bucket
+    FROM bucketed
+    """,
+)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail split, per language: rank documents by
+    the transcendental-free perplexity proxy (occurrence-weighted mean
+    corpus term frequency — higher = more 'expected' text) and cut each
+    language into score terciles.  Head feeds training as-is, middle is
+    candidate, tail is dropped or LM-rescored.
+
+    Scale: the score is two combinable groupBys + a distinct-(doc,term)
+    join; the tercile is a lang-PARTITIONED ntile — at 100 TB a single
+    language's partition is still one task's sort, so the scale path
+    swaps in operators/ranking.distributed_ntile applied per language
+    (same two-phase rank, no semantics change).
+    """
+    docs = t(spark, sf_dir, "documents")
+    scores = textstats.corpus_frequency_score(
+        docs, "text", "doc_id", rare_threshold=2
+    ).select("doc_id", "mean_term_freq")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("mean_term_freq"), F.asc("doc_id")
+    )
+    nt = F.ntile(3).over(w)
+    return (
+        scores.join(docs.select("doc_id", "lang"), on="doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "mean_term_freq",
+            F.when(nt == 1, "head")
+            .when(nt == 2, "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+    )
+
+
+# --- token-budget mixture plan: per-source draw sizes under temperature weights -------
+@register(
+    "mixture_token_plan",
+    oracle=f"""
+    WITH per AS (
+      SELECT source,
+             CAST(sum(len(string_split({_NORM}, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT list_reduce(list_sort(list(sqrt(CAST(n_tokens AS DOUBLE)))),
+                         (a, b) -> a + b) AS S
+      FROM per)
+    SELECT source, n_tokens,
+      sqrt(CAST(n_tokens AS DOUBLE)) / S AS weight,
+      CAST(floor(1000000.0 * sqrt(CAST(n_tokens AS DOUBLE)) / S) AS BIGINT)
+        AS target_tokens,
+      1000000.0 * sqrt(CAST(n_tokens AS DOUBLE)) / S / n_tokens AS epochs
+    FROM per, tot
+    """,
+)
+def mixture_token_plan(spark, sf_dir):
+    """Data-mixture planning: per-source token targets for a 1M-token
+    budget under T=2 temperature weights, with implied epochs (repeat
+    factor) per source."""
+    from processo_etl_spark.ml import splits
+    from processo_etl_spark.ml.dedup import normalize_text
+
+    docs = t(spark, sf_dir, "documents")
+    return splits.mixture_token_plan(
+        docs,
+        "source",
+        F.size(F.split(normalize_text("text"), " ")),
+        budget=1_000_000,
+    )

@@ -750,3 +750,25 @@ def test_excise_spans_hand_computed(spark):
     assert out[2]["clean_text"] == "unique2 tail2"
     assert out[3]["clean_text"] == "totally different words here now ok"
     assert out[3]["n_tokens_removed"] == 0
+
+
+def test_mixture_token_plan_invariants(spark):
+    """Weights sum to 1, targets fill the budget (to floor rounding),
+    and temperature flattens: smaller sources get > proportional share."""
+    from processo_etl_spark.ml import splits
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 400)], ["source", "toks"]
+    )
+    rows = {
+        r["source"]: r
+        for r in splits.mixture_token_plan(
+            df, "source", F.col("toks"), budget=1000
+        ).collect()
+    }
+    assert abs(sum(r["weight"] for r in rows.values()) - 1.0) < 1e-12
+    got = sum(r["target_tokens"] for r in rows.values())
+    assert 998 <= got <= 1000
+    # sqrt weighting: a has 1/5 of tokens but sqrt share 10/30 = 1/3.
+    assert abs(rows["a"]["weight"] - 1 / 3) < 1e-12
+    assert rows["a"]["epochs"] > rows["b"]["epochs"]

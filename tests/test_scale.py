@@ -90,8 +90,11 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
     # select_importance_dsir broadcasts the ONE-ROW (nt, nr) token-total
     # aggregate under the per-bucket ratio table — the same linear
     # scalar-attach shape as q11/q22.
+    # mixture_token_plan broadcasts the ONE-ROW Σ(sqrt n_s) aggregate
+    # under the |sources|-row table — same scalar-attach shape.
     allow_nested_loop = {
         "select_importance_dsir",
+        "mixture_token_plan",
         "similarity_topk_bruteforce",
         "similarity_topk_int8",
         "similarity_topk_ivf",
