@@ -737,3 +737,13 @@ def geo_nearest_poi(spark, sf_dir):
         .agg(F.min(key).alias("k"))
         .select("event_id", (F.col("k") % 1000).cast("int").alias("poi_id"))
     )
+
+
+@register("stream_curate_documents")
+def stream_curate_documents(spark, sf_dir):
+    """Streaming ingest-time curation of the documents feed (rows-only;
+    stateless quality filter — batch equivalence asserted in
+    tests/test_streaming.py)."""
+    from processo_etl_spark.streaming import jobs
+
+    return jobs.run_curate_availablenow(spark, sf_dir)

@@ -354,3 +354,51 @@ def run_enrich_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value")).cast("double").alias("total_value"),
         )
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet."""
+    raw = spark.read.parquet(catalog.table_path(sf_dir, "documents"))
+    return (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def curate_documents_stream(docs: DataFrame, min_quality: float = 0.3) -> DataFrame:
+    """Streaming curation: quality-score + language-id each arriving
+    document and keep the ones above threshold.
+
+    Every feature is a stateless narrow map (HOF folds — the same
+    ml/textstats operators the batch path runs), so the stream needs no
+    watermark, no state store, and no shuffle: ingest-time filtering at
+    line rate, the "curate on arrival" half of a training-data lake.
+    Dedup against history is the separate stateful op
+    (``dedup_within_watermark`` / ``ml/dedup.minhash_lsh_incremental``).
+    """
+    from processo_etl_spark.ml import textstats
+
+    feats = textstats.quality_features(docs, "text")
+    return feats.withColumn(
+        "lang_pred", textstats.detect_language("text")
+    ).filter(F.col("quality_score") >= min_quality).select(
+        "doc_id", "lang", "lang_pred", "n_tokens", "quality_score"
+    )
+
+
+def run_curate_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the documents source through the streaming curation filter."""
+    docs = read_documents_stream(spark, sf_dir)
+    name = f"stream_curate_{uuid.uuid4().hex[:8]}"
+    q = (
+        curate_documents_stream(docs)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

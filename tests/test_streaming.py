@@ -272,3 +272,26 @@ def test_foreach_batch_jdbc_upsert_replay_safe(spark, tmp_path):
     finally:
         st.execute("DROP TABLE stream_events")
         conn.close()
+
+
+def test_stream_curate_matches_batch(spark):
+    """Stateless streaming curation drained with availableNow equals the
+    batch filter over the same table."""
+    from processo_etl_spark import catalog
+    from processo_etl_spark.ml import textstats
+    from processo_etl_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["lang_pred"], r["quality_score"])
+        for r in jobs.run_curate_availablenow(spark, sf).collect()
+    }
+    docs = catalog.load(spark, sf, "documents")
+    feats = textstats.quality_features(docs, "text").withColumn(
+        "lang_pred", textstats.detect_language("text")
+    )
+    want = {
+        r["doc_id"]: (r["lang_pred"], r["quality_score"])
+        for r in feats.filter("quality_score >= 0.3").collect()
+    }
+    assert got == want and len(got) > 0
