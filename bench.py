@@ -47,6 +47,10 @@ HEADLINE = (
     "dedup_semantic_cells",
     "dedup_duplicate_spans",
     "select_importance_dsir",
+    # r4 late additions: ExactSubstr excision (the cleaned-corpus
+    # producer) and CCNet head/middle/tail triage.
+    "dedup_excise_spans",
+    "ccnet_perplexity_buckets",
 )
 
 
