@@ -610,15 +610,15 @@ def excise_duplicate_spans(
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "t")
     grams = _positional_grams(df, text_col, id_col, n)
     dup = _dup_gram_keys(grams, min_docs)
-    covered = (
-        grams.join(dup, on="g")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
-            ).alias("pos"),
-        )
-        .distinct()
+    # No distinct on covered: LEFT ANTI is insensitive to duplicate
+    # build-side rows, and deduping them here costs a full extra
+    # shuffle (measured ~15% of the operator at sf0.1) to shrink a
+    # relation the join only probes.
+    covered = grams.join(dup, on="g").select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+        ).alias("pos"),
     )
     kept = toks.join(covered, on=["doc_id", "pos"], how="left_anti")
     agg = kept.groupBy("doc_id").agg(
