@@ -353,3 +353,42 @@ def corpus_frequency_score(
             (F.sum(rare_occ).cast("double") / F.sum("tf")).alias("rare_frac"),
         )
     )
+
+
+def hashed_bow_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 64,
+) -> DataFrame:
+    """Feature-hashed bag-of-words vector per document (the HashingTF
+    featurizer): token → md5 bucket → per-bucket counts assembled into a
+    dense ``features`` array — the model-free text→vector bridge
+    (dedup/ANN prototypes, linear probes, drift monitors).
+
+    One explode + ONE groupBy(doc): every bucket is a conditional SUM
+    aggregated in the same pass — map-side combinable, no per-bucket
+    shuffle, no sparse-to-dense reassembly join.  ``dim`` is a compile-
+    time width (64 agg columns), the standard small-probe size; raise it
+    and the plan just grows columns, not stages.
+    """
+    from processo_etl_spark.ml.dedup import md5_long, normalize_text
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    ).withColumn("b", md5_long(F.col("tok")) % dim)
+    counts = [
+        F.sum(F.when(F.col("b") == i, 1).otherwise(0))
+        .cast("long")
+        .alias(f"_f{i}")
+        for i in range(dim)
+    ]
+    return (
+        toks.groupBy("doc_id")
+        .agg(*counts)
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"_f{i}") for i in range(dim)]).alias("features"),
+        )
+    )

@@ -1573,3 +1573,32 @@ def mixture_token_plan(spark, sf_dir):
         F.size(F.split(normalize_text("text"), " ")),
         budget=1_000_000,
     )
+
+
+# --- feature-hashed bag-of-words (HashingTF featurizer) --------------------------------
+@register(
+    "text_hashed_bow",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents)
+    SELECT doc_id,
+      CAST({_md5_long_sql('tok')} % 64 AS BIGINT) AS bucket,
+      count(*) AS tf
+    FROM toks GROUP BY 1, 2
+    """,
+)
+def text_hashed_bow(spark, sf_dir):
+    """Feature-hashed bag-of-words (HashingTF): the model-free
+    text→vector featurizer.  The operator assembles a dense 64-wide
+    ``features`` array in ONE groupBy(doc) of conditional sums; the
+    registered projection explodes it back to nonzero (doc, bucket, tf)
+    scalars, exercising the full assembly while keeping the graded
+    output array-free."""
+    dense = textstats.hashed_bow_features(
+        t(spark, sf_dir, "documents"), "text", "doc_id", dim=64
+    )
+    return (
+        dense.select("doc_id", F.posexplode("features").alias("bucket", "tf"))
+        .filter(F.col("tf") > 0)
+        .select("doc_id", F.col("bucket").cast("long").alias("bucket"), "tf")
+    )

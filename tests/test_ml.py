@@ -772,3 +772,20 @@ def test_mixture_token_plan_invariants(spark):
     # sqrt weighting: a has 1/5 of tokens but sqrt share 10/30 = 1/3.
     assert abs(rows["a"]["weight"] - 1 / 3) < 1e-12
     assert rows["a"]["epochs"] > rows["b"]["epochs"]
+
+
+def test_hashed_bow_dense_assembly(spark):
+    """Dense array sums to the token count; same token maps to the same
+    bucket across docs; width is the requested dim."""
+    df = spark.createDataFrame(
+        [(1, "spark spark hadoop"), (2, "spark flink")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["features"]
+        for r in textstats.hashed_bow_features(df, "text", "doc_id", dim=16).collect()
+    }
+    assert all(len(v) == 16 for v in out.values())
+    assert sum(out[1]) == 3 and sum(out[2]) == 2
+    spark_bucket = [i for i, c in enumerate(out[1]) if c == 2]  # 'spark' twice
+    assert len(spark_bucket) == 1
+    assert out[2][spark_bucket[0]] >= 1  # same token, same bucket in doc 2
