@@ -127,3 +127,55 @@ def test_packing_conserves_tokens_any_sizes(spark, token_sizes):
         total = sum(r["tokens"] for r in shard_rows)
         last = max(shard_rows, key=lambda r: (r["pack_id"], r["offset"]))
         assert last["pack_id"] * max_tokens + last["offset"] + last["tokens"] == total
+
+
+WORDS = st.lists(
+    st.text(alphabet=st.sampled_from("abcdef"), min_size=1, max_size=5),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(WORDS, min_size=1, max_size=8))
+def test_chunking_partitions_reconstruct_document(spark, docs):
+    """With stride == size (no overlap), concatenating a doc's chunks in
+    chunk_id order reproduces the token stream exactly — chunking loses
+    and duplicates nothing."""
+    from processo_etl_spark.ml import chunking
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunking.chunk_documents(df, "doc_id", "text", size=7, stride=7).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        got.setdefault(r["doc_id"], []).append(r["chunk_text"])
+    for i, ws in enumerate(rows):
+        assert " ".join(got[i]) == rows[i][1]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=20
+    )
+)
+def test_cluster_representatives_exactly_one_kept_per_cluster(spark, edges):
+    """Every cluster elects exactly one representative; membership covers
+    every input doc exactly once, for ANY pair graph."""
+    from processo_etl_spark.ml import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, i % 7) for i in range(16)], ["doc_id", "score"]
+    )
+    pairs = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges if a != b] or [(0, 0, 1.0)],
+        ["id_a", "id_b", "jaccard"],
+    ).filter("id_a != id_b")
+    rows = D.cluster_representatives(docs, pairs, "doc_id", "score").collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(16))
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r["kept"])
+    for c, kept in by_cluster.items():
+        assert sum(kept) == 1, f"cluster {c} kept {sum(kept)}"
