@@ -1602,3 +1602,52 @@ def text_hashed_bow(spark, sf_dir):
         .filter(F.col("tf") > 0)
         .select("doc_id", F.col("bucket").cast("long").alias("bucket"), "tf")
     )
+
+
+# --- dedup method agreement: lexical (MinHash) vs semantic (embedding) pairs ----------
+@register(
+    "dedup_lexical_semantic_agreement",
+    oracle=f"""
+    WITH {_LSH_CTES},
+    lex AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.2),
+    ebase AS (
+      SELECT vec_id, embedding, {_bkt_sql("embeddings", 6, 0)} AS bkt
+      FROM embeddings),
+    sem AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM ebase a JOIN ebase b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+      WHERE {_COS_AB} >= 0.4)
+    SELECT coalesce(l.id_a, s.id_a) AS id_a,
+           coalesce(l.id_b, s.id_b) AS id_b,
+           l.id_a IS NOT NULL AS lexical,
+           s.id_a IS NOT NULL AS semantic
+    FROM lex l FULL OUTER JOIN sem s
+      ON l.id_a = s.id_a AND l.id_b = s.id_b
+    """,
+)
+def dedup_lexical_semantic_agreement(spark, sf_dir):
+    """Method-agreement audit: the full outer join of MinHash-LSH
+    (lexical) and embedding-cosine (semantic) near-dup pair sets, with a
+    flag per method — the tuning view that shows where surface overlap
+    and meaning overlap disagree (paraphrases: semantic-only;
+    boilerplate with substitutions: lexical-only).  Embeddings are keyed
+    by the document id (vec_id == doc_id in the testdata).  Both inputs
+    are the already-verified bucketed pair generators; the agreement
+    join itself is a slim equi-join on id pairs."""
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    lex = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=8, bands=2, shingle_n=3, threshold=0.2
+    ).select("id_a", "id_b", F.lit(True).alias("lexical"))
+    sem = similarity.embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, bits=6
+    ).select("id_a", "id_b", F.lit(True).alias("semantic"))
+    return (
+        lex.join(sem, on=["id_a", "id_b"], how="full_outer")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("lexical", F.lit(False)).alias("lexical"),
+            F.coalesce("semantic", F.lit(False)).alias("semantic"),
+        )
+    )
