@@ -1651,3 +1651,58 @@ def dedup_lexical_semantic_agreement(spark, sf_dir):
             F.coalesce("semantic", F.lit(False)).alias("semantic"),
         )
     )
+
+
+# --- leakage-safe split: whole near-dup clusters share a split ------------------------
+_CLUSTER_BUCKET = f"{_md5_long_sql('CAST(cluster AS VARCHAR)')} % 10000"
+
+
+@register(
+    "split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_CTES},
+    edges AS (
+      SELECT id_a, id_b FROM verified WHERE jaccard >= 0.2),
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM edges
+      UNION SELECT id_b, id_a FROM edges),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+    clusters AS (
+      SELECT a AS doc, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+    labeled AS (
+      SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN clusters c ON c.doc = d.doc_id)
+    SELECT doc_id, cluster,
+           CASE WHEN {_CLUSTER_BUCKET} < 9800 THEN 'train'
+                WHEN {_CLUSTER_BUCKET} < 9900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM labeled
+    """,
+)
+def split_leakage_safe(spark, sf_dir):
+    """Near-dup-aware train/val/test split: hash the CLUSTER id, not the
+    document id, so every member of a near-duplicate cluster lands in
+    the same split — the guard against test-set leakage that a per-doc
+    hash split cannot give.  Clusters come from the same LSH pair graph
+    as ``dedup_clusters``; singletons hash as themselves, so untouched
+    docs keep the plain split behavior.  Corpus-side cost over
+    ``split_train_val_test``: one broadcast left join of the (tiny,
+    pair-touched-only) cluster map."""
+    from processo_etl_spark.ml import splits
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=8, bands=2, shingle_n=3, threshold=0.2
+    )
+    clusters = dedup.connected_components(pairs).withColumnRenamed(
+        "doc", "doc_id"
+    )
+    labeled = docs.select("doc_id").join(
+        F.broadcast(clusters), on="doc_id", how="left"
+    ).withColumn("cluster", F.coalesce(F.col("cluster"), F.col("doc_id")))
+    return splits.with_split(labeled, "cluster").select(
+        "doc_id", "cluster", "split"
+    )

@@ -789,3 +789,18 @@ def test_hashed_bow_dense_assembly(spark):
     spark_bucket = [i for i, c in enumerate(out[1]) if c == 2]  # 'spark' twice
     assert len(spark_bucket) == 1
     assert out[2][spark_bucket[0]] >= 1  # same token, same bucket in doc 2
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """All members of a near-dup cluster receive the same split label."""
+    from processo_etl_spark import plans
+
+    rows = plans.all_queries()["split_leakage_safe"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], set()).add(r["split"])
+    multi = {c: s for c, s in by_cluster.items() if len(s) > 1}
+    assert not multi
+    assert any(len([r for r in rows if r["cluster"] == c]) > 1 for c in by_cluster)
