@@ -1706,3 +1706,74 @@ def split_leakage_safe(spark, sf_dir):
     return splits.with_split(labeled, "cluster").select(
         "doc_id", "cluster", "split"
     )
+
+
+# --- vocabulary coverage curve (tokenizer budget tuning) ------------------------------
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS term FROM documents),
+    counts AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+    ranked AS (
+      SELECT term, c, row_number() OVER (ORDER BY c DESC, term) AS rnk
+      FROM counts),
+    tot AS (SELECT sum(c) AS t FROM counts),
+    cov AS (
+      SELECT n.n,
+             sum(CASE WHEN rnk <= n.n THEN c ELSE 0 END) AS covered
+      FROM ranked, (SELECT unnest([10, 100, 1000]) AS n) n
+      GROUP BY n.n)
+    SELECT CAST(n AS BIGINT) AS budget,
+           CAST(covered AS BIGINT) AS covered_tokens,
+           CAST(covered AS DOUBLE) / t AS coverage
+    FROM cov, tot
+    """,
+)
+def vocab_coverage_curve(spark, sf_dir):
+    """Tokenizer-budget tuning curve: the fraction of all token
+    occurrences covered by the top-N terms, at N ∈ {10, 100, 1000}.
+    Term ranking uses the two-phase distributed rank (range partition +
+    local row_number + broadcast offsets) — never a single-partition
+    global window; the three coverages are conditional sums in ONE
+    aggregate over the ranked term table (|vocab| rows, not corpus
+    rows)."""
+    from processo_etl_spark.ml.dedup import normalize_text
+    from processo_etl_spark.operators import ranking
+
+    docs = t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.split(normalize_text("text"), " ")).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = ranking.distributed_rank(
+        counts, [F.desc("c"), F.asc("term")], out_col="rnk"
+    )
+    agg = ranked.agg(
+        *[
+            F.sum(F.when(F.col("rnk") <= n, F.col("c")).otherwise(0)).alias(
+                f"_c{n}"
+            )
+            for n in (10, 100, 1000)
+        ],
+        F.sum("c").alias("_t"),
+    )
+    tiers = F.array(
+        *[
+            F.struct(
+                F.lit(n).cast("long").alias("budget"),
+                F.col(f"_c{n}").cast("long").alias("covered_tokens"),
+            )
+            for n in (10, 100, 1000)
+        ]
+    )
+    return agg.select(F.explode(tiers).alias("x"), "_t").select(
+        F.col("x.budget").alias("budget"),
+        F.col("x.covered_tokens").alias("covered_tokens"),
+        (F.col("x.covered_tokens").cast("double") / F.col("_t")).alias(
+            "coverage"
+        ),
+    )
