@@ -45,7 +45,11 @@ def chunk_documents(
     """
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
-    toks: Column = F.split(F.col(text_col), " ")
+    # NULL text folds into the empty-string degenerate window (one chunk,
+    # n_tokens counting the single empty token) instead of Spark's
+    # size(NULL) = -1 poisoning the counts and diverging from the
+    # oracle's string_split(coalesce(...)).
+    toks: Column = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     starts = F.sequence(
         F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride)
     )

@@ -551,8 +551,12 @@ def duplicate_spans(
     all-pairs: positional shingle (narrow) → one shuffle on the gram
     for a partial-aggregated distinct-doc count → hits re-join (the
     dup-gram side is the filtered minority) → per-doc gaps-and-islands
-    (``pos - row_number()`` is constant exactly on consecutive
-    positions) merges adjacent duplicated grams into maximal spans.
+    merges duplicated grams into maximal TOKEN spans: two gram starts
+    whose gap is ≤ n cover overlapping-or-touching token ranges, so a
+    new island starts only when ``pos - lag(pos) > n`` (a plain
+    ``pos - row_number()`` grouping would emit overlapping spans for
+    starts that are near but not adjacent).  Both windows share one
+    doc_id partition — still a single shuffle.
     At 100 TB the gram join is the cost; its key is content-hashed and
     uniform, and the hits relation is corpus-size × duplication-rate,
     not quadratic.  Shuffling an 8-byte md5 of the gram instead of the
@@ -565,10 +569,16 @@ def duplicate_spans(
     grams = _positional_grams(df, text_col, id_col, n)
     dup = _dup_gram_keys(grams, min_docs)
     w = Window.partitionBy("doc_id").orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    new_island = F.when(gap.isNull() | (gap > n), 1).otherwise(0)
     return (
         grams.join(dup, on="g")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("grp", F.col("pos") - F.col("rn"))
+        .withColumn(
+            "grp",
+            F.sum(new_island).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
         .groupBy("doc_id", "grp")
         .agg(
             F.min("pos").alias("span_start"),

@@ -96,6 +96,11 @@ def decode_image(payload: bytes, n_features: int = 8) -> list[float]:
             "real image decode needs Pillow; use _decode_image_stub (the "
             "deterministic fallback) where the library is unavailable"
         )
+    # NULL/empty payloads take the stub's zero-vector path so the two
+    # decoders stay drop-in interchangeable row-for-row (a NULL payload
+    # must not kill the executor task that a stub run would survive).
+    if payload is None or len(payload) == 0:
+        return [0.0] * n_features
     import io
 
     img = _PILImage.open(io.BytesIO(payload)).convert("L").resize(

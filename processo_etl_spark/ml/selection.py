@@ -13,11 +13,12 @@ replays it bit-for-bit):
 
 - unigram buckets: ``md5_long(token) % n_buckets`` — same md5-prefix
   hash family as the dedup/minhash ops;
-- per-bucket likelihood ratio with add-one smoothing, computed as ONE
-  division of two exact int64 products (both < 2^53, so their double
-  conversion is exact and the quotient is the correctly-rounded true
-  rational — no transcendental ``ln`` whose last ULP differs between
-  libm implementations):
+- per-bucket likelihood ratio with add-one smoothing: each COUNT
+  converts to double exactly (< 2^53), then one double multiply per
+  side and one divide — every step IEEE correctly-rounded, so the
+  value is bit-identical on any engine (no transcendental ``ln`` whose
+  last ULP differs between libm implementations, and no int64 product
+  that would overflow once corpus × hot-bucket counts pass ~1e19):
 
       r[b] = ((ct[b]+1) * (nr+B))  /  ((cr[b]+1) * (nt+B))
 
@@ -83,11 +84,16 @@ def importance_weights(
         F.sum("ct").alias("nt"),
         F.sum("cr").alias("nr"),
     )
+    # Each factor converts to double EXACTLY (counts < 2^53), then ONE
+    # double multiply and ONE divide — both correctly rounded and
+    # bit-identical on any IEEE engine.  Multiplying in int64 first
+    # (the previous form) overflows at ~1e10 corpus tokens × hot
+    # bucket — far below the 100 TB design point.
     ratios = bstats.crossJoin(F.broadcast(totals)).select(
         "b",
         (
-            ((F.col("ct") + 1) * (F.col("nr") + b)).cast("double")
-            / ((F.col("cr") + 1) * (F.col("nt") + b)).cast("double")
+            ((F.col("ct") + 1).cast("double") * (F.col("nr") + b).cast("double"))
+            / ((F.col("cr") + 1).cast("double") * (F.col("nt") + b).cast("double"))
         ).alias("r"),
     )
     fold_sum = F.aggregate(

@@ -153,8 +153,12 @@ def lsh_topk(
 
     ``exclude_equal``: name of a column present on both sides; candidate
     pairs AGREEING on it are dropped (hard-negative mining: nearest
-    vectors with a *different* label).  The filter sits on the bucket
-    join output, so pruning and linearity are unchanged.
+    vectors with a *different* label).  Null-safe: a NULL on either side
+    counts as its own label value (NULL vs x is kept as a negative,
+    NULL vs NULL is dropped as same-label) — a plain ``!=`` would
+    silently evaporate every candidate touching an unlabeled row.  The
+    filter sits on the bucket join output, so pruning and linearity are
+    unchanged.
     """
     cands = []
     extra_q = [F.col(exclude_equal).alias("_q_ex")] if exclude_equal else []
@@ -178,7 +182,7 @@ def lsh_topk(
             F.col("neighbor_id") != F.col("query_id")
         )
         if exclude_equal:
-            cand = cand.filter(F.col("_c_ex") != F.col("_q_ex"))
+            cand = cand.filter(~F.col("_c_ex").eqNullSafe(F.col("_q_ex")))
         cands.append(cand.select("query_id", "neighbor_id", "cv", "qv", *out_extra))
     from functools import reduce
 

@@ -435,18 +435,25 @@ def dedup_embedding_cosine(spark, sf_dir):
       SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
     hits AS (
       SELECT doc_id, pos,
-             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
-      FROM grams JOIN dup USING (g))
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM grams JOIN dup USING (g)),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev IS NULL OR pos - prev > 3 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS grp
+      FROM hits)
     SELECT doc_id, min(pos) AS span_start,
            CAST(max(pos) + 2 AS BIGINT) AS span_end,
            count(*) AS n_dup_grams
-    FROM hits GROUP BY doc_id, pos - rn
+    FROM isl GROUP BY doc_id, grp
     """,
 )
 def dedup_duplicate_spans(spark, sf_dir):
     """Maximal cross-document duplicated token spans (trigram-level):
     ml/dedup.duplicate_spans — gram doc-frequency shuffle + per-doc
-    gaps-and-islands merge.  The excision-grade complement to
+    gap-aware islands merge (starts within n merge, so emitted token
+    spans never overlap).  The excision-grade complement to
     chunk_dedup's fixed blocks."""
     return dedup.duplicate_spans(
         t(spark, sf_dir, "documents"), "text", "doc_id", n=3, min_docs=2
@@ -510,8 +517,8 @@ def dedup_semantic_kmeans(spark, sf_dir):
     tot AS (
       SELECT count(*) FILTER (is_t) AS nt, count(*) AS nr FROM hb),
     r AS (
-      SELECT b, CAST((ct + 1) * (nr + 1024) AS DOUBLE)
-                / CAST((cr + 1) * (nt + 1024) AS DOUBLE) AS r
+      SELECT b, (CAST(ct + 1 AS DOUBLE) * CAST(nr + 1024 AS DOUBLE))
+                / (CAST(cr + 1 AS DOUBLE) * CAST(nt + 1024 AS DOUBLE)) AS r
       FROM bs, tot)
     SELECT h.doc_id, count(*) AS n_tokens,
            list_reduce(list_sort(list(r.r)), (x, y) -> x + y)
@@ -1306,7 +1313,8 @@ def curation_pipeline(spark, sf_dir):
 @register(
     "chunk_documents_sliding",
     oracle="""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+               FROM documents),
     s AS (SELECT doc_id, toks,
             unnest(generate_series(0, greatest(len(toks) - 1, 0), 32)) AS start
           FROM w)
@@ -1381,7 +1389,7 @@ def dedup_cluster_keep_best(spark, sf_dir):
     JOIN embeddings c
       ON ({_MULTIPROBE_ON})
      AND c.vec_id != q.vec_id
-     AND c.label != q.label
+     AND c.label IS DISTINCT FROM q.label
     WHERE q.vec_id < 8
     QUALIFY rank <= 5
     """,

@@ -804,3 +804,75 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     multi = {c: s for c, s in by_cluster.items() if len(s) > 1}
     assert not multi
     assert any(len([r for r in rows if r["cluster"] == c]) > 1 for c in by_cluster)
+
+
+def test_duplicate_spans_merge_near_but_nonadjacent_starts(spark):
+    """Dup-gram starts within n of each other cover overlapping token
+    ranges and must merge into ONE span (regression: the old
+    pos - row_number islands emitted overlapping spans (1,3) and (3,5)
+    here, double-counting token 3)."""
+    rows = [
+        (1, "a b c d e"),        # 'a b c' shared with 2, 'c d e' with 3
+        (2, "a b c x y z"),
+        (3, "q w c d e"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {}
+    for r in dedup.duplicate_spans(df, "text", "doc_id", n=3).collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_dup_grams"])
+        )
+    assert spans[1] == [(1, 5, 2)]
+    assert spans[2] == [(1, 3, 1)]
+    assert spans[3] == [(3, 5, 1)]
+
+
+def test_chunking_null_text_degenerates_cleanly(spark):
+    """NULL text folds into the empty-string single chunk instead of
+    size(NULL) = -1 poisoning the counts."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from processo_etl_spark.ml import chunking
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame([(1, None), (2, "a b")], schema)
+    out = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunking.chunk_documents(df, "doc_id", "text", 4, 4).collect()
+    }
+    assert set(out) == {(1, 0), (2, 0)}
+    assert out[(1, 0)]["n_tokens"] == 1 and out[(1, 0)]["chunk_text"] == ""
+
+
+def test_hard_negatives_null_label_is_distinct(spark):
+    """NULL-labeled rows act as their own label: kept against a labeled
+    anchor, dropped against another NULL."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+        StructField("label", StringType()),
+    ])
+    rows = [
+        (0, [1.0, -1.0, 1.0, -1.0], "a"),
+        (1, [0.9, -0.9, 1.1, -1.2], None),   # unlabeled: valid negative
+        (2, [0.8, -0.7, 0.9, -1.5], "a"),    # same label: excluded
+    ]
+    emb = spark.createDataFrame(rows, schema)
+    out = similarity.lsh_topk(
+        emb, emb.filter("vec_id = 0"), k=3, bits=4, probes=1,
+        exclude_equal="label",
+    ).collect()
+    assert [r["neighbor_id"] for r in out] == [1]
+    # NULL anchor vs NULL candidate agree -> dropped.
+    out2 = similarity.lsh_topk(
+        emb.withColumn("label", F.lit(None).cast("string")),
+        emb.filter("vec_id = 0").withColumn("label", F.lit(None).cast("string")),
+        k=3, bits=4, probes=1, exclude_equal="label",
+    ).collect()
+    assert out2 == []

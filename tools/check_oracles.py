@@ -105,10 +105,14 @@ def main() -> int:
     name_filter = argv[1:]
     if schema_only:
         # Fast sweep: build every plan lazily, flag DecimalType outputs.
+        # stream_* registrations DRAIN their availableNow query (and the
+        # k-means/IVF plans run driver-side sampling jobs) at build time,
+        # so skip the streaming family here — their batch twins carry the
+        # schema check, and the main differential path still runs them.
         spark = session.get_spark(cpus=4)
         bad = []
         for name, fn in plans.all_queries().items():
-            if name in DECIMAL_OUTPUT_EXEMPT:
+            if name in DECIMAL_OUTPUT_EXEMPT or name.startswith("stream_"):
                 continue
             try:
                 cols = decimal_output_cols(fn(spark, sf_dir).schema)
