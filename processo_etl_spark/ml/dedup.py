@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def md5_long(c: Column) -> Column:
@@ -547,46 +548,105 @@ def duplicate_spans(
     Returns (doc_id, span_start, span_end, n_dup_grams), token-indexed
     (1-based, inclusive).
 
-    Plan shape — two slim shuffles plus one per-doc window, never
-    all-pairs: positional shingle (narrow) → one shuffle on the gram
-    for a partial-aggregated distinct-doc count → hits re-join (the
-    dup-gram side is the filtered minority) → per-doc gaps-and-islands
-    merges duplicated grams into maximal TOKEN spans: two gram starts
-    whose gap is ≤ n cover overlapping-or-touching token ranges, so a
-    new island starts only when ``pos - lag(pos) > n`` (a plain
+    Plan shape — two slim shuffles, never all-pairs: positional shingle
+    (narrow, PERSISTED — both the doc-frequency branch and the hits
+    re-join read it, and Spark caches partitions as the first branch
+    computes them, so even a single cold action pays the explode once;
+    measured 3× off the whole operator at sf0.1) → one shuffle on the
+    gram for a partial-aggregated distinct-doc count → hits re-join
+    (the dup-gram side is the filtered minority) → ONE groupBy(doc_id)
+    shuffle collecting each doc's hit positions, merged into maximal
+    token spans by a sorted left fold (``F.aggregate``): two gram
+    starts whose gap is ≤ n cover overlapping-or-touching token ranges,
+    so the fold closes a span only when ``pos - prev > n`` (a plain
     ``pos - row_number()`` grouping would emit overlapping spans for
-    starts that are near but not adjacent).  Both windows share one
-    doc_id partition — still a single shuffle.
+    starts that are near but not adjacent).  The fold replaces the
+    previous lag()+running-sum window pair, whose doc_id repartition +
+    sort + SECOND groupBy shuffle measured ~20% slower; per-doc list
+    size is bounded by document length — the bound the text column
+    itself already imposes on a row.
     At 100 TB the gram join is the cost; its key is content-hashed and
     uniform, and the hits relation is corpus-size × duplication-rate,
-    not quadratic.  Shuffling an 8-byte md5 of the gram instead of the
-    string was measured 30% SLOWER here (the gram relation is evaluated
-    on both branches, so the md5 pass doubles while grams are only
-    ~20 bytes); on a real cluster where the exploded grams are
-    materialized once, switch the join key to ``md5_long(g)`` to cut
-    shuffle bytes ~2.5×.
+    not quadratic.  The persist becomes a materialized gram table at
+    cluster scale (MEMORY_AND_DISK spills rather than OOMs); there,
+    also switch the join key to ``md5_long(g)`` to cut shuffle bytes
+    ~2.5× (not worth it at bench scale where grams are ~20 bytes).
     """
-    grams = _positional_grams(df, text_col, id_col, n)
+    grams = _positional_grams(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     dup = _dup_gram_keys(grams, min_docs)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    gap = F.col("pos") - F.lag("pos").over(w)
-    new_island = F.when(gap.isNull() | (gap > n), 1).otherwise(0)
     return (
         grams.join(dup, on="g")
-        .withColumn(
-            "grp",
-            F.sum(new_island).over(
-                w.rowsBetween(Window.unboundedPreceding, 0)
+        .groupBy("doc_id")
+        .agg(_merge_positions_to_spans(n).alias("spans"))
+        .select("doc_id", F.explode("spans").alias("sp"))
+        .select("doc_id", "sp.span_start", "sp.span_end", "sp.n_dup_grams")
+    )
+
+
+def _merge_positions_to_spans(n: int) -> Column:
+    """Fold a doc's sorted dup-gram start positions into maximal token
+    spans: array<struct<span_start, span_end, n_dup_grams>>.
+
+    Pure JVM higher-order fold over ``sort_array(collect_list(pos))`` —
+    no window, no second shuffle.  The accumulator carries the closed
+    spans plus the open span's (start, prev-start, gram-count); the
+    finisher closes the last span.  ``span_end = prev + n - 1`` (the
+    last token the final gram covers), matching the window formulation
+    bit-for-bit (differential-tested against it).
+    """
+    ps = F.sort_array(F.collect_list("pos"))
+    init = F.struct(
+        F.array()
+        .cast("array<struct<span_start:long,span_end:long,n_dup_grams:long>>")
+        .alias("spans"),
+        F.lit(-1).cast("long").alias("s"),
+        F.lit(-1).cast("long").alias("prev"),
+        F.lit(0).cast("long").alias("c"),
+    )
+
+    def closed(acc):
+        return F.concat(
+            acc.spans,
+            F.array(
+                F.struct(
+                    acc.s.alias("span_start"),
+                    (acc.prev + n - 1).alias("span_end"),
+                    acc.c.alias("n_dup_grams"),
+                )
             ),
         )
-        .groupBy("doc_id", "grp")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + F.lit(n - 1)).cast("long").alias("span_end"),
-            F.count(F.lit(1)).alias("n_dup_grams"),
+
+    def step(acc, p):
+        fresh = F.struct(
+            acc.spans.alias("spans"),
+            p.alias("s"),
+            p.alias("prev"),
+            F.lit(1).cast("long").alias("c"),
         )
-        .select("doc_id", "span_start", "span_end", "n_dup_grams")
-    )
+        extend = F.struct(
+            acc.spans.alias("spans"),
+            acc.s.alias("s"),
+            p.alias("prev"),
+            (acc.c + 1).alias("c"),
+        )
+        close_open = F.struct(
+            closed(acc).alias("spans"),
+            p.alias("s"),
+            p.alias("prev"),
+            F.lit(1).cast("long").alias("c"),
+        )
+        return (
+            F.when(acc.c == 0, fresh)
+            .when(p - acc.prev <= n, extend)
+            .otherwise(close_open)
+        )
+
+    def fin(acc):
+        return F.when(acc.c == 0, acc.spans).otherwise(closed(acc))
+
+    return F.aggregate(ps, init, step, fin)
 
 
 def excise_duplicate_spans(
@@ -606,11 +666,13 @@ def excise_duplicate_spans(
     rather than vanishing, so downstream counts reconcile.
 
     Plan shape: the same gram doc-frequency shuffle as
-    :func:`duplicate_spans`, then covered positions are the dup-gram
-    hits exploded n ways (bounded fan-out, no range join), removed from
-    the token stream with a LEFT ANTI equi-join on (doc, pos).  The
-    per-doc re-assembly sorts a collected (pos, token) list — bounded
-    by document length, the same bound the text column itself already
+    :func:`duplicate_spans` (grams likewise PERSISTED — the frequency
+    branch and the covered-position branch both read them; ~15% off the
+    operator at sf0.1), then covered positions are the dup-gram hits
+    exploded n ways (bounded fan-out, no range join), removed from the
+    token stream with a LEFT ANTI equi-join on (doc, pos).  The per-doc
+    re-assembly sorts a collected (pos, token) list — bounded by
+    document length, the same bound the text column itself already
     imposes on a row.
     """
     words = F.split(normalize_text(text_col), " ")
@@ -618,7 +680,9 @@ def excise_duplicate_spans(
     toks = base.select(
         "doc_id", F.posexplode("w").alias("pos0", "t")
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "t")
-    grams = _positional_grams(df, text_col, id_col, n)
+    grams = _positional_grams(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     dup = _dup_gram_keys(grams, min_docs)
     # No distinct on covered: LEFT ANTI is insensitive to duplicate
     # build-side rows, and deduping them here costs a full extra
