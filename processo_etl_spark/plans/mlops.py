@@ -983,6 +983,90 @@ def similarity_topk_ivfpq(spark, sf_dir):
     )
 
 
+def _cms_bucket_sql(i: int, depth: int, width: int, h: str = "h") -> str:
+    a, b = dedup.perm_constants(depth)[i]
+    return f"((({a} * {h} + {b}) % {dedup.MERSENNE_P}) % {width})"
+
+
+_CMS_D, _CMS_W = 4, 256
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents),
+    hashed AS (
+      SELECT tok, {_md5_long_sql('tok')} % {dedup.MERSENNE_P} AS h FROM toks),
+    cells AS (
+      {" UNION ALL ".join(
+          f"SELECT {i} AS row, {_cms_bucket_sql(i, 4, 256)} AS bucket FROM hashed"
+          for i in range(4)
+      )}),
+    sketch AS (
+      SELECT row, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+    tot AS (SELECT count(*) AS n FROM toks),
+    exact AS (
+      SELECT tok, count(*) AS exact_cnt, min(h) AS h
+      FROM hashed GROUP BY tok
+      ORDER BY exact_cnt DESC, tok LIMIT 20),
+    probes AS (
+      {" UNION ALL ".join(
+          f"SELECT tok, exact_cnt, {i} AS row,"
+          f" {_cms_bucket_sql(i, 4, 256)} AS bucket FROM exact"
+          for i in range(4)
+      )}),
+    est AS (
+      SELECT p.tok, p.exact_cnt, min(s.cnt) AS est_cnt
+      FROM probes p JOIN sketch s USING (row, bucket)
+      GROUP BY 1, 2)
+    SELECT tok, exact_cnt, est_cnt,
+           est_cnt >= exact_cnt AS overestimates,
+           CAST(est_cnt - exact_cnt AS DOUBLE)
+             <= (2.718281828459045 / 256) * (SELECT n FROM tot) AS within_bound
+    FROM est
+    """,
+)
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimates for the corpus's top-20 tokens — ml/sketches.py.
+
+    The d×w=4×256 sketch is a FIXED-size, map-side-combinable,
+    cell-wise-mergeable summary: at 100 TB the heavy-hitter shuffle
+    moves d·w counters per partition instead of the token keyspace,
+    and per-day sketches merge by addition (``cms_merge``).  The md5
+    hash family is deterministic, so the oracle replays the whole
+    sketch and the driver grades every estimated count bit-for-bit —
+    including the one-sided guarantee (``overestimates`` always true)
+    and the ε=e/w error bound (``within_bound``).
+    """
+    from processo_etl_spark.ml import sketches
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(dedup.normalize_text("text"), " ")).alias("tok")
+    )
+    sketch = sketches.cms_build(toks, "tok", _CMS_D, _CMS_W)
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
+        .limit(20)
+    )
+    est = sketches.cms_estimate(exact, sketch, "tok", _CMS_D, _CMS_W)
+    totals = toks.agg(F.count(F.lit(1)).alias("n"))
+    return est.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") >= F.col("exact_cnt")).alias("overestimates"),
+        (
+            (F.col("est_cnt") - F.col("exact_cnt")).cast("double")
+            <= (F.lit(2.718281828459045) / _CMS_W) * F.col("n")
+        ).alias("within_bound"),
+    )
+
+
 _COS_Q_SQL = """
   list_reduce(list_transform(list_zip(c.q, q.q),
       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a,x) -> a + x)

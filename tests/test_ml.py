@@ -939,3 +939,30 @@ def test_ivfpq_rerank_recall_floor(spark):
     assert len(got_rows) == 8 * 5
     got = {(r.query_id, r.neighbor_id) for r in got_rows}
     assert len(got & truth) / len(truth) >= 0.6
+
+
+def test_cms_build_estimate_and_merge(spark):
+    """CMS invariants: estimates are one-sided (>= exact) and exact for
+    keys with no hash collisions at tiny N; merging two half-sketches
+    equals building one sketch over the union."""
+    from processo_etl_spark.ml import sketches
+
+    rows = [(w,) for w in ["a"] * 50 + ["b"] * 30 + ["c"] * 5 + ["d"] * 1]
+    df = spark.createDataFrame(rows, ["k"])
+    sk = sketches.cms_build(df, "k", depth=4, width=64)
+    # fixed-size summary: never more than d*w cells, at most d*|keys| here
+    assert sk.count() <= 4 * 4
+    items = spark.createDataFrame([("a", 50), ("b", 30), ("c", 5), ("d", 1), ("zz", 0)],
+                                  ["k", "exact"])
+    est = {r["k"]: r["est_cnt"] for r in
+           sketches.cms_estimate(items, sk, "k", depth=4, width=64).collect()}
+    for k, exact in [("a", 50), ("b", 30), ("c", 5), ("d", 1), ("zz", 0)]:
+        assert est[k] >= exact  # one-sided guarantee
+    assert est["a"] >= 50 and est["a"] <= 86  # <= N bound, trivially
+    # merge(two halves) == build(whole): cell-wise counter addition
+    s1 = sketches.cms_build(df.limit(40), "k", depth=4, width=64)
+    s2 = sketches.cms_build(df.offset(40), "k", depth=4, width=64)
+    merged = sketches.cms_merge(s1, s2)
+    whole = sketches.cms_build(df, "k", depth=4, width=64)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
