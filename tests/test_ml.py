@@ -966,3 +966,29 @@ def test_cms_build_estimate_and_merge(spark):
     whole = sketches.cms_build(df, "k", depth=4, width=64)
     assert merged.exceptAll(whole).count() == 0
     assert whole.exceptAll(merged).count() == 0
+
+
+def test_text_classifier_learns_separable_vocab(spark):
+    """LR over hashed BoW must learn a perfectly separable vocabulary
+    split (distinct token sets per class) and score unseen docs from
+    the same vocabularies correctly."""
+    from processo_etl_spark.ml import classifier
+
+    pos_words, neg_words = ["good", "great", "fine"], ["bad", "awful", "poor"]
+    rows = []
+    for i in range(30):
+        w = pos_words if i % 2 == 0 else neg_words
+        rows.append((i, " ".join(w[j % 3] for j in range(i % 5 + 3))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    label = F.col("doc_id") % 2 == 0
+    model = classifier.train_text_classifier(
+        df, "text", "doc_id", label, dim=32, max_iter=25
+    )
+    unseen = spark.createDataFrame(
+        [(100, "good great good fine"), (101, "awful bad poor bad")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in classifier.score_text_classifier(
+        unseen, model, "text", "doc_id", dim=32).collect()}
+    assert got[100]["pred"] == 1 and got[101]["pred"] == 0
+    assert got[100]["p_positive"] > 0.5 > got[101]["p_positive"]
