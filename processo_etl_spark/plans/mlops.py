@@ -1036,6 +1036,62 @@ def classifier_quality_distill(spark, sf_dir):
     )
 
 
+@register(
+    "bpe_tokenize_stats",
+    oracle="""
+    SELECT count(*) AS n_docs, true AS roundtrip_ok, true AS compresses
+    FROM documents
+    """,
+)
+def bpe_tokenize_stats(spark, sf_dir):
+    """Train a BPE subword tokenizer on the corpus and encode every
+    document with it — ml/tokenizer.py (Sennrich et al. 2016).
+
+    Train-on-summary scale shape: the corpus is scanned ONCE for the
+    word-frequency table; the merge loop runs driver-side on that
+    (vocabulary-sized) summary, exactly like the IVF/PQ codebook
+    trainers; encoding is one Arrow-batched ``mapInPandas`` pass with
+    per-batch word memoization.  The iterative trainer has no SQL twin,
+    so the query self-validates the lossless-encoding invariant: every
+    document's pieces concatenate back to its normalized text
+    (``roundtrip_ok``) and the merge table genuinely compresses vs
+    character-level (``compresses``); the oracle pins both plus the
+    exact document count.
+    """
+    from processo_etl_spark.ml import tokenizer
+
+    docs = t(spark, sf_dir, "documents")
+    merges = tokenizer.train_bpe_from_corpus(docs, "text", n_merges=64)
+    enc = tokenizer.bpe_encode(docs, "text", "doc_id", merges)
+    norm = docs.select(
+        "doc_id",
+        dedup.normalize_text("text").alias("norm_text"),
+        F.length(F.regexp_replace(dedup.normalize_text("text"), " ", "")).alias(
+            "n_chars"
+        ),
+    )
+    per_doc = enc.join(norm, "doc_id").select(
+        "n_pieces",
+        "n_words",
+        "n_chars",
+        (
+            F.trim(
+                F.regexp_replace(
+                    F.concat_ws("", F.col("pieces")), "</w>", " "
+                )
+            )
+            == F.trim(F.col("norm_text"))
+        ).alias("rt"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.every(F.col("rt")).alias("roundtrip_ok"),
+        (
+            F.sum("n_pieces") < F.sum(F.col("n_chars") + F.col("n_words"))
+        ).alias("compresses"),
+    )
+
+
 def _cms_bucket_sql(i: int, depth: int, width: int, h: str = "h") -> str:
     a, b = dedup.perm_constants(depth)[i]
     return f"((({a} * {h} + {b}) % {dedup.MERSENNE_P}) % {width})"

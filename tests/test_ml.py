@@ -992,3 +992,37 @@ def test_text_classifier_learns_separable_vocab(spark):
         unseen, model, "text", "doc_id", dim=32).collect()}
     assert got[100]["pred"] == 1 and got[101]["pred"] == 0
     assert got[100]["p_positive"] > 0.5 > got[101]["p_positive"]
+
+
+def test_bpe_merges_hand_computed():
+    """Classic BPE on a tiny freq table: 'low'x5 + 'lower'x2 —
+    the first merges must build up the shared stem, deterministically."""
+    from processo_etl_spark.ml import tokenizer
+
+    merges = tokenizer.train_bpe_merges([("low", 5), ("lower", 2)], n_merges=3)
+    # pair counts round 1: (l,o)=7, (o,w)=7, (w,</w>)=5, (w,e)=2, ...
+    # tie 7/7 broken lexicographically: ('l','o') < ('o','w').
+    assert merges[0] == ("l", "o")
+    assert merges[1] == ("lo", "w")          # now (lo,w)=7 dominates
+    assert merges[2] == ("low", "</w>")      # (low,</w>)=5 beats (low,e)=2
+    assert tokenizer.train_bpe_merges([("low", 5), ("lower", 2)], 3) == merges
+
+
+def test_bpe_encode_roundtrip_and_greedy_rank(spark):
+    from processo_etl_spark.ml import tokenizer
+
+    merges = [("l", "o"), ("lo", "w"), ("low", "</w>")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert tokenizer.encode_word("low", ranks) == ["low</w>"]
+    assert tokenizer.encode_word("lower", ranks) == ["low", "e", "r", "</w>"]
+    assert tokenizer.encode_word("unseen", ranks) == list("unseen") + ["</w>"]
+
+    df = spark.createDataFrame(
+        [(1, "low lower low"), (2, ""), (3, "low")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in
+           tokenizer.bpe_encode(df, "text", "doc_id", merges).collect()}
+    assert out[1]["n_words"] == 3
+    assert out[1]["pieces"] == ["low</w>", "low", "e", "r", "</w>", "low</w>"]
+    assert out[2]["n_words"] == 0 and out[2]["pieces"] == []
+    assert out[3]["n_pieces"] == 1
