@@ -92,9 +92,16 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
     # scalar-attach shape as q11/q22.
     # mixture_token_plan broadcasts the ONE-ROW Σ(sqrt n_s) aggregate
     # under the |sources|-row table — same scalar-attach shape.
+    # cms_heavy_hitters attaches the ONE-ROW total-tokens aggregate (the
+    # ε·N bound scalar) to the 20-row estimate table; similarity_topk_
+    # ivfpq attaches the ONE-ROW bytes_ratio to the 1-row recall gate —
+    # both the same linear scalar-attach shape (and ivfpq embeds the
+    # linear brute-force recall certificate like similarity_topk_ivf).
     allow_nested_loop = {
         "select_importance_dsir",
         "mixture_token_plan",
+        "cms_heavy_hitters",
+        "similarity_topk_ivfpq",
         "similarity_topk_bruteforce",
         "similarity_topk_int8",
         "similarity_topk_ivf",
