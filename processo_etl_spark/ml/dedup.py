@@ -352,6 +352,86 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard join via prefix filtering — the
+    SSJoin/PPJoin family (Chaudhuri et al. ICDE'06; Xiao et al.
+    WWW'08), the deterministic complement to MinHash-LSH: zero false
+    negatives by construction instead of probabilistic recall.
+
+    Pigeonhole guarantee: order every set by a GLOBAL total order
+    (ascending document frequency, rarest first — ties by token); for
+    Jaccard ≥ t, a pair must share at least one token within each
+    side's PREFIX of length |s| − ⌈t·|s|⌉ + 1 (if the prefixes were
+    disjoint, the overlap is too small to reach t).  So an equi-join on
+    prefix tokens finds EVERY qualifying pair, and the exact verify
+    makes precision 1 — the output is identical to the naive all-pairs
+    join, which is exactly what the DuckDB oracle computes.
+
+    Plan shape: shingle doc-frequency (1 shuffle) → df-attach + per-doc
+    (df, token)-sort (explode + vocab join + groupBy) → candidate
+    equi-join on the exploded prefix (rarest-token blocking: fan-out is
+    bounded by token df, and the rarest tokens have the smallest df) →
+    slim verify re-attach, as in MinHash.  At 100 TB the prefix join is
+    the cost and it is linear in Σ df(prefix tokens) — the reason the
+    frequency order matters: prefixes hold the RAREST tokens.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+    )
+    ex = base.select("doc", F.explode("sh").alias("tok"))
+    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # Per-doc token list sorted by the global (df, tok) order; struct
+    # sort gives the total order, then we keep the token strings.
+    ordered = (
+        ex.join(dfreq, on="tok")
+        .groupBy("doc")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("toks")
+        )
+    )
+    prefix_len = (
+        F.size("toks") - F.ceil(F.lit(threshold) * F.size("toks")) + 1
+    ).cast("int")
+    prefixes = ordered.select(
+        "doc", F.explode(F.slice("toks", 1, prefix_len)).alias("tok")
+    )
+    cand = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), on="tok")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b")
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = base.select("doc", "sh")
+    pairs = cand.join(
+        sets.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a")),
+        on="id_a",
+    ).join(
+        sets.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b")),
+        on="id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash64(tokens: Column) -> Column:
     """64-bit SimHash of a token array — pure expressions, no UDF.
 

@@ -1037,6 +1037,33 @@ def classifier_quality_distill(spark, sf_dir):
 
 
 @register(
+    "dedup_jaccard_prefix_filter",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(a.sh) + len(b.sh)
+                      - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+    """,
+)
+def dedup_jaccard_prefix_filter(spark, sf_dir):
+    """EXACT all-pairs Jaccard ≥ 0.5 via prefix filtering
+    (ml/dedup.prefix_filter_jaccard_pairs, SSJoin/PPJoin family) — the
+    zero-false-negative complement to MinHash-LSH.  The oracle is the
+    NAIVE all-pairs join: because the prefix filter is lossless by
+    pigeonhole, the outputs must be identical, so the driver's hash
+    check simultaneously grades the Jaccard math AND proves the
+    filter lost no pairs."""
+    return dedup.prefix_filter_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        shingle_n=3, threshold=0.5,
+    )
+
+
+@register(
     "bpe_tokenize_stats",
     oracle="""
     SELECT count(*) AS n_docs, true AS roundtrip_ok, true AS compresses

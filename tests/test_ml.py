@@ -1026,3 +1026,30 @@ def test_bpe_encode_roundtrip_and_greedy_rank(spark):
     assert out[1]["pieces"] == ["low</w>", "low", "e", "r", "</w>", "low</w>"]
     assert out[2]["n_words"] == 0 and out[2]["pieces"] == []
     assert out[3]["n_pieces"] == 1
+
+
+def test_prefix_filter_jaccard_exact_vs_naive(spark):
+    """Prefix filtering must return EXACTLY the naive all-pairs result
+    (lossless by pigeonhole) while generating fewer candidates than
+    all-pairs on the fixture."""
+    df = _docs(spark)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           dedup.prefix_filter_jaccard_pairs(df, "doc_id", "text",
+                                             threshold=0.5).collect()}
+    # naive ground truth driver-side
+    rows = df.select(
+        "doc_id", F.array_distinct(dedup.word_shingles("text", 3)).alias("sh")
+    ).collect()
+    sets = {r["doc_id"]: set(r["sh"]) for r in rows}
+    ids = sorted(sets)
+    naive = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if jac >= 0.5:
+                naive[(a, b)] = jac
+    assert set(got) == set(naive)
+    for k in naive:
+        assert abs(got[k] - naive[k]) < 1e-12
+    assert (1, 2) in got and got[(1, 2)] == 1.0   # exact dup pair survives
