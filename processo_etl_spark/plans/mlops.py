@@ -1064,6 +1064,74 @@ def dedup_jaccard_prefix_filter(spark, sf_dir):
 
 
 @register(
+    "drift_chi2_sources",
+    oracle=f"""
+    WITH toks AS (
+      SELECT length(source) = 4 AS is_ref,
+             unnest(string_split({_NORM}, ' ')) AS tok
+      FROM documents),
+    hb AS (
+      SELECT is_ref, {_md5_long_sql('tok')} % 256 AS b FROM toks),
+    cells AS (
+      SELECT b, count(*) FILTER (is_ref) AS ca,
+             count(*) FILTER (NOT is_ref) AS cb
+      FROM hb GROUP BY b),
+    tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cells),
+    terms AS (
+      SELECT na, nb,
+        (CAST(ca AS DOUBLE)
+           - CAST(na AS DOUBLE) * (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+             / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+        * (CAST(ca AS DOUBLE)
+           - CAST(na AS DOUBLE) * (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+             / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+        / (CAST(na AS DOUBLE) * (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+             / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+        +
+        (CAST(cb AS DOUBLE)
+           - CAST(nb AS DOUBLE) * (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+             / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+        * (CAST(cb AS DOUBLE)
+           - CAST(nb AS DOUBLE) * (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+             / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+        / (CAST(nb AS DOUBLE) * (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))
+             / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+        AS t
+      FROM cells, tot),
+    agg AS (
+      SELECT na AS n_ref, nb AS n_cand,
+             count(*) AS n_buckets_hit,
+             list_reduce(list_sort(list(t)), (x, y) -> x + y) AS chi2
+      FROM terms GROUP BY na, nb)
+    SELECT n_ref, n_cand, n_buckets_hit, chi2,
+           chi2 > CAST(n_buckets_hit - 1 AS DOUBLE)
+                  * (1.0 - 2.0 / (9.0 * CAST(n_buckets_hit - 1 AS DOUBLE))
+                     + 2.326348 * sqrt(2.0 / (9.0 * CAST(n_buckets_hit - 1 AS DOUBLE))))
+                  * (1.0 - 2.0 / (9.0 * CAST(n_buckets_hit - 1 AS DOUBLE))
+                     + 2.326348 * sqrt(2.0 / (9.0 * CAST(n_buckets_hit - 1 AS DOUBLE))))
+                  * (1.0 - 2.0 / (9.0 * CAST(n_buckets_hit - 1 AS DOUBLE))
+                     + 2.326348 * sqrt(2.0 / (9.0 * CAST(n_buckets_hit - 1 AS DOUBLE))))
+             AS drift_detected
+    FROM agg
+    """,
+)
+def drift_chi2_sources(spark, sf_dir):
+    """Chi-square token-distribution drift between the src0-src9
+    reference slice and the src10-src19 candidate slice —
+    ml/drift.chi2_token_drift.  Transcendental-free (no PSI/KL ``ln``),
+    value-sorted-fold summation, so the DuckDB oracle replays the
+    statistic bit-for-bit including the critical-value verdict.  The
+    2×256 contingency shuffle is skew-proof by construction (fixed
+    bucket grid, map-side combinable)."""
+    from processo_etl_spark.ml import drift
+
+    docs = t(spark, sf_dir, "documents")
+    return drift.chi2_token_drift(
+        docs, "text", F.length("source") == 4, n_buckets=256
+    )
+
+
+@register(
     "bpe_tokenize_stats",
     oracle="""
     SELECT count(*) AS n_docs, true AS roundtrip_ok, true AS compresses

@@ -1053,3 +1053,23 @@ def test_prefix_filter_jaccard_exact_vs_naive(spark):
     for k in naive:
         assert abs(got[k] - naive[k]) < 1e-12
     assert (1, 2) in got and got[(1, 2)] == 1.0   # exact dup pair survives
+
+
+def test_chi2_drift_detects_planted_shift(spark):
+    from processo_etl_spark.ml import drift
+
+    same = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", i % 2 == 0) for i in range(40)],
+        ["i", "text", "ref"],
+    )
+    r = drift.chi2_token_drift(same, "text", F.col("ref"), n_buckets=64).collect()[0]
+    assert r["drift_detected"] is False     # identical distributions
+    assert r["n_ref"] == 20 * 4 and r["n_cand"] == 20 * 4
+    shifted = spark.createDataFrame(
+        [(i, "alpha beta gamma delta" if i % 2 == 0 else "zz yy xx ww",
+          i % 2 == 0) for i in range(40)],
+        ["i", "text", "ref"],
+    )
+    r2 = drift.chi2_token_drift(shifted, "text", F.col("ref"), n_buckets=64).collect()[0]
+    assert r2["chi2"] > r["chi2"]
+    assert r2["drift_detected"] is True     # disjoint vocab = maximal drift
