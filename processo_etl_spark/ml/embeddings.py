@@ -101,6 +101,42 @@ def brute_force_topk_quantized(
     )
 
 
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+):
+    """(projected_df, explained_variance): MLlib PCA of the embedding
+    column to ``k`` dims — the dimensionality-reduction front-end for
+    the ANN/dedup stack (project once at ingest, then every downstream
+    cosine/top-k pays k instead of D).
+
+    Returns the df as (id, pca: array<double>) plus the per-component
+    explained-variance ratios.  Scale shape: the covariance Gramian is
+    ONE treeAggregate pass over the corpus (D×D accumulator, D=64 →
+    4 KB per task); the eigendecomposition is driver-side on the D×D
+    matrix — corpus-size-independent, the same train-on-summary pattern
+    as the codebook/merge trainers.  Component SIGNS are basis-dependent
+    (eigenvector ±v): consumers must not depend on them, which is why
+    the registered query gates on variance ratios, not coordinates.
+    """
+    from pyspark.ml.feature import PCA as MLPCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = df.select(
+        F.col(id_col).alias("vec_id"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    model = MLPCA(k=k, inputCol="features", outputCol="_pca").fit(feats)
+    projected = model.transform(feats).select(
+        "vec_id", vector_to_array("_pca").alias("pca")
+    )
+    return projected, list(model.explainedVariance.toArray())
+
+
 def label_centroids(
     df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
 ) -> DataFrame:

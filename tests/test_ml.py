@@ -1073,3 +1073,26 @@ def test_chi2_drift_detects_planted_shift(spark):
     r2 = drift.chi2_token_drift(shifted, "text", F.col("ref"), n_buckets=64).collect()[0]
     assert r2["chi2"] > r["chi2"]
     assert r2["drift_detected"] is True     # disjoint vocab = maximal drift
+
+
+def test_pca_project_reduces_dim_and_preserves_neighbors(spark):
+    """PCA to k=16: output dim, contraction invariant, and a planted
+    exact-duplicate pair stays nearest in the projected space."""
+    from processo_etl_spark import catalog
+    from processo_etl_spark.ml import embeddings as emb_ops
+
+    emb = catalog.load(spark, "/root/testdata/sf0.001", "embeddings")
+    # plant an exact duplicate of vec 0 under a fresh id
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    full = emb.unionByName(dup)
+    projected, ev = emb_ops.pca_project(full, "embedding", "vec_id", k=16)
+    rows = projected.collect()
+    assert all(len(r["pca"]) == 16 for r in rows)
+    assert 0.0 < sum(ev) <= 1.0 + 1e-9
+    by_id = {r["vec_id"]: r["pca"] for r in rows}
+    import numpy as np
+
+    a, b = np.array(by_id[0]), np.array(by_id[100000])
+    assert np.allclose(a, b, atol=1e-9)   # identical inputs project identically
