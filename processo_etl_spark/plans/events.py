@@ -747,3 +747,45 @@ def stream_curate_documents(spark, sf_dir):
     from processo_etl_spark.streaming import jobs
 
     return jobs.run_curate_availablenow(spark, sf_dir)
+
+
+@register(
+    "hll_daily_merge_distinct",
+    oracle="""
+    SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,
+           count(DISTINCT user_id) AS exact_users,
+           true AS merged_within_tolerance
+    FROM events
+    """,
+)
+def hll_daily_merge_distinct(spark, sf_dir):
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+    ``hll_sketch_agg``/``hll_union_agg``): one sketch PER DAY, then the
+    whole-corpus distinct-user estimate from the UNION of the daily
+    sketches — never re-touching raw data.
+
+    This is the lake pattern ``approx_distinct_users`` (single-pass
+    HLL++) can't express: at 100 TB each ingest day persists its
+    (constant-size) sketch, and any date-range distinct count is a
+    merge over that tiny summary table.  The HLL register state is
+    max-based, so the estimate is order-insensitive and deterministic
+    for fixed data.  The oracle pins the exact day count, the exact
+    distinct count, and the merged estimate's ±6% tolerance verdict.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.06 * F.col("exact_users")
+        ).alias("merged_within_tolerance"),
+    )

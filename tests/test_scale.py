@@ -102,6 +102,12 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
         "mixture_token_plan",
         "cms_heavy_hitters",
         "similarity_topk_ivfpq",
+        # one-row exact-distinct certificate attached to the one-row
+        # merged-sketch estimate — linear scalar attach.
+        "hll_daily_merge_distinct",
+        # one-row (na, nb) totals attached under the 256-bucket
+        # contingency table — the DSIR scalar-attach shape.
+        "drift_chi2_sources",
         "similarity_topk_bruteforce",
         "similarity_topk_int8",
         "similarity_topk_ivf",
