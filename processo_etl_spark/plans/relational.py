@@ -327,3 +327,39 @@ def sorted_domain(spark, sf_dir):
 def top_brands(spark, sf_dir):
     """A4/O2/O3 (Análise.ipynb:1374): value_counts head-k, deterministic ties."""
     return R.top_k(t(spark, sf_dir, "part"), "p_brand", 10)
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(12,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Salted equi-join (operators/skew.salted_join): the big fact side
+    gets a random salt, the small side replicates n× so every
+    (key, salt) exists — each hot key spreads over n tasks.  The
+    explicit fallback for single-key skew AQE's split can't fix.
+    Row-level results are provably identical to the plain join, so the
+    oracle IS the plain join: the driver's hash check certifies the
+    rewrite's equivalence (aggregates in exact decimal → double, so
+    partition order can't leak into the sum)."""
+    from processo_etl_spark.operators import skew
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = skew.salted_join(
+        o.withColumnRenamed("o_custkey", "custkey"),
+        c.withColumnRenamed("c_custkey", "custkey"),
+        on="custkey",
+        n_salts=8,
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+    )
