@@ -789,3 +789,73 @@ def hll_daily_merge_distinct(spark, sf_dir):
             <= 0.06 * F.col("exact_users")
         ).alias("merged_within_tolerance"),
     )
+
+
+def _pagerank_oracle(damping: float = 0.85, iterations: int = 10) -> str:
+    """Generate the fixed-iteration PageRank replay as chained CTEs —
+    every double op mirrors operators/graph.pagerank_from_edges exactly
+    (value-sorted list folds, identical bracketing)."""
+    fold = "coalesce(list_reduce(list_sort({xs}), (x, y) -> x + y), 0.0)"
+    parts = [
+        "WITH nodes AS MATERIALIZED (SELECT DISTINCT event_type AS v FROM events)",
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        """seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS src
+          FROM events)""",
+        """edges AS MATERIALIZED (
+          SELECT src, event_type AS dst, count(*) AS w
+          FROM seq WHERE src IS NOT NULL GROUP BY 1, 2)""",
+        "outw AS MATERIALIZED (SELECT src, CAST(sum(w) AS DOUBLE) AS out_w FROM edges GROUP BY 1)",
+        "r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT n FROM n) AS val FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        dang_fold = fold.format(xs="list(val)")
+        parts.append(
+            f"""d{k} AS MATERIALIZED (
+              SELECT {dang_fold} AS dang
+              FROM r{p} WHERE v NOT IN (SELECT src FROM outw))"""
+        )
+        parts.append(
+            f"""c{k} AS MATERIALIZED (
+              SELECT e.dst AS v,
+                     (r.val * CAST(e.w AS DOUBLE)) / o.out_w AS c
+              FROM edges e
+              JOIN r{p} r ON e.src = r.v
+              JOIN outw o ON e.src = o.src)"""
+        )
+        c_fold = fold.format(xs="list(c.c) FILTER (c.c IS NOT NULL)")
+        parts.append(
+            f"""r{k} AS MATERIALIZED (
+              SELECT nodes.v,
+                     (1.0 - {damping}) / (SELECT n FROM n)
+                     + {damping} * ({c_fold}
+                                    + (SELECT dang FROM d{k})
+                                      / (SELECT n FROM n)) AS val
+              FROM nodes LEFT JOIN c{k} c ON nodes.v = c.v
+              GROUP BY nodes.v)"""
+        )
+    parts_sql = ",\n".join(parts)
+    return (
+        f"{parts_sql}\n"
+        f"SELECT v AS event_type, val AS pagerank FROM r{iterations}"
+    )
+
+
+@register("events_pagerank_journeys", oracle=_pagerank_oracle(0.85, 10))
+def events_pagerank_journeys(spark, sf_dir):
+    """PageRank stationary distribution of the user-journey Markov
+    chain (operators/graph.event_type_pagerank): corpus-scale edge
+    extraction (per-user lag window + combinable groupBy), then the
+    10-iteration power method driver-side on the |types|²-row summary
+    — the train-on-summary shape.  The oracle replays all 10
+    iterations as generated CTEs with value-sorted folds, so every
+    rank double hash-matches bit-for-bit — an exactly-graded ITERATIVE
+    algorithm, not a tolerance gate."""
+    from processo_etl_spark.operators import graph
+
+    return graph.event_type_pagerank(
+        t(spark, sf_dir, "events"), damping=0.85, iterations=10
+    )

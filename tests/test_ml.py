@@ -1096,3 +1096,27 @@ def test_pca_project_reduces_dim_and_preserves_neighbors(spark):
 
     a, b = np.array(by_id[0]), np.array(by_id[100000])
     assert np.allclose(a, b, atol=1e-9)   # identical inputs project identically
+
+
+def test_pagerank_hand_graphs(spark):
+    from processo_etl_spark.operators import graph
+
+    # symmetric 2-cycle: stationary = (0.5, 0.5) at any damping
+    r = graph.pagerank_from_edges(["a", "b"], [("a", "b", 1), ("b", "a", 1)])
+    assert abs(r["a"] - 0.5) < 1e-12 and abs(r["b"] - 0.5) < 1e-12
+    # hub: everything points at 'c'; c must outrank the spokes, and the
+    # dangling redistribution keeps total mass == 1
+    r2 = graph.pagerank_from_edges(
+        ["a", "b", "c"], [("a", "c", 1), ("b", "c", 1)]
+    )
+    assert r2["c"] > r2["a"] == r2["b"]
+    assert abs(sum(r2.values()) - 1.0) < 1e-9
+    # end-to-end over a toy event log: 'stop' only receives, never emits
+    ev = spark.createDataFrame(
+        [(i, i, 1, "go" if i % 2 == 0 else "stop") for i in range(10)],
+        ["event_id", "ts", "user_id", "event_type"],
+    )
+    out = {r["event_type"]: r["pagerank"]
+           for r in graph.event_type_pagerank(ev).collect()}
+    assert set(out) == {"go", "stop"}
+    assert abs(sum(out.values()) - 1.0) < 1e-9
