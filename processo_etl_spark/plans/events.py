@@ -859,3 +859,17 @@ def events_pagerank_journeys(spark, sf_dir):
     return graph.event_type_pagerank(
         t(spark, sf_dir, "events"), damping=0.85, iterations=10
     )
+
+
+@register("stream_cms_heavy_hitters")  # rows-only: streaming drains execute
+def stream_cms_heavy_hitters(spark, sf_dir):
+    """Streaming Count-Min sketch over event_type
+    (streaming/jobs.cms_sketch_stream): bounded d·w state regardless of
+    key cardinality — the sketch-shaped alternative to unbounded
+    per-key streaming counts.  Batch equivalence (streaming sketch ==
+    batch ``cms_build`` cell-for-cell) is asserted in
+    tests/test_streaming.py; the batch CMS is oracle-checked as
+    ``cms_heavy_hitters``."""
+    from processo_etl_spark.streaming import jobs
+
+    return jobs.run_cms_sketch_availablenow(spark, sf_dir)

@@ -402,3 +402,42 @@ def run_curate_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def cms_sketch_stream(events: DataFrame, depth: int = 4, width: int = 256) -> DataFrame:
+    """Streaming Count-Min build over event_type: the same fixed d×w
+    grid groupBy as the batch ``ml/sketches.cms_build``, running as an
+    incremental streaming aggregate — the state store holds at most
+    d·w counters NO MATTER the key cardinality or stream length, which
+    is the whole point of sketch-shaped streaming state (an exact
+    per-key count grows state unboundedly without a watermark).
+    """
+    from processo_etl_spark.ml.sketches import _bucket_structs
+
+    return (
+        events.select(
+            F.explode(
+                _bucket_structs(F.col("event_type"), depth, width)
+            ).alias("c")
+        )
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def run_cms_sketch_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events source through the streaming sketch build; the
+    result is the full-corpus sketch, byte-identical to the batch build
+    (asserted in tests) because CMS cells are order-insensitive sums."""
+    name = f"stream_cms_{uuid.uuid4().hex[:8]}"
+    q = (
+        cms_sketch_stream(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

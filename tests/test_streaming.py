@@ -295,3 +295,20 @@ def test_stream_curate_matches_batch(spark):
         for r in feats.filter("quality_score >= 0.3").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_cms_sketch_equals_batch_build(spark):
+    """The streaming Count-Min build must equal the batch build
+    cell-for-cell (sums are order-insensitive), with bounded state."""
+    from processo_etl_spark import catalog
+    from processo_etl_spark.ml import sketches
+    from processo_etl_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    streamed = jobs.run_cms_sketch_availablenow(spark, sf)
+    batch = sketches.cms_build(
+        catalog.load(spark, sf, "events"), "event_type"
+    )
+    assert streamed.count() <= 4 * 256
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
