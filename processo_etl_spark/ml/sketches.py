@@ -56,6 +56,7 @@ def cms_build(
     key_col: str | Column,
     depth: int = 4,
     width: int = 256,
+    weight_col: str | Column | None = None,
 ) -> DataFrame:
     """Build the sketch: (row, bucket, cnt), ≤ d·w rows total.
 
@@ -63,12 +64,26 @@ def cms_build(
     — the only shuffle, and its key space is the fixed d·w grid, so
     skewed keys CANNOT skew the shuffle (a hot key lands in the same d
     cells and partial aggregation collapses it map-side).
+
+    ``weight_col``: increment by a weight instead of 1 — in particular,
+    building from a PRE-AGGREGATED (key, count) relation with
+    ``weight_col="count"`` yields cell-for-cell the same sketch as
+    building from the raw stream (sums commute), while hashing each
+    distinct key ONCE instead of once per occurrence.
     """
     key = F.col(key_col) if isinstance(key_col, str) else key_col
+    w = (
+        F.lit(1).cast("long")
+        if weight_col is None
+        else (F.col(weight_col) if isinstance(weight_col, str) else weight_col)
+    )
     return (
-        df.select(F.explode(_bucket_structs(key, depth, width)).alias("c"))
+        df.select(
+            F.explode(_bucket_structs(key, depth, width)).alias("c"),
+            w.alias("_w"),
+        )
         .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("_w").alias("cnt"))
     )
 
 

@@ -1293,15 +1293,19 @@ def cms_heavy_hitters(spark, sf_dir):
     toks = docs.select(
         F.explode(F.split(dedup.normalize_text("text"), " ")).alias("tok")
     )
-    sketch = sketches.cms_build(toks, "tok", _CMS_D, _CMS_W)
-    exact = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
-        .limit(20)
+    # ONE token-scale pass: everything downstream (sketch, top-20, N)
+    # derives from the vocabulary-sized (tok, cnt) relation — the
+    # weighted cms_build is cell-identical to the raw build (sums
+    # commute) and hashes each distinct token once, not per occurrence.
+    tokcounts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
     )
+    sketch = sketches.cms_build(
+        tokcounts, "tok", _CMS_D, _CMS_W, weight_col="exact_cnt"
+    )
+    exact = tokcounts.orderBy(F.desc("exact_cnt"), F.asc("tok")).limit(20)
     est = sketches.cms_estimate(exact, sketch, "tok", _CMS_D, _CMS_W)
-    totals = toks.agg(F.count(F.lit(1)).alias("n"))
+    totals = tokcounts.agg(F.sum("exact_cnt").alias("n"))
     return est.crossJoin(F.broadcast(totals)).select(
         "tok",
         "exact_cnt",
