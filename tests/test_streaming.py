@@ -3,6 +3,7 @@ same results as their oracle-checked batch twins once fully drained."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from processo_etl_spark import plans
@@ -312,3 +313,18 @@ def test_stream_cms_sketch_equals_batch_build(spark):
     assert streamed.count() <= 4 * 256
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_sessionize_tws_matches_applyinpandaswithstate(spark):
+    """The transformWithStateInPandas sessionize must equal the
+    applyInPandasWithState one row-for-row (same interval-merge fold).
+    Skipped where the TWS protobuf runtime is unavailable."""
+    from processo_etl_spark.streaming import jobs
+
+    if not jobs._has_tws_runtime():
+        pytest.skip("transformWithStateInPandas runtime (protobuf) unavailable")
+    sf = "/root/testdata/sf0.001"
+    new = jobs.run_sessionize_tws_availablenow(spark, sf)
+    old = jobs.run_sessionize_stateful_availablenow(spark, sf)
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
