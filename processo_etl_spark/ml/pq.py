@@ -107,39 +107,38 @@ def _book_lit(book: list[list[float]]) -> Column:
     return F.lit([[float(v) for v in c] for c in book])
 
 
-def _sub_dists(
-    vec: Column, base: int, book: list[list[float]], scale: Column
-) -> Column:
-    """array<double> of squared distances from ``scale·vec[base:base+dsub]``
-    to every codebook row — FLAT arithmetic, deliberately HOF-free.
+def _sub_dists_sql(
+    vec: str, base: int, book: list[list[float]], scale: str
+) -> str:
+    """SQL text for the array<double> of squared distances from
+    ``scale·vec[base:base+dsub]`` to every codebook row — FLAT
+    arithmetic, deliberately HOF-free, built as a STRING.
 
-    Spark's higher-order functions (transform/aggregate/zip_with) don't
-    participate in whole-stage codegen; they evaluate interpreted, with
-    per-lambda-call overhead measured here at ~50-90 µs.  The nested
-    aggregate-inside-transform form cost ~90 s for 500 rows; this flat
-    element_at/literal form runs the identical math in ~2 s INCLUDING
-    plan compile (100×), because it codegens into straight-line JVM
-    arithmetic.  Tree size is ksub·dsub leaf ops per subspace — bounded
-    and constant-folded, well under Catalyst's comfort zone.
+    Two distinct perf findings live here:
+
+    - HOFs (transform/aggregate/zip_with) don't whole-stage-codegen;
+      they interpret with per-lambda-call overhead, and the nested
+      aggregate-inside-transform form cost ~90 s for 500 rows.  Flat
+      element_at arithmetic codegens to straight-line JVM code (100×).
+    - Building those flat expressions as PySpark Column objects costs a
+      py4j round-trip PER OPERATOR NODE — ~20 s of pure driver time for
+      the ~10k-node encode tree.  Emitting the expression as ONE SQL
+      string parsed server-side by ``F.expr`` cuts plan build to
+      milliseconds with an identical Catalyst tree.
+
+    Each element appears twice (x−c)·(x−c) rather than power(x−c, 2) —
+    multiplication is the exact IEEE op the codegen path emits.
     """
     dsub = len(book[0])
-    zero = F.lit(0.0).cast("double")
-    return F.array(
-        *[
-            sum(
-                (
-                    (
-                        F.element_at(vec, base + i + 1).cast("double") * scale
-                        - F.lit(float(c[i]))
-                    )
-                    ** 2
-                    for i in range(dsub)
-                ),
-                zero,
-            )
-            for c in book
+    codes = []
+    for c in book:
+        diffs = [
+            f"(CAST(element_at({vec}, {base + i + 1}) AS DOUBLE)"
+            f" * {scale} - ({float(c[i])!r}))"
+            for i in range(dsub)
         ]
-    )
+        codes.append("(0.0 + " + " + ".join(f"{d} * {d}" for d in diffs) + ")")
+    return "array(" + ", ".join(codes) + ")"
 
 
 def _normalized(vec: Column) -> Column:
@@ -150,14 +149,15 @@ def _normalized(vec: Column) -> Column:
     )
 
 
-def _inv_norm(vec: Column, d: int) -> Column:
-    """1/‖vec[1..d]‖₂ as flat arithmetic (1.0 for the zero vector)."""
-    s = sum(
-        (F.element_at(vec, i + 1).cast("double") ** 2 for i in range(d)),
-        F.lit(0.0).cast("double"),
+def _inv_norm_sql(vec: str, d: int) -> str:
+    """SQL text for 1/‖vec[1..d]‖₂ (1.0 for the zero vector)."""
+    sq = " + ".join(
+        f"CAST(element_at({vec}, {i + 1}) AS DOUBLE)"
+        f" * CAST(element_at({vec}, {i + 1}) AS DOUBLE)"
+        for i in range(d)
     )
-    n = F.sqrt(s)
-    return F.when(n == 0.0, F.lit(1.0)).otherwise(F.lit(1.0) / n)
+    n = f"sqrt(0.0 + {sq})"
+    return f"CASE WHEN {n} = 0.0 THEN 1.0 ELSE 1.0 / {n} END"
 
 
 def pq_encode(
@@ -182,19 +182,31 @@ def pq_encode(
     """
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    vec = f"`{vec_col}`"
     inv = (
-        _inv_norm(F.col(vec_col), m * dsub) if normalize else F.lit(1.0)
+        F.expr(_inv_norm_sql(vec, m * dsub)) if normalize else F.lit(1.0)
     )
     staged = df.withColumn("_pq_inv", inv)
-    codes = []
+    # Distances per subspace land in their own projected column: the
+    # argmin references each twice (array_position + array_min), and a
+    # separate non-trivial alias stops CollapseProject from cloning the
+    # whole distance tree into both references.
+    tmp = []
     for s in range(m):
-        dists = _sub_dists(
-            F.col(vec_col), s * dsub, codebooks[s], F.col("_pq_inv")
+        col = f"_pq_d{s}"
+        tmp.append(col)
+        staged = staged.withColumn(
+            col,
+            F.expr(_sub_dists_sql(vec, s * dsub, codebooks[s], "`_pq_inv`")),
         )
-        codes.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("tinyint")
-        )
-    return staged.withColumn(out_col, F.array(*codes)).drop("_pq_inv")
+    codes = ", ".join(
+        f"CAST(array_position(`{c}`, array_min(`{c}`)) - 1 AS TINYINT)"
+        for c in tmp
+    )
+    return (
+        staged.withColumn(out_col, F.expr(f"array({codes})"))
+        .drop("_pq_inv", *tmp)
+    )
 
 
 def pq_reconstruct(codes: Column, codebooks: list[list[list[float]]]) -> Column:
@@ -208,36 +220,29 @@ def pq_reconstruct(codes: Column, codebooks: list[list[list[float]]]) -> Column:
     return F.flatten(F.array(*parts))
 
 
-def _query_lut(
-    qv: Column, codebooks: list[list[list[float]]], scale: Column
-) -> Column:
-    """m×ksub LUT of subspace inner products <scale·q_s, codebook[s][c]>
-    — computed ONCE per (broadcast) query row.  Flat arithmetic (same
-    HOF-interpretation rationale as ``_sub_dists``); the common scale
-    factors out of each dot product."""
+def _query_lut_sql(
+    qv: str, codebooks: list[list[list[float]]], scale: str
+) -> str:
+    """SQL text for the m×ksub LUT of subspace inner products
+    <scale·q_s, codebook[s][c]> — computed ONCE per (broadcast) query
+    row.  Flat arithmetic as a single server-parsed string (same two
+    rationales as ``_sub_dists_sql``); the common scale factors out of
+    each dot product."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    zero = F.lit(0.0).cast("double")
     rows = []
     for s in range(m):
         base = s * dsub
-        rows.append(
-            F.array(
-                *[
-                    scale
-                    * sum(
-                        (
-                            F.element_at(qv, base + i + 1).cast("double")
-                            * F.lit(float(c[i]))
-                            for i in range(dsub)
-                        ),
-                        zero,
-                    )
-                    for c in codebooks[s]
-                ]
+        dots = []
+        for c in codebooks[s]:
+            terms = " + ".join(
+                f"CAST(element_at({qv}, {base + i + 1}) AS DOUBLE)"
+                f" * ({float(c[i])!r})"
+                for i in range(dsub)
             )
-        )
-    return F.array(*rows)
+            dots.append(f"{scale} * (0.0 + {terms})")
+        rows.append("array(" + ", ".join(dots) + ")")
+    return "array(" + ", ".join(rows) + ")"
 
 
 def adc_score(codes: Column, lut: Column, m: int) -> Column:
@@ -283,14 +288,17 @@ def ivfpq_topk(
 
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    vec = f"`{vec_col}`"
     probed = (
-        queries.withColumn("_pq_inv", _inv_norm(F.col(vec_col), m * dsub))
+        queries.withColumn(
+            "_pq_inv", F.expr(_inv_norm_sql(vec, m * dsub))
+        )
         .select(
             F.col(id_col).alias("query_id"),
-            _query_lut(F.col(vec_col), codebooks, F.col("_pq_inv")).alias("lut"),
+            F.expr(_query_lut_sql(vec, codebooks, "`_pq_inv`")).alias("lut"),
             F.explode(
                 F.slice(
-                    F.array_sort(_cell_dists(F.col(vec_col), centers)), 1, nprobe
+                    F.array_sort(_cell_dists(vec_col, centers)), 1, nprobe
                 )
             ).alias("probe"),
         )

@@ -209,27 +209,34 @@ def lsh_topk(
 # --- IVF (inverted-file) ANN: k-means coarse quantizer + cell-probed search ---------
 
 
-def _sq_dist_to(vec: Column, center: list[float]) -> Column:
-    """Squared L2 distance to a fixed centroid — pure native expressions
-    (zip_with against an array literal), map-side, no UDF."""
-    lit_center = F.array(*[F.lit(float(x)) for x in center])
-    return F.aggregate(
-        F.zip_with(
-            vec, lit_center, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
-        ),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
+def _cell_dists_sql(vec: str, centers: list[list[float]]) -> str:
+    """SQL text for the array<struct<dist,cid>> of squared distances to
+    every centroid — aggregate/zip_with HOFs against array literals.
+
+    Two deliberate choices (both measured, see ml/pq for the numbers):
+    the HOF form is kept for EXECUTION because with a small centroid
+    table (nlist ≤ ~32) it beats the flat-unrolled form (plan-compile
+    dominates there); but the expression is built as a server-parsed
+    SQL STRING because constructing it from PySpark Column objects
+    costs one py4j round-trip per node — several seconds of pure
+    driver time per query at nlist=8×64 dims.
+    """
+    cells = []
+    for i, c in enumerate(centers):
+        lit = "array(" + ", ".join(repr(float(x)) for x in c) + ")"
+        cells.append(
+            f"struct(aggregate(zip_with({vec}, {lit},"
+            f" (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),"
+            f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS dist,"
+            f" {i} AS cid)"
+        )
+    return "array(" + ", ".join(cells) + ")"
 
 
-def _cell_dists(vec: Column, centers: list[list[float]]) -> Column:
-    """array<struct<dist,cid>> of squared distances to every centroid."""
-    return F.array(
-        *[
-            F.struct(_sq_dist_to(vec, c).alias("dist"), F.lit(i).alias("cid"))
-            for i, c in enumerate(centers)
-        ]
-    )
+def _cell_dists(vec_col: str, centers: list[list[float]]) -> Column:
+    """array<struct<dist,cid>> of squared distances to every centroid
+    (``vec_col`` is a COLUMN NAME — the expression is server-parsed)."""
+    return F.expr(_cell_dists_sql(f"`{vec_col}`", centers))
 
 
 def train_ivf_centroids(
@@ -262,7 +269,7 @@ def ivf_assign(
     the column you PARTITION/cluster the stored corpus by, so a probe
     touches only matching files (partition pruning does the rest)."""
     return corpus.withColumn(
-        "cell", F.array_min(_cell_dists(F.col(vec_col), centers))["cid"]
+        "cell", F.array_min(_cell_dists(vec_col, centers))["cid"]
     )
 
 
@@ -289,7 +296,7 @@ def ivf_topk(
         F.col(vec_col).alias("qv"),
         F.explode(
             F.slice(
-                F.array_sort(_cell_dists(F.col(vec_col), centers)), 1, nprobe
+                F.array_sort(_cell_dists(vec_col, centers)), 1, nprobe
             )
         ).alias("probe"),
     ).select("query_id", "qv", F.col("probe.cid").alias("cell"))
