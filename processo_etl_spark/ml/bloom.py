@@ -1,0 +1,184 @@
+"""Mergeable Bloom filters: fixed-size set membership over arbitrary keys.
+
+Bloom 1970 ("Space/time trade-offs in hash coding with allowable
+errors", CACM 13): an m-bit array; each key sets k hashed bit
+positions; a probe answers "definitely absent" or "probably present".
+Guarantees: ZERO false negatives, and false-positive probability
+≈ (1 − e^(−kn/m))^k for n inserted keys.
+
+Why this matters at 100 TB: decontamination / membership probes against
+a reference set (benchmark n-grams, a blocklist, yesterday's key space)
+normally broadcast the reference's DISTINCT key set — fine at MBs,
+dead at GBs.  The Bloom filter is a FIXED m-bit relation no matter the
+reference cardinality, built by one map-side-combinable groupBy whose
+key space is the m/32-word grid (hot keys collapse map-side — the same
+skew-proof shape as ``ml.sketches.cms_build``).  Filters MERGE by
+OR-ing words cell-wise, so per-suite / per-day filters compose without
+raw data, and the corpus side probes via a broadcast of m/32 words —
+never a shuffle of corpus keys.
+
+This is the same structure Spark itself injects for runtime join
+pruning (Bloom-filtered sort-merge joins); here it is a first-class,
+persistable operator.
+
+Hash family: the deterministic md5-affine family shared with
+MinHash/CMS (``dedup.md5_long`` → ``perm_constants`` maps mod P mod m)
+— no randomness to ship, and a DuckDB oracle replays the ENTIRE filter
+bit-for-bit, so the registered query is exact-hash graded.
+
+Words are 32-bit (stored in BIGINT): masks stay positive on engines
+whose ``<<`` checks BIGINT overflow, and bit_or/& semantics are
+engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from processo_etl_spark.ml.dedup import MERSENNE_P, md5_long, perm_constants
+
+WORD_BITS = 32
+
+
+def _position(h: Column, a: int, b: int, n_bits: int) -> Column:
+    """Bit position i of base hash h: ((a·h + b) mod P) mod m.  h < P
+    and a < P keep the int64 product under 2^62 — no overflow."""
+    return ((h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)) % F.lit(n_bits)
+
+
+def _word_masks(key: Column, k: int, n_bits: int) -> Column:
+    """array<struct<word, mask>> of the key's k filter bits."""
+    h = md5_long(key) % F.lit(MERSENNE_P)
+    out = []
+    for a, b in perm_constants(k):
+        pos = _position(h, a, b, n_bits)
+        out.append(
+            F.struct(
+                (pos / F.lit(WORD_BITS)).cast("long").alias("word"),
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (pos % F.lit(WORD_BITS)).cast("int"),
+                ).alias("mask"),
+            )
+        )
+    return F.array(*out)
+
+
+def bloom_build(
+    df: DataFrame, key_col: str | Column, n_bits: int = 1 << 16, k: int = 4
+) -> DataFrame:
+    """Build the filter: (word, bits), ≤ m/32 rows total.
+
+    One explode (bounded k× fan-out) + one map-side-combinable groupBy
+    — the only shuffle, and its key space is the fixed word grid, so a
+    skewed key domain CANNOT skew the shuffle.  Cost is independent of
+    the key set's cardinality; only the FP rate depends on it.
+    """
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return (
+        df.select(F.explode(_word_masks(key, k, n_bits)).alias("c"))
+        .groupBy(F.col("c.word").alias("word"))
+        .agg(F.bit_or(F.col("c.mask")).alias("bits"))
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Merge filters built with the same (n_bits, k, hash family):
+    word-wise OR — per-day / per-suite filters compose without raw
+    data, exactly like CMS counter sums."""
+    from functools import reduce
+
+    u = reduce(DataFrame.unionByName, filters)
+    return u.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    items: DataFrame,
+    bloom: DataFrame,
+    key_col: str | Column,
+    n_bits: int = 1 << 16,
+    k: int = 4,
+    flag_col: str = "might_contain",
+) -> DataFrame:
+    """Append ``flag_col``: True iff ALL k of the key's bits are set.
+
+    The filter side is ≤ m/32 rows — always broadcast; items keep all
+    their columns.  A word the build never touched is an all-zero word
+    (left join NULL → miss).  False negatives are impossible by
+    construction; false positives are the documented trade-off.
+    """
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    others = list(items.columns)
+    probed = items.select(
+        *others, F.explode(_word_masks(key, k, n_bits)).alias("c")
+    ).select(*others, F.col("c.word").alias("word"), F.col("c.mask").alias("mask"))
+    hit = F.col("mask").bitwiseAND(F.coalesce(F.col("bits"), F.lit(0))) == F.col(
+        "mask"
+    )
+    return (
+        probed.join(F.broadcast(bloom), on="word", how="left")
+        .groupBy(*others)
+        .agg(F.bool_and(hit).alias(flag_col))
+    )
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    n_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter of the eval
+    set's word n-grams, with the exact probe alongside for audit.
+
+    Returns per corpus document: ``n_grams`` (distinct n-grams),
+    ``n_bloom_hits`` (grams the filter flags), ``n_exact_hits`` (grams
+    truly in the eval set), ``contaminated`` (any bloom hit).  The
+    zero-false-negative guarantee means ``n_bloom_hits ≥ n_exact_hits``
+    row-by-row — the registered query exposes both so the guarantee is
+    hash-graded, and ``n_bloom_hits − n_exact_hits`` measures the FP
+    cost of the m-bit compression.
+
+    Scale shape vs ``decontaminate.ngram_contamination``: the broadcast
+    is m/32 words instead of the eval set's distinct-gram relation —
+    constant-size no matter how many benchmark suites merge in — and
+    the corpus side stays a narrow probe; the only corpus shuffle is
+    the final per-document aggregation (map-side combinable).  Keep the
+    exact side only while auditing; the production path drops it and
+    with it the gram-set broadcast entirely.
+    """
+    from processo_etl_spark.ml.dedup import word_shingles
+
+    eval_grams = (
+        eval_set.select(
+            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("gram")
+        )
+        .distinct()
+    )
+    filt = bloom_build(eval_grams, "gram", n_bits=n_bits, k=k)
+    corpus_grams = corpus.select(
+        id_col, F.explode(F.array_distinct(word_shingles(text_col, n))).alias("gram")
+    )
+    flagged = bloom_probe(
+        corpus_grams, filt, "gram", n_bits=n_bits, k=k, flag_col="bloom_hit"
+    )
+    exact = flagged.join(
+        F.broadcast(eval_grams.withColumn("exact_hit", F.lit(1))), "gram", "left"
+    )
+    hits = exact.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
+        F.sum(F.coalesce("exact_hit", F.lit(0)).cast("long")).alias("n_exact_hits"),
+    )
+    return corpus.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
+        F.coalesce("n_exact_hits", F.lit(0)).alias("n_exact_hits"),
+        (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -110,6 +110,69 @@ def chunk_dedup(
     )
 
 
+def boilerplate_chunk_removal(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate excision: drop EVERY
+    occurrence of any ``chunk_tokens``-word chunk that appears in at
+    least ``min_docs`` distinct documents (nav bars, cookie banners,
+    license footers).  Complements ``chunk_dedup``, which keeps the
+    first occurrence — boilerplate is noise in its first document too.
+
+    Plan: the same narrow chunking as ``chunk_dedup`` → ONE
+    content-keyed shuffle computing each chunk's document frequency
+    (two-stage distinct-count, map-side partials) → the boilerplate
+    chunk set (repeated chunks only — corpus × duplication-rate, slim)
+    comes back via a left join on the chunk key → groupBy doc to
+    reassemble.  No all-pairs work, no global window; at 100 TB the
+    df-table join stays an equi-join on the content hash and the
+    boilerplate relation is orders of magnitude smaller than the
+    corpus.
+
+    Returns one row per document: n_chunks, n_dropped, clean_text.
+    """
+    tk = normalize_text(text_col)
+    toks = F.split(tk, " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
+    )
+    boiler = (
+        exploded.groupBy("chunk")
+        .agg(F.count_distinct(F.col(id_col)).alias("df_docs"))
+        .filter(F.col("df_docs") >= F.lit(min_docs))
+        .select("chunk", F.lit(True).alias("_boiler"))
+    )
+    flagged = exploded.join(boiler, "chunk", "left").withColumn(
+        "kept", F.col("_boiler").isNull()
+    )
+    kept_struct = F.when(F.col("kept"), F.struct(F.col("pos"), F.col("chunk")))
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((~F.col("kept")).cast("long")).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
 def word_shingles(text_col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> — pure array expressions.
 

@@ -198,6 +198,86 @@ def mixture_token_plan(
     """
     if temperature != 2.0:
         raise NotImplementedError("oracle-parity path pins T=2 (sqrt)")
+    return _mixture_plan_body(df, source_col, token_count, budget)
+
+
+def unimax_token_plan(
+    df: DataFrame,
+    source_col: str,
+    token_count: Column,
+    budget: int,
+    max_epochs: int = 2,
+) -> DataFrame:
+    """UniMax sampling plan (Chung et al., ICLR 2023): spread a token
+    budget as UNIFORMLY as possible across sources, capping each source
+    at ``max_epochs`` repeats of its data — the multilingual-mixture
+    answer to temperature sampling's head-language bias.
+
+    Closed form (water-filling): with capacities c_s = n_s·max_epochs
+    sorted ascending, a source is capped iff
+    c_i·(R−i+1) ≤ B − Σ_{j<i} c_j  (the predicate is prefix-monotone,
+    so per-row evaluation equals the sequential greedy), and every
+    uncapped source receives the common water level
+    θ = (B − Σ_capped c) / #uncapped.  alloc_s = min(c_s, θ) exactly.
+
+    Engine shape: the corpus collapses to |sources| rows via ONE
+    map-side-combinable groupBy; the waterfall itself is a single
+    ``aggregate`` fold over the value-sorted capacity array (ties
+    commute — equal capacities always share a capped flag), so there is
+    NO unpartitioned window, and the one-row solution broadcasts back
+    onto the |sources| table (linear scalar attach).  All comparisons
+    are exact int64 (c·(R−i) ≤ B−S); the only division producing θ is
+    one IEEE double op, bit-identical on Spark and DuckDB.
+    """
+    per = (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(F.sum(token_count).cast("long").alias("n_tokens"))
+        .withColumn("capacity", F.col("n_tokens") * F.lit(int(max_epochs)))
+    )
+    B = F.lit(int(budget)).cast("long")
+    zero = F.lit(0).cast("long")
+    state0 = F.struct(
+        zero.alias("i"), zero.alias("s"), zero.alias("k"), zero.alias("sc")
+    )
+    caps = per.agg(F.sort_array(F.collect_list("capacity")).alias("caps"))
+
+    def step(acc: Column, c: Column) -> Column:
+        r = F.size(F.col("caps")).cast("long")
+        capped = c * (r - acc["i"]) <= B - acc["s"]
+        one = F.lit(1).cast("long")
+        return F.struct(
+            (acc["i"] + one).alias("i"),
+            (acc["s"] + c).alias("s"),
+            (acc["k"] + F.when(capped, one).otherwise(zero)).alias("k"),
+            (acc["sc"] + F.when(capped, c).otherwise(zero)).alias("sc"),
+        )
+
+    solved = caps.select(
+        F.size("caps").cast("long").alias("R"),
+        F.aggregate("caps", state0, step).alias("st"),
+    ).select("R", F.col("st.k").alias("k"), F.col("st.sc").alias("sc"))
+    theta = (B - F.col("sc")).cast("double") / (F.col("R") - F.col("k")).cast(
+        "double"
+    )
+    alloc = F.when(
+        F.col("k") == F.col("R"), F.col("capacity").cast("double")
+    ).otherwise(F.least(F.col("capacity").cast("double"), theta))
+    return (
+        per.crossJoin(F.broadcast(solved))
+        .select(
+            "source",
+            "n_tokens",
+            "capacity",
+            alloc.alias("alloc_tokens"),
+            (alloc / F.col("n_tokens").cast("double")).alias("epochs"),
+            (alloc >= F.col("capacity").cast("double")).alias("capped"),
+        )
+    )
+
+
+def _mixture_plan_body(
+    df: DataFrame, source_col: str, token_count: Column, budget: int
+) -> DataFrame:
     per = (
         df.groupBy(F.col(source_col).alias("source"))
         .agg(F.sum(token_count).cast("long").alias("n_tokens"))

@@ -795,6 +795,43 @@ def dedup_chunk_corpus(spark, sf_dir):
     )
 
 
+@register(
+    "boilerplate_chunk_removal",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+    chunks AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS chunk
+      FROM base,
+           UNNEST(generate_series(0,
+             CAST(ceil(len(toks) / 10.0) AS INT) - 1)) AS u(i)),
+    boiler AS (
+      SELECT chunk FROM chunks GROUP BY chunk
+      HAVING count(DISTINCT doc_id) >= 2),
+    flagged AS (
+      SELECT c.doc_id, c.pos, c.chunk, b.chunk IS NULL AS kept
+      FROM chunks c LEFT JOIN boiler b USING (chunk))
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           COALESCE(string_agg(chunk, ' ' ORDER BY pos)
+                    FILTER (WHERE kept), '') AS clean_text
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def boilerplate_chunk_removal(spark, sf_dir):
+    """Boilerplate excision: drop all occurrences of 10-token chunks
+    shared by ≥2 documents (ml/dedup.boilerplate_chunk_removal) — the
+    CCNet line-dedup step generalized to token chunks.  One
+    content-keyed document-frequency shuffle; the repeated-chunk set is
+    slim and joins back by content key."""
+    return dedup.boilerplate_chunk_removal(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        chunk_tokens=10, min_docs=2,
+    )
+
+
 # --- PII scrubbing ---------------------------------------------------------------------------
 @register(
     "text_scrub_pii",
@@ -1538,6 +1575,75 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     return decontaminate.ngram_contamination(corpus, eval_set, "text", "doc_id", n=5)
 
 
+# Bloom-filter replay (ml/bloom conventions): same md5-affine family,
+# 32-bit words in BIGINT, so DuckDB rebuilds the filter bit-for-bit.
+_BLOOM_BITS = 1 << 14
+_BLOOM_K = 4
+
+
+def _bloom_pos_sql(h: str, i: int) -> str:
+    a, b = dedup.perm_constants(_BLOOM_K)[i]
+    return f"((({h}) * {a} + {b}) % {_P}) % {_BLOOM_BITS}"
+
+
+@register(
+    "decontaminate_bloom",
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT unnest({_shingles_k_sql(5)}) AS gram
+      FROM documents WHERE doc_id % 31 = 0),
+    evpos AS (
+      SELECT unnest([{", ".join(_bloom_pos_sql(f"{_md5_long_sql('gram')} % {_P}", i) for i in range(_BLOOM_K))}]) AS pos
+      FROM ev),
+    filt AS (
+      SELECT pos // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+      FROM evpos GROUP BY 1),
+    corp AS (
+      SELECT doc_id, unnest({_shingles_k_sql(5)}) AS gram
+      FROM documents WHERE doc_id % 31 <> 0),
+    probe AS (
+      SELECT doc_id, gram,
+        unnest([{", ".join(_bloom_pos_sql(f"{_md5_long_sql('gram')} % {_P}", i) for i in range(_BLOOM_K))}]) AS pos
+      FROM corp),
+    grams AS (
+      SELECT doc_id, gram,
+        bool_and((COALESCE(f.bits, 0) & (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)))
+                 = (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))) AS bloom_hit
+      FROM probe LEFT JOIN filt f ON pos // 32 = f.word
+      GROUP BY doc_id, gram),
+    hits AS (
+      SELECT g.doc_id,
+             count(*) AS n_grams,
+             sum(CAST(g.bloom_hit AS BIGINT)) AS n_bloom_hits,
+             sum(CASE WHEN ev.gram IS NULL THEN 0 ELSE 1 END) AS n_exact_hits
+      FROM grams g LEFT JOIN ev ON g.gram = ev.gram
+      GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+           CAST(COALESCE(h.n_exact_hits, 0) AS BIGINT) AS n_exact_hits,
+           COALESCE(h.n_bloom_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 31 <> 0
+    """,
+)
+def decontaminate_bloom(spark, sf_dir):
+    """Decontamination via a fixed-size Bloom filter of the eval set's
+    word-5-grams (ml/bloom): the broadcast is m/32 words no matter how
+    large the benchmark union grows, the corpus probes in place, and
+    the exact hit count rides along so the zero-false-negative
+    guarantee (n_bloom_hits ≥ n_exact_hits) is hash-graded."""
+    from processo_etl_spark.ml import bloom
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 31 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 31 == 0)
+    return bloom.bloom_contamination(
+        corpus, eval_set, "text", "doc_id", n=5, n_bits=_BLOOM_BITS, k=_BLOOM_K
+    )
+
+
 @register(
     "quality_budget_per_source",
     oracle=f"""
@@ -1978,6 +2084,60 @@ def mixture_token_plan(spark, sf_dir):
         "source",
         F.size(F.split(normalize_text("text"), " ")),
         budget=1_000_000,
+    )
+
+
+@register(
+    "sample_unimax_budget",
+    oracle="""
+    WITH per AS (
+      SELECT lang AS source,
+             CAST(sum((n_chars + 3) // 4) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1),
+    caps AS (SELECT source, n_tokens, n_tokens * 2 AS capacity FROM per),
+    ord AS (
+      SELECT source, n_tokens, capacity,
+        CAST(row_number() OVER (ORDER BY capacity, source) AS BIGINT) AS i,
+        CAST(count(*) OVER () AS BIGINT) AS r,
+        COALESCE(sum(capacity) OVER (ORDER BY capacity, source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_prev
+      FROM caps),
+    flags AS (
+      SELECT *, capacity * (r - i + 1) <= 50000 - s_prev AS is_capped
+      FROM ord),
+    sol AS (
+      SELECT count(*) FILTER (is_capped) AS k,
+             COALESCE(sum(capacity) FILTER (is_capped), 0) AS sc,
+             max(r) AS r
+      FROM flags),
+    alloc AS (
+      SELECT f.source, f.n_tokens, f.capacity,
+        CASE WHEN s.k = s.r THEN CAST(f.capacity AS DOUBLE)
+             ELSE least(CAST(f.capacity AS DOUBLE),
+                        CAST(50000 - s.sc AS DOUBLE) / CAST(s.r - s.k AS DOUBLE))
+        END AS alloc_tokens
+      FROM flags f, sol s)
+    SELECT source, n_tokens, capacity, alloc_tokens,
+           alloc_tokens / CAST(n_tokens AS DOUBLE) AS epochs,
+           alloc_tokens >= CAST(capacity AS DOUBLE) AS capped
+    FROM alloc
+    """,
+)
+def sample_unimax_budget(spark, sf_dir):
+    """UniMax language sampling: water-fill a 50k-token budget across
+    languages with a 2-epoch cap per language (ml/splits.unimax_token_plan)
+    — head languages level off at θ, tail languages cap at 2 epochs.
+    Token counts use the n_chars/4 estimator (identical on both engines);
+    the waterfall is an exact int64 fold, no unpartitioned window."""
+    from processo_etl_spark.ml import splits
+
+    docs = t(spark, sf_dir, "documents")
+    return splits.unimax_token_plan(
+        docs,
+        "lang",
+        F.floor((F.col("n_chars") + 3) / F.lit(4)).cast("long"),
+        budget=50_000,
+        max_epochs=2,
     )
 
 

@@ -1120,3 +1120,117 @@ def test_pagerank_hand_graphs(spark):
            for r in graph.event_type_pagerank(ev).collect()}
     assert set(out) == {"go", "stop"}
     assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_bloom_zero_false_negatives_and_merge(spark):
+    from processo_etl_spark.ml import bloom
+
+    keys = spark.createDataFrame([(f"key-{i}",) for i in range(200)], ["k"])
+    filt = bloom.bloom_build(keys, "k", n_bits=1 << 12, k=4)
+    # every word fits the grid and every mask is a positive 32-bit bit
+    for r in filt.collect():
+        assert 0 <= r["word"] < (1 << 12) // 32
+        assert 0 < r["bits"] < (1 << 32)
+    # zero false negatives: every inserted key must probe True
+    probed = bloom.bloom_probe(keys, filt, "k", n_bits=1 << 12, k=4)
+    assert all(r["might_contain"] for r in probed.collect())
+    # merge == build over the union (bit-for-bit)
+    a = spark.createDataFrame([(f"key-{i}",) for i in range(100)], ["k"])
+    b = spark.createDataFrame([(f"key-{i}",) for i in range(100, 200)], ["k"])
+    merged = bloom.bloom_merge(
+        bloom.bloom_build(a, "k", n_bits=1 << 12, k=4),
+        bloom.bloom_build(b, "k", n_bits=1 << 12, k=4),
+    )
+    whole = {(r["word"], r["bits"]) for r in filt.collect()}
+    assert {(r["word"], r["bits"]) for r in merged.collect()} == whole
+    # absent keys mostly miss (FP rate far below 50% at this load factor)
+    absent = spark.createDataFrame([(f"other-{i}",) for i in range(200)], ["k"])
+    fp = sum(
+        1
+        for r in bloom.bloom_probe(absent, filt, "k", n_bits=1 << 12, k=4).collect()
+        if r["might_contain"]
+    )
+    assert fp < 50
+
+
+def test_bloom_contamination_bounds_exact(spark):
+    from processo_etl_spark.ml import bloom
+
+    corpus = _docs(spark)
+    eval_set = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bloom.bloom_contamination(
+            corpus, eval_set, "text", "doc_id", n=5, n_bits=1 << 12, k=4
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    for r in out.values():
+        assert r["n_bloom_hits"] >= r["n_exact_hits"]  # no false negatives
+        assert r["n_grams"] >= r["n_bloom_hits"]
+        assert r["contaminated"] == (r["n_bloom_hits"] > 0)
+    # docs 1/2 share 5-grams with the eval doc; doc 4 (Spanish) shares none
+    assert out[1]["n_exact_hits"] > 0 and out[2]["n_exact_hits"] > 0
+    assert out[4]["n_exact_hits"] == 0
+
+
+def test_unimax_water_filling_hand_computed(spark):
+    from processo_etl_spark.ml import splits
+
+    # tokens: a=100, b=1000, c=10000; caps (2 epochs): 200, 2000, 20000
+    rows = [("a",)] * 1 + [("b",)] * 10 + [("c",)] * 100
+    df = spark.createDataFrame(
+        [(s, i, 100 * (1 if s == "a" else 1)) for i, (s,) in enumerate(rows)],
+        ["src", "i", "toks"],
+    )
+    out = {
+        r["source"]: r
+        for r in splits.unimax_token_plan(
+            df, "src", F.col("toks"), budget=5000, max_epochs=2
+        ).collect()
+    }
+    # greedy: R=3, t1=5000/3=1666.67 ≥ 200 → a capped (200);
+    # t2=(5000-200)/2=2400 ≥ 2000 → b capped; θ=(5000-2200)/1=2800 → c=2800
+    assert out["a"]["alloc_tokens"] == 200.0 and out["a"]["capped"]
+    assert out["b"]["alloc_tokens"] == 2000.0 and out["b"]["capped"]
+    assert out["c"]["alloc_tokens"] == 2800.0 and not out["c"]["capped"]
+    assert abs(out["c"]["epochs"] - 0.28) < 1e-12
+    total = sum(r["alloc_tokens"] for r in out.values())
+    assert total == 5000.0                       # budget exactly spent
+    # budget above total capacity: everyone caps, leftover unspent
+    out2 = {
+        r["source"]: r
+        for r in splits.unimax_token_plan(
+            df, "src", F.col("toks"), budget=10**9, max_epochs=2
+        ).collect()
+    }
+    assert all(r["capped"] for r in out2.values())
+    assert sum(r["alloc_tokens"] for r in out2.values()) == 22200.0
+
+
+def test_boilerplate_chunk_removal_drops_all_occurrences(spark):
+    # chunk size 3: "cookie banner text" appears in docs 1,2 → dropped
+    # from BOTH (unlike chunk_dedup, which keeps the first occurrence).
+    rows = [
+        (1, "cookie banner text unique alpha words here aaa"),
+        (2, "cookie banner text unique beta words there bbb"),
+        (3, "entirely fresh content nothing shared at all ccc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.boilerplate_chunk_removal(
+            df, "text", "doc_id", chunk_tokens=3, min_docs=2
+        ).collect()
+    }
+    assert out[1]["n_dropped"] == 1 and out[2]["n_dropped"] == 1
+    assert "cookie banner text" not in out[1]["clean_text"]
+    assert "cookie banner text" not in out[2]["clean_text"]
+    assert "unique alpha words" in out[1]["clean_text"]
+    assert out[3]["n_dropped"] == 0
+    assert out[3]["clean_text"] == rows[2][1]
+    # chunk order preserved after excision
+    assert out[1]["clean_text"] == "unique alpha words here aaa"

@@ -100,6 +100,9 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
     allow_nested_loop = {
         "select_importance_dsir",
         "mixture_token_plan",
+        # one-row waterfall solution (R, k, Sc) attached to the
+        # |sources|-row table — the same linear scalar-attach shape.
+        "sample_unimax_budget",
         "cms_heavy_hitters",
         "similarity_topk_ivfpq",
         # one-row exact-distinct certificate attached to the one-row
