@@ -100,3 +100,46 @@ def constraint_filter_le(df: DataFrame, lhs: str, rhs: str) -> DataFrame:
 def positive_filter(df: DataFrame, col: str) -> DataFrame:
     """Keep rows with col > 0 (dag.py:122-123)."""
     return df.filter(F.col(col) > 0)
+
+
+def winsorize_robust(
+    df: DataFrame,
+    col: str,
+    keys: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Winsorization + robust scaling of a numeric feature: clip to the
+    [lower, upper] exact quantiles and z-score by median/IQR — the
+    outlier-resistant normalization step (sklearn RobustScaler
+    semantics) a feature pipeline runs before training.
+
+    All five quantiles compute in ONE tiny aggregation action and
+    re-enter the main scan as literals (the module's documented
+    two-pass-scalar pattern) — no global window, no scalar cross-join;
+    the per-row map then runs at scan speed.  At 100 TB swap the exact
+    ``percentile`` for ``percentile_approx`` (same deviation note as
+    ``exact_median``).
+
+    Returns ``keys`` + value/winsorized/robust_z columns.
+    """
+    q = df.select(
+        *[
+            F.expr(f"percentile(CAST({col} AS DOUBLE), {p})").alias(n)
+            for n, p in [
+                ("lo", lower),
+                ("hi", upper),
+                ("med", 0.5),
+                ("q1", 0.25),
+                ("q3", 0.75),
+            ]
+        ]
+    ).first()
+    x = F.col(col).cast("double")
+    iqr = q["q3"] - q["q1"]
+    return df.select(
+        *keys,
+        x.alias("value"),
+        F.least(F.greatest(x, F.lit(q["lo"])), F.lit(q["hi"])).alias("winsorized"),
+        ((x - F.lit(q["med"])) / F.lit(iqr)).alias("robust_z"),
+    )

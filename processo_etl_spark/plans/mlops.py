@@ -2141,6 +2141,34 @@ def sample_unimax_budget(spark, sf_dir):
     )
 
 
+@register(
+    "link_fuzzy_pairs_part",
+    oracle="""
+    WITH p AS (SELECT p_partkey, p_name, p_brand FROM part)
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+           1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+               / CAST(greatest(length(a.p_name), length(b.p_name), 1) AS DOUBLE)
+             AS similarity
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def link_fuzzy_pairs_part(spark, sf_dir):
+    """Record-linkage candidate pairs (ml/linkage.blocked_fuzzy_pairs):
+    part names within a brand block matched at edit distance ≤ 2, with
+    the length lower bound pruning before the levenshtein DP.  Blocking
+    bounds the pair space to Σ_b |b|² — never corpus²."""
+    from processo_etl_spark.ml import linkage
+
+    return linkage.blocked_fuzzy_pairs(
+        t(spark, sf_dir, "part"), "p_partkey", "p_name", ["p_brand"], max_edit=2
+    )
+
+
 # --- feature-hashed bag-of-words (HashingTF featurizer) --------------------------------
 @register(
     "text_hashed_bow",

@@ -143,6 +143,39 @@ def impute_median_discount(spark, sf_dir):
     )
 
 
+# --- winsorization + robust scaling ----------------------------------------------------
+@register(
+    "winsorize_price_robust",
+    oracle="""
+    WITH q AS (
+      SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.01) AS lo,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS hi,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5)  AS med,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS q1,
+             quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS q3
+      FROM lineitem)
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_extendedprice AS DOUBLE) AS value,
+           least(greatest(CAST(l_extendedprice AS DOUBLE), lo), hi) AS winsorized,
+           (CAST(l_extendedprice AS DOUBLE) - med) / (q3 - q1) AS robust_z
+    FROM lineitem, q
+    """,
+)
+def winsorize_price_robust(spark, sf_dir):
+    """Outlier-resistant feature scaling: clip l_extendedprice to its
+    exact [p01, p99] and robust-z by median/IQR
+    (functions/cleaning.winsorize_robust).  One tiny quantile job, then
+    a literal-injected scan-speed map — the module's two-pass-scalar
+    pattern; no global window, no scalar cross join."""
+    return cleaning.winsorize_robust(
+        t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        lower=0.01,
+        upper=0.99,
+    )
+
+
 # --- C10/F5: domain allow-list recode ----------------------------------------------------
 @register(
     "domain_recode_priority",

@@ -4,6 +4,7 @@ asymmetry, C12 decimal commas, C4 month names, median parity."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from processo_etl_spark.functions import cleaning, derive, text
@@ -151,3 +152,18 @@ def test_pandas_udf_extensibility_parity(spark):
         "SELECT count(*) AS n FROM ext_docs WHERE byte_length_utf8(text) >= length(text)"
     ).first()["n"]
     assert n == 100
+
+
+def test_winsorize_robust_hand_computed(spark):
+    # values 1..100: p01=1.99, p99=99.01, med=50.5, IQR=49.5
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 101)], ["k", "v"])
+    out = {
+        r["k"]: r
+        for r in cleaning.winsorize_robust(df, "v", ["k"], 0.01, 0.99).collect()
+    }
+    assert out[1]["winsorized"] == pytest.approx(1.99)    # clipped up
+    assert out[100]["winsorized"] == pytest.approx(99.01)  # clipped down
+    assert out[50]["winsorized"] == 50.0                   # interior untouched
+    assert out[50]["robust_z"] == pytest.approx((50 - 50.5) / 49.5)
+    # robust_z uses the RAW value (winsorization doesn't distort the scale)
+    assert out[100]["robust_z"] == pytest.approx((100 - 50.5) / 49.5)

@@ -1234,3 +1234,30 @@ def test_boilerplate_chunk_removal_drops_all_occurrences(spark):
     assert out[3]["clean_text"] == rows[2][1]
     # chunk order preserved after excision
     assert out[1]["clean_text"] == "unique alpha words here aaa"
+
+
+def test_fuzzy_linkage_blocks_and_resolves(spark):
+    from processo_etl_spark.ml import linkage
+
+    rows = [
+        (1, "acme corp", "US"),
+        (2, "acme corp.", "US"),     # dist 1 → same entity
+        (3, "acme korp", "US"),      # dist 1 from #1 → transitively same
+        (4, "acme corp", "DE"),      # different block: never compared
+        (5, "zenith ltd", "US"),     # singleton
+    ]
+    df = spark.createDataFrame(rows, ["rid", "name", "country"])
+    pairs = linkage.blocked_fuzzy_pairs(df, "rid", "name", ["country"], max_edit=1)
+    got = {(r["id_a"], r["id_b"]): r for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got
+    assert not any(4 in p for p in got)          # cross-block pair impossible
+    assert got[(1, 2)]["edit_dist"] == 1
+    assert abs(got[(1, 2)]["similarity"] - (1 - 1 / 10)) < 1e-12
+    resolved = {
+        r["rid"]: r["entity_id"]
+        for r in linkage.resolve_entities(
+            df, "rid", "name", ["country"], max_edit=1
+        ).collect()
+    }
+    assert resolved[1] == resolved[2] == resolved[3] == 1  # transitive closure
+    assert resolved[4] == 4 and resolved[5] == 5           # singletons self-resolve
