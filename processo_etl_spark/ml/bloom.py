@@ -124,6 +124,80 @@ def bloom_probe(
     )
 
 
+def bloom_filter_words(
+    df: DataFrame, key_col: str | Column, n_bits: int = 1 << 16, k: int = 4
+) -> list[int]:
+    """Build the filter and collect it as a DENSE word array (length
+    m/32, int64 each) — m/32 longs of driver state (16 KiB at m=2^16),
+    the bounded-size collect that makes the map-side probe possible.
+    This is a two-pass scalar in the sense of functions/cleaning: one
+    tiny job whose result re-enters the main plan as a literal."""
+    words = [0] * (n_bits // WORD_BITS)
+    for r in bloom_build(df, key_col, n_bits=n_bits, k=k).collect():
+        words[r["word"]] = r["bits"]
+    return words
+
+
+def bloom_hit_expr(
+    words: list[int], key: Column, n_bits: int, k: int
+) -> Column:
+    """Pure map-side membership test against a collected filter: k flat
+    (word, mask) checks against ONE array literal — no join, no
+    shuffle, whole-stage-codegen friendly (constant-table loops are
+    unrolled, not HOF-folded; see SCALE.md on HOFs over constants)."""
+    arr = F.lit(words)
+    h = md5_long(key) % F.lit(MERSENNE_P)
+    hit = F.lit(True)
+    for a, b in perm_constants(k):
+        pos = _position(h, a, b, n_bits)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % F.lit(WORD_BITS)).cast("int")
+        )
+        word = F.element_at(arr, (pos / F.lit(WORD_BITS)).cast("int") + F.lit(1))
+        hit = hit & (word.bitwiseAND(mask) == mask)
+    return hit
+
+
+def join_bloom_pruned(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Equi-join with Bloom semi-join reduction of the LEFT side
+    (sideways information passing / LIP): build a filter over the
+    right side's keys, prune left rows at SCAN speed with the map-side
+    membership expression, then run the exact join — false positives
+    are eliminated by the join itself, so the result is IDENTICAL to
+    the plain join by construction.
+
+    When this matters: both sides too big to broadcast.  The plain
+    plan shuffles ALL left rows into the sort-merge exchange; the
+    pruned plan shuffles only rows whose key (probably) exists on the
+    right — for selective joins (TPC-H q9-style part-slice ⋈ lineitem)
+    that is a 10–100× exchange-payload cut for the price of one m-bit
+    broadcast.  Spark's AQE injects this only in limited shapes
+    (runtime bloom pruning); this operator makes it explicit and
+    composable.  The filter build is one combinable groupBy over the
+    right side's keys; driver state is m/32 longs regardless of key
+    cardinality.
+    """
+    # keys hash as strings (md5 is a string/binary hash); both sides use
+    # the same canonical form so the zero-false-negative guarantee holds
+    words = bloom_filter_words(
+        right.select(F.col(right_key).cast("string").alias(right_key)),
+        right_key,
+        n_bits=n_bits,
+        k=k,
+    )
+    pruned = left.filter(
+        bloom_hit_expr(words, F.col(left_key).cast("string"), n_bits, k)
+    )
+    return pruned.join(right, pruned[left_key] == right[right_key])
+
+
 def bloom_contamination(
     corpus: DataFrame,
     eval_set: DataFrame,

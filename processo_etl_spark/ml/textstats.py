@@ -355,6 +355,71 @@ def corpus_frequency_score(
     )
 
 
+def bigram_coherence_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-document bigram-LM coherence — the order-sensitive companion
+    to ``corpus_frequency_score``: a KenLM-style bigram model's
+    count-based proxy.  Garbled or shuffled text has plausible unigrams
+    but bigrams the corpus has never seen; boilerplate is the opposite
+    extreme.
+
+    Emits per doc (with ≥ 2 tokens): ``n_bigrams`` (adjacent-pair
+    occurrences), ``mean_bigram_freq`` (occurrence-weighted mean corpus
+    frequency of the doc's bigrams) and ``novel_frac`` (fraction of
+    bigram occurrences appearing in NO other document — corpus count ==
+    in-doc count).  Transcendental-free like the unigram scorer, so
+    both engines agree bit-for-bit.
+
+    Scale shape: identical to the unigram scorer — two map-side
+    combinable groupBys (corpus bigram counts, per-(doc, bigram) tf), a
+    join carrying DISTINCT (doc, bigram) pairs, one final groupBy on
+    the doc id.  Bigram construction is a let-bound HOF over the token
+    array (no re-normalization per pair); products sum as
+    DECIMAL(38,0) before the DOUBLE emit.
+    """
+    toks = tokens_ws(text_col)
+    # let-bind the token array once; pairs i..len-1 (1-based slice).
+    # Guard len<2 explicitly: Spark's sequence(1, 0) is DESCENDING
+    # ([1,0]), not empty, so the degenerate doc needs its own branch
+    # (slice(ts,1,0) is the typed empty array).
+    bigrams = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda ts: F.when(
+                F.size(ts) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(ts) - 1, F.lit(1))),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(ts, i), F.element_at(ts, i + 1)
+                    ),
+                ),
+            ).otherwise(F.slice(ts, 1, 0)),
+        ),
+        1,
+    )
+    pairs = df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+    freq = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    tf = pairs.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("tf"))
+    joined = tf.join(freq, "bigram")
+    weighted = (F.col("n_occurrences") * F.col("tf")).cast("decimal(38,0)")
+    novel_occ = F.when(
+        F.col("n_occurrences") == F.col("tf"), F.col("tf")
+    ).otherwise(F.lit(0))
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            (F.sum(weighted).cast("double") / F.sum("tf")).alias(
+                "mean_bigram_freq"
+            ),
+            (F.sum(novel_occ).cast("double") / F.sum("tf")).alias("novel_frac"),
+        )
+    )
+
+
 def hashed_bow_features(
     df: DataFrame,
     text_col: str,

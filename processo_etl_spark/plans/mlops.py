@@ -576,6 +576,41 @@ def text_corpus_freq_score(spark, sf_dir):
 
 
 @register(
+    "text_bigram_coherence",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents),
+    pairs AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(ws) - 1),
+                    i -> concat_ws(' ', ws[i], ws[i+1]))) AS bigram
+      FROM base WHERE len(ws) >= 2),
+    freq AS (
+      SELECT bigram, count(*) AS n_occurrences FROM pairs GROUP BY 1),
+    tf AS (
+      SELECT doc_id, bigram, count(*) AS tf FROM pairs GROUP BY 1, 2)
+    SELECT t.doc_id,
+           CAST(SUM(t.tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(f.n_occurrences * t.tf AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(SUM(t.tf) AS BIGINT) AS mean_bigram_freq,
+           CAST(SUM(CASE WHEN f.n_occurrences = t.tf THEN t.tf ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(t.tf) AS BIGINT) AS novel_frac
+    FROM tf t JOIN freq f USING (bigram)
+    GROUP BY t.doc_id
+    """,
+)
+def text_bigram_coherence(spark, sf_dir):
+    """Bigram-LM coherence proxy (ml/textstats.bigram_coherence_score):
+    occurrence-weighted mean corpus bigram frequency + the fraction of
+    bigrams unique to the document — the order-sensitive companion to
+    text_corpus_freq_score, catching garbled/shuffled text whose
+    unigrams look fine."""
+    return textstats.bigram_coherence_score(
+        t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+@register(
     "text_token_stats",
     oracle=f"""
     SELECT lang,
@@ -2166,6 +2201,41 @@ def link_fuzzy_pairs_part(spark, sf_dir):
 
     return linkage.blocked_fuzzy_pairs(
         t(spark, sf_dir, "part"), "p_partkey", "p_name", ["p_brand"], max_edit=2
+    )
+
+
+@register(
+    "join_bloom_pruned_orders",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(ROUND(o.o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 9000
+    GROUP BY 1
+    """,
+)
+def join_bloom_pruned_orders(spark, sf_dir):
+    """Bloom semi-join reduction (ml/bloom.join_bloom_pruned): orders
+    prune at scan speed against an m-bit filter of the high-balance
+    customer keys BEFORE the join shuffle; the exact join removes the
+    filter's false positives, so the result equals the plain join — the
+    oracle IS the plain join.  The at-scale win: when neither side
+    broadcasts, only (probably-)matching orders enter the exchange."""
+    from processo_etl_spark.ml import bloom
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    joined = bloom.join_bloom_pruned(
+        orders, cust, "o_custkey", "c_custkey", n_bits=1 << 16, k=4
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
     )
 
 

@@ -1261,3 +1261,44 @@ def test_fuzzy_linkage_blocks_and_resolves(spark):
     }
     assert resolved[1] == resolved[2] == resolved[3] == 1  # transitive closure
     assert resolved[4] == 4 and resolved[5] == 5           # singletons self-resolve
+
+
+def test_join_bloom_pruned_equals_plain_join(spark):
+    from processo_etl_spark.ml import bloom
+
+    left = spark.createDataFrame(
+        [(i, f"row{i}") for i in range(500)], ["lk", "payload"]
+    )
+    right = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(0, 500, 25)], ["rk", "attr"]
+    )
+    plain = left.join(right, left["lk"] == right["rk"])
+    pruned = bloom.join_bloom_pruned(left, right, "lk", "rk", n_bits=1 << 12, k=4)
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, plain.collect()))
+    # the filter really prunes: far fewer left rows survive than entered
+    words = bloom.bloom_filter_words(
+        right.selectExpr("CAST(rk AS STRING) AS rk"), "rk", n_bits=1 << 12, k=4
+    )
+    kept = left.filter(
+        bloom.bloom_hit_expr(words, F.col("lk").cast("string"), 1 << 12, 4)
+    ).count()
+    assert 20 <= kept < 100  # 20 true keys + few FPs, ≪ 500
+
+
+def test_bigram_coherence_hand_computed(spark):
+    rows = [
+        (1, "a b c"),        # bigrams: "a b", "b c"
+        (2, "a b d"),        # bigrams: "a b", "b d"
+        (3, "solo"),         # <2 tokens → no output row
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in textstats.bigram_coherence_score(df, "text", "doc_id").collect()
+    }
+    assert set(out) == {1, 2}
+    # "a b" occurs 2× corpus-wide, "b c"/"b d" once each
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["mean_bigram_freq"] == pytest.approx((2 + 1) / 2)
+    assert out[1]["novel_frac"] == pytest.approx(0.5)   # "b c" unique to doc 1
+    assert out[2]["novel_frac"] == pytest.approx(0.5)
