@@ -51,6 +51,10 @@ HEADLINE = (
     # producer) and CCNet head/middle/tail triage.
     "dedup_excise_spans",
     "ccnet_perplexity_buckets",
+    # r4 curation additions: constant-size Bloom decontamination and
+    # corpus-frequency boilerplate excision.
+    "decontaminate_bloom",
+    "boilerplate_chunk_removal",
 )
 
 

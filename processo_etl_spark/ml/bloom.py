@@ -218,28 +218,35 @@ def bloom_contamination(
     hash-graded, and ``n_bloom_hits − n_exact_hits`` measures the FP
     cost of the m-bit compression.
 
-    Scale shape vs ``decontaminate.ngram_contamination``: the broadcast
-    is m/32 words instead of the eval set's distinct-gram relation —
-    constant-size no matter how many benchmark suites merge in — and
-    the corpus side stays a narrow probe; the only corpus shuffle is
-    the final per-document aggregation (map-side combinable).  Keep the
-    exact side only while auditing; the production path drops it and
-    with it the gram-set broadcast entirely.
+    Scale shape vs ``decontaminate.ngram_contamination``: the filter is
+    m/32 words instead of the eval set's distinct-gram relation —
+    constant-size no matter how many benchmark suites merge in — and it
+    enters the corpus scan as ONE array literal (``bloom_hit_expr``),
+    so the per-gram membership test is a flat codegen expression with
+    ZERO probe-side shuffle; the only corpus shuffles are the gram
+    explode's per-document aggregation (map-side combinable).  For
+    filters too big to inline (m beyond a few MiB of words) use the
+    broadcast-join probe (``bloom_probe``) instead.  Keep the exact
+    side only while auditing; the production path drops it and with it
+    the gram-set broadcast entirely.
     """
     from processo_etl_spark.ml.dedup import word_shingles
 
+    # Materialized once: the filter-build collect and the exact-audit
+    # broadcast otherwise each re-run the shingle pipeline + distinct.
     eval_grams = (
         eval_set.select(
             F.explode(F.array_distinct(word_shingles(text_col, n))).alias("gram")
         )
         .distinct()
+        .persist()
     )
-    filt = bloom_build(eval_grams, "gram", n_bits=n_bits, k=k)
+    words = bloom_filter_words(eval_grams, "gram", n_bits=n_bits, k=k)
     corpus_grams = corpus.select(
         id_col, F.explode(F.array_distinct(word_shingles(text_col, n))).alias("gram")
     )
-    flagged = bloom_probe(
-        corpus_grams, filt, "gram", n_bits=n_bits, k=k, flag_col="bloom_hit"
+    flagged = corpus_grams.withColumn(
+        "bloom_hit", bloom_hit_expr(words, F.col("gram"), n_bits, k)
     )
     exact = flagged.join(
         F.broadcast(eval_grams.withColumn("exact_hit", F.lit(1))), "gram", "left"

@@ -861,6 +861,20 @@ def events_pagerank_journeys(spark, sf_dir):
     )
 
 
+@register("stream_bloom_filter")  # rows-only: streaming drains execute
+def stream_bloom_filter(spark, sf_dir):
+    """Streaming Bloom-filter build over user_id
+    (streaming/jobs.bloom_filter_stream): bounded m/32-word state
+    regardless of key cardinality — the live membership index that
+    merges word-wise with batch-built filters (ml/bloom.bloom_merge).
+    Batch equivalence (streaming filter == batch ``bloom_build``
+    word-for-word) is asserted in tests/test_streaming.py; the batch
+    filter family is oracle-checked via ``decontaminate_bloom``."""
+    from processo_etl_spark.streaming import jobs
+
+    return jobs.run_bloom_filter_availablenow(spark, sf_dir)
+
+
 @register("stream_cms_heavy_hitters")  # rows-only: streaming drains execute
 def stream_cms_heavy_hitters(spark, sf_dir):
     """Streaming Count-Min sketch over event_type

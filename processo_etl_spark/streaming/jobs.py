@@ -443,6 +443,49 @@ def run_cms_sketch_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def bloom_filter_stream(
+    events: DataFrame, key_col: str = "user_id", n_bits: int = 1 << 16, k: int = 4
+) -> DataFrame:
+    """Streaming Bloom-filter build over a key column: the same fixed
+    m/32-word grid groupBy as the batch ``ml/bloom.bloom_build``,
+    running as an incremental streaming aggregate — state is at most
+    m/32 words NO MATTER the key cardinality or stream length (the
+    same bounded-state argument as the streaming CMS).  The drained
+    filter merges with batch-built filters word-wise, so a live
+    membership index (yesterday's batch ∪ today's stream) needs no
+    raw-data reprocessing.
+    """
+    from processo_etl_spark.ml.bloom import _word_masks
+
+    return (
+        events.select(
+            F.explode(
+                _word_masks(F.col(key_col).cast("string"), k, n_bits)
+            ).alias("c")
+        )
+        .groupBy(F.col("c.word").alias("word"))
+        .agg(F.bit_or(F.col("c.mask")).alias("bits"))
+    )
+
+
+def run_bloom_filter_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events source through the streaming Bloom build; the
+    result equals the batch ``bloom_build`` word-for-word (asserted in
+    tests) because bit-OR is order-insensitive and idempotent."""
+    name = f"stream_bloom_{uuid.uuid4().hex[:8]}"
+    q = (
+        bloom_filter_stream(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _has_tws_runtime() -> bool:
     """transformWithStateInPandas ships its driver-side processor over a
     protobuf channel; this container's protobuf install is broken, so

@@ -328,3 +328,24 @@ def test_sessionize_tws_matches_applyinpandaswithstate(spark):
     old = jobs.run_sessionize_stateful_availablenow(spark, sf)
     assert new.exceptAll(old).count() == 0
     assert old.exceptAll(new).count() == 0
+
+
+def test_stream_bloom_filter_equals_batch_build(spark):
+    """The streaming Bloom build must equal the batch build
+    word-for-word (bit-OR is order-insensitive and idempotent), with
+    bounded state."""
+    from processo_etl_spark import catalog
+    from processo_etl_spark.ml import bloom
+    from processo_etl_spark.streaming import jobs
+
+    sf = "/root/testdata/sf0.001"
+    streamed = jobs.run_bloom_filter_availablenow(spark, sf)
+    batch = bloom.bloom_build(
+        catalog.load(spark, sf, "events").selectExpr(
+            "CAST(user_id AS STRING) AS user_id"
+        ),
+        "user_id",
+    )
+    assert streamed.count() <= (1 << 16) // 32
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
