@@ -415,6 +415,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Blocked n-gram CONTAINMENT: pairs where the smaller document's
+    shingle set is ≥ ``threshold`` contained in the other's —
+    containment(A→B) = |A∩B| / |A|.
+
+    Why it's a separate operator from Jaccard: a short document quoted
+    verbatim inside a long one has containment ≈ 1 but Jaccard ≈
+    |A|/|B| ≈ 0 — symmetric similarity NEVER finds quote/excerpt
+    duplication (Lee et al. 2022 §4 discuss exactly this asymmetry).
+    Emits both directions' containments plus Jaccard so the caller can
+    distinguish excerpt (high max_containment, low jaccard) from
+    near-dup (both high).
+
+    Scale shape: identical to ``ngram_jaccard_pairs`` — block equi-join
+    bounds candidates to Σ_b |b|², one array_intersect per candidate;
+    compose with MinHash banding when no blocking key exists.
+    """
+    base = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("doc"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+    )
+    a = base.select("blk", F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select("blk", F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, on="blk").filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    c_ab = inter.cast("double") / F.size("sh_a").cast("double")
+    c_ba = inter.cast("double") / F.size("sh_b").cast("double")
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.withColumn("containment_ab", c_ab)
+        .withColumn("containment_ba", c_ba)
+        .withColumn(
+            "jaccard", inter.cast("double") / union.cast("double")
+        )
+        .filter(
+            F.greatest("containment_ab", "containment_ba") >= F.lit(threshold)
+        )
+        .select("id_a", "id_b", "containment_ab", "containment_ba", "jaccard")
+    )
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     id_col: str,

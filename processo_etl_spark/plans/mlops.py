@@ -226,6 +226,40 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT source AS blk, doc_id AS doc, {_SHINGLES} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc AS id_a, b.doc AS id_b,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / CAST(len(a.sh) AS DOUBLE) AS containment_ab,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / CAST(len(b.sh) AS DOUBLE) AS containment_ba,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          AS jaccard
+      FROM base a JOIN base b ON a.blk = b.blk AND a.doc < b.doc)
+    SELECT id_a, id_b, containment_ab, containment_ba, jaccard
+    FROM pairs WHERE greatest(containment_ab, containment_ba) >= 0.5
+    """,
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Asymmetric quote/excerpt detection
+    (ml/dedup.ngram_containment_pairs): pairs where one side's shingle
+    set is ≥50% contained in the other — catches short-inside-long
+    duplication that symmetric Jaccard scores near zero."""
+    return dedup.ngram_containment_pairs(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        block_col="source",
+        shingle_n=3,
+        threshold=0.5,
+    )
+
+
 # --- SimHash ---------------------------------------------------------------------------
 @register(
     "dedup_simhash",
@@ -950,6 +984,53 @@ def multimodal_frame_sample(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs, "doc_id", "text")
     return multimodal.frame_sample(media, every_n_bytes=32)
+
+
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx FROM documents),
+    decoded AS (
+      SELECT media_id,
+        list_transform(
+          generate_series(0, CAST(length(hx) // 4 AS INT) - 1),
+          i -> CASE
+            WHEN CAST(('0x' || substr(hx, 4*i + 3, 2) || substr(hx, 4*i + 1, 2)) AS INT) >= 32768
+            THEN CAST(('0x' || substr(hx, 4*i + 3, 2) || substr(hx, 4*i + 1, 2)) AS INT) - 65536
+            ELSE CAST(('0x' || substr(hx, 4*i + 3, 2) || substr(hx, 4*i + 1, 2)) AS INT)
+          END) AS s
+      FROM media),
+    stats AS (
+      SELECT media_id,
+        CAST(len(s) AS BIGINT) AS n_samples,
+        COALESCE(list_sum(list_transform(s, x -> CAST(x AS BIGINT) * x)), 0) AS ssq,
+        COALESCE(list_max(list_transform(s, x -> abs(x))), 0) AS maxabs,
+        CAST(COALESCE(len(list_filter(
+          generate_series(2, len(s)), i -> s[i-1] * s[i] < 0)), 0) AS BIGINT)
+          AS zero_crossings
+      FROM decoded)
+    SELECT media_id, n_samples,
+      CASE WHEN n_samples = 0 THEN 0.0
+           ELSE sqrt(CAST(ssq AS DOUBLE) / n_samples) / 32768.0 END AS rms,
+      CAST(maxabs AS DOUBLE) / 32768.0 AS peak,
+      zero_crossings
+    FROM stats
+    """,
+)
+def multimodal_audio_features(spark, sf_dir):
+    """REAL audio decode (ml/multimodal.extract_audio_features): the
+    payload IS raw PCM16LE, so ``np.frombuffer`` in the Arrow batch is
+    the genuine decode — no codec library, no stub.  RMS/peak/zero-
+    crossing math is exact-int + one IEEE division/sqrt, so the DuckDB
+    oracle (samples re-derived from hex(payload)) hash-matches the
+    decode itself, unlike the stubbed image path where only the
+    plumbing is graded."""
+    from processo_etl_spark.ml import multimodal
+
+    docs = t(spark, sf_dir, "documents")
+    media = multimodal.synthesize_media(docs, "doc_id", "text")
+    return multimodal.extract_audio_features(media)
 
 
 @register(

@@ -1302,3 +1302,42 @@ def test_bigram_coherence_hand_computed(spark):
     assert out[1]["mean_bigram_freq"] == pytest.approx((2 + 1) / 2)
     assert out[1]["novel_frac"] == pytest.approx(0.5)   # "b c" unique to doc 1
     assert out[2]["novel_frac"] == pytest.approx(0.5)
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    long = "alpha beta gamma delta epsilon zeta eta theta " * 8 + "iota kappa"
+    short = "alpha beta gamma delta epsilon zeta"  # verbatim prefix quote
+    df = spark.createDataFrame(
+        [(1, long, "s"), (2, short, "s"), (3, "totally different words entirely", "s")],
+        ["doc_id", "text", "src"],
+    )
+    out = dedup.ngram_containment_pairs(
+        df, "doc_id", "text", block_col="src", shingle_n=3, threshold=0.8
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r for r in out}
+    assert (1, 2) in got and len(got) == 1
+    r = got[(1, 2)]
+    # the SHORT side is fully contained; the long side is not; Jaccard is low
+    assert r["containment_ba"] == 1.0
+    assert r["containment_ab"] < 0.5
+    assert r["jaccard"] < 0.5
+
+
+def test_audio_pcm16_decode_hand_computed(spark):
+    import struct
+
+    # alternating +1000/-1000 → 3 zero crossings, rms=1000/32768, peak same
+    wave = struct.pack("<4h", 1000, -1000, 1000, -1000)
+    odd = struct.pack("<2h", 500, 300) + b"\x7f"   # trailing odd byte ignored
+    rows = [(1, wave), (2, odd), (3, None), (4, b"")]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    out = {r["media_id"]: r for r in multimodal.extract_audio_features(df).collect()}
+    assert out[1]["n_samples"] == 4
+    assert out[1]["zero_crossings"] == 3
+    assert out[1]["rms"] == pytest.approx(1000 / 32768.0)
+    assert out[1]["peak"] == pytest.approx(1000 / 32768.0)
+    assert out[2]["n_samples"] == 2 and out[2]["zero_crossings"] == 0
+    assert out[2]["peak"] == pytest.approx(500 / 32768.0)
+    for mid in (3, 4):
+        assert out[mid]["n_samples"] == 0
+        assert out[mid]["rms"] == 0.0 and out[mid]["peak"] == 0.0

@@ -179,3 +179,22 @@ def test_cluster_representatives_exactly_one_kept_per_cluster(spark, edges):
         by_cluster.setdefault(r["cluster"], []).append(r["kept"])
     for c, kept in by_cluster.items():
         assert sum(kept) == 1, f"cluster {c} kept {sum(kept)}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(TEXTS)
+def test_bloom_never_false_negative(spark, texts):
+    """Zero false negatives for ARBITRARY key strings: every inserted
+    key probes True, at any fill level hypothesis produces."""
+    from processo_etl_spark.ml import bloom
+
+    keys = spark.createDataFrame([(t,) for t in texts], ["k"])
+    filt = bloom.bloom_build(keys, "k", n_bits=1 << 10, k=3)
+    probed = bloom.bloom_probe(keys, filt, "k", n_bits=1 << 10, k=3)
+    assert all(r["might_contain"] for r in probed.collect())
+    # the literal-array form agrees with the join form on every key
+    words = bloom.bloom_filter_words(keys, "k", n_bits=1 << 10, k=3)
+    lit = keys.select(
+        "k", bloom.bloom_hit_expr(words, F.col("k"), 1 << 10, 3).alias("hit")
+    )
+    assert all(r["hit"] for r in lit.collect())
