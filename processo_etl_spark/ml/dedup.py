@@ -144,9 +144,12 @@ def boilerplate_chunk_removal(
             F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
         ),
     )
+    # Materialized once: the document-frequency aggregation and the
+    # flag join otherwise each re-run the normalize/split/chunk HOF
+    # pipeline over the whole corpus.
     exploded = df.select(
         F.col(id_col), F.posexplode(chunks).alias("pos", "chunk")
-    )
+    ).persist()
     boiler = (
         exploded.groupBy("chunk")
         .agg(F.count_distinct(F.col(id_col)).alias("df_docs"))

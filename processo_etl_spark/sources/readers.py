@@ -102,6 +102,44 @@ def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def read_jsonl_robust(
+    spark: SparkSession, path: str, schema
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines source that QUARANTINES malformed lines instead of
+    failing the job or silently nulling them — at 100 TB a crawl shard
+    always contains some broken records, and FAILFAST (kill a 10-hour
+    job at line 9 billion) and silent-NULL (corrupt data poisoning
+    training) are both wrong answers.
+
+    PERMISSIVE mode + ``_corrupt_record``: parseable lines land typed,
+    unparseable lines land verbatim in the quarantine column.  Returns
+    ``(good, bad)`` — ``good`` with the enforced schema, ``bad`` as the
+    raw offending lines for audit/replay.  Both come from ONE scan
+    (same cached parse); the split is a narrow filter.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    with_quarantine = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(with_quarantine)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    # Spark requires caching/materializing before referencing ONLY the
+    # corrupt column (the parser prunes otherwise) — document the
+    # constraint by doing it here.
+    raw = raw.cache()
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, bad
+
+
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink — columnar alternative when the downstream warehouse is
     ORC-native (Hive/Trino); same pushdown/pruning properties as parquet."""

@@ -266,3 +266,31 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == docs.count()
     assert back.exceptAll(docs).count() == 0
+
+
+def test_read_jsonl_robust_quarantines_bad_lines(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from processo_etl_spark.sources import readers
+
+    p = tmp_path / "shard.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good one"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "another good"}\n'
+        '{"doc_id": 3, "text": "unterminated\n'
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    good, bad = readers.read_jsonl_robust(spark, str(p), schema)
+    g = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert g == {1: "good one", 2: "another good"}
+    assert good.columns == ["doc_id", "text"]       # quarantine col dropped
+    b = sorted(r["raw_line"] for r in bad.collect())
+    assert len(b) == 2
+    assert b[0] == "this is not json at all"
+    assert b[1].startswith('{"doc_id": 3')
