@@ -355,6 +355,74 @@ def corpus_frequency_score(
     )
 
 
+def mixed_language_flags(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 10,
+    min_agreement: float = 0.8,
+) -> DataFrame:
+    """Code-switching / mixed-language detection: run the language
+    heuristic per CHUNK and flag documents whose chunks disagree —
+    whole-document langid silently mislabels half-and-half documents
+    (embedded quotes, bilingual boilerplate, concatenation bugs), a
+    standard multilingual-corpus curation check.
+
+    Per document: ``n_chunks``, ``dominant_lang`` (most chunks;
+    count-desc then lang-asc tiebreak, so deterministic), ``agreement``
+    (dominant fraction), ``n_langs`` (distinct chunk labels, 'und'
+    included) and ``mixed`` (≥2 labels AND agreement below
+    ``min_agreement``).
+
+    Scale shape: narrow chunking (the chunk_dedup HOF split) → one
+    combinable groupBy on (doc, lang) — at most |langs|+1 rows per doc
+    — then ONE groupBy on the doc whose dominant-pick is a sorted
+    struct-array fold over those ≤|langs|+1 rows (no window at all,
+    partitioned or otherwise).  The heuristic is the same pure-Column
+    ``detect_language`` the text_langid oracle replays, so the
+    composition stays SQL-checkable.
+    """
+    toks = tokens_ws(text_col)
+    n_ch = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_ch - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )
+    ch = df.select(F.col(id_col), F.explode(chunks).alias("chunk"))
+    counts = (
+        ch.select(F.col(id_col), detect_language(F.col("chunk")).alias("chunk_lang"))
+        .groupBy(id_col, "chunk_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # dominant = (count desc, lang asc): sort (-cnt, lang) ascending and
+    # take the head — a fold over ≤ |langs|+1 structs per doc.
+    top = F.element_at(
+        F.sort_array(
+            F.collect_list(
+                F.struct((-F.col("cnt")).alias("neg"), F.col("chunk_lang").alias("lg"))
+            )
+        ),
+        1,
+    )
+    agg = counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_langs"),
+        top["lg"].alias("dominant_lang"),
+        (-top["neg"]).alias("top_cnt"),
+    )
+    agreement = F.col("top_cnt").cast("double") / F.col("n_chunks").cast("double")
+    return agg.select(
+        F.col(id_col),
+        F.col("n_chunks"),
+        F.col("dominant_lang"),
+        agreement.alias("agreement"),
+        F.col("n_langs"),
+        ((F.col("n_langs") > 1) & (agreement < F.lit(min_agreement))).alias("mixed"),
+    )
+
+
 def bigram_coherence_score(
     df: DataFrame,
     text_col: str,

@@ -667,6 +667,69 @@ def text_token_stats(spark, sf_dir):
     )
 
 
+# Language-score SQL fragments generated from the SHARED stopword lists
+# (ml/textstats.STOPWORDS), so the Spark heuristic and every oracle that
+# replays it have one source of truth.
+def _lang_score_sql(expr: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textstats.STOPWORDS[lang])
+    return f"len(list_filter(string_split({expr}, ' '), x -> x IN ({words})))"
+
+
+def _lang_decide_sql(prefix: str) -> str:
+    langs = list(textstats.STOPWORDS)
+    g = f"greatest({', '.join(f'{prefix}{la}' for la in langs)})"
+    branches = " ".join(
+        f"WHEN {prefix}{la} = {g} THEN '{la}'" for la in langs
+    )
+    return f"CASE WHEN {g} = 0 THEN 'und' {branches} END"
+
+
+@register(
+    "text_mixed_language",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+    chunks AS (
+      SELECT doc_id,
+             array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS chunk
+      FROM base,
+           UNNEST(generate_series(0,
+             CAST(ceil(len(toks) / 10.0) AS INT) - 1)) AS u(i)),
+    scored AS (
+      SELECT doc_id,
+        {", ".join(f"{_lang_score_sql('chunk', la)} AS s_{la}" for la in ("en", "es", "fr", "de"))}
+      FROM chunks),
+    labeled AS (
+      SELECT doc_id, {_lang_decide_sql('s_')} AS chunk_lang FROM scored),
+    counts AS (
+      SELECT doc_id, chunk_lang, count(*) AS cnt FROM labeled GROUP BY 1, 2),
+    ranked AS (
+      SELECT doc_id, chunk_lang, cnt,
+        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, chunk_lang) AS rk,
+        sum(cnt) OVER (PARTITION BY doc_id) AS n_chunks,
+        count(*) OVER (PARTITION BY doc_id) AS n_langs
+      FROM counts)
+    SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+           chunk_lang AS dominant_lang,
+           CAST(cnt AS DOUBLE) / CAST(n_chunks AS BIGINT) AS agreement,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           n_langs > 1 AND CAST(cnt AS DOUBLE) / CAST(n_chunks AS BIGINT) < 0.8
+             AS mixed
+    FROM ranked WHERE rk = 1
+    """,
+)
+def text_mixed_language(spark, sf_dir):
+    """Code-switching detection (ml/textstats.mixed_language_flags):
+    the langid heuristic per 10-token chunk, flagging documents whose
+    chunks disagree — whole-doc langid mislabels half-and-half text.
+    Chunk scoring reuses the same stopword lists the text_langid oracle
+    replays; windows are doc-partitioned (bounded state)."""
+    return textstats.mixed_language_flags(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        chunk_tokens=10, min_agreement=0.8,
+    )
+
+
 @register(
     "text_langid",
     oracle=f"""

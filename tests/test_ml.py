@@ -1341,3 +1341,27 @@ def test_audio_pcm16_decode_hand_computed(spark):
     for mid in (3, 4):
         assert out[mid]["n_samples"] == 0
         assert out[mid]["rms"] == 0.0 and out[mid]["peak"] == 0.0
+
+
+def test_mixed_language_flags_codeswitching(spark):
+    en = "the cat is in the house and it is the best of all for sure"
+    es = "el perro que se come la comida en un plato de los abuelos no"
+    rows = [
+        (1, en + " " + en),             # pure English
+        (2, en + " " + es + " " + es),  # half-and-half → mixed
+        (3, "xyzzy qwerty plugh"),      # no stopwords → und
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in textstats.mixed_language_flags(
+            df, "text", "doc_id", chunk_tokens=10, min_agreement=0.9
+        ).collect()
+    }
+    assert out[1]["dominant_lang"] == "en" and not out[1]["mixed"]
+    assert out[1]["agreement"] == 1.0 and out[1]["n_langs"] == 1
+    assert out[2]["n_langs"] >= 2 and out[2]["mixed"]
+    assert out[3]["dominant_lang"] == "und"
+    # agreement is dominant-count / total chunks, in (0, 1]
+    for r in out.values():
+        assert 0.0 < r["agreement"] <= 1.0
