@@ -301,3 +301,70 @@ def _mixture_plan_body(
             (share / F.col("n_tokens")).alias("epochs"),
         )
     )
+
+
+def weighted_sample_aes(
+    df: DataFrame,
+    key: str,
+    weight_col: str | Column,
+    group_col: str,
+    k: int,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly k rows per group
+    (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    reservoir" — the A-ES scheme): each row draws a hash-uniform
+    u ∈ (0,1) and competes on the exponential key ln(u)/w; the k
+    LARGEST keys per group are a weight-proportional sample without
+    replacement (u^(1/w) is Exp(w) under -ln, and the race between
+    exponentials selects i first with probability w_i / Σw).  This is
+    the standard way to subsample a corpus ∝ quality weight (curation:
+    keep k docs per source, favoring high-quality ones) while staying
+    deterministic and append-consistent for re-runs.
+
+    Determinism: u comes from the salted md5 of the row key — no RNG
+    state, identical on every engine.  The only transcendental is
+    ``ln``; engines may differ in the last ulp, which can flip an
+    ordering only when two keys collide within ~2^-52 relative — with
+    n rows the collision mass is ~n²·2^-52 (≈1e-7 at n=60k), and the
+    (key, row-key) tiebreak makes equal doubles stable.  Rows with
+    NULL or non-positive weight never qualify (ln(u)/w flips sign for
+    w<0) and are filtered.
+
+    Scale shape: a naive ``row_number() OVER (PARTITION BY group)``
+    sorts whole groups — a skewed source stalls one task.  Instead the
+    top-k is taken in two bounded stages: (1) rank within (group,
+    salt) — 64-way split caps per-task sort size regardless of group
+    skew — and keep ranks ≤ k; (2) rank the ≤ 64·k survivors per
+    group.  Both windows shuffle ONCE each and stage 2's input is
+    bounded at salt_buckets·k·|groups| rows, so the plan survives a
+    source holding half the corpus.  The two-stage result is exactly
+    the global top-k: a row outside its salt's top-k is dominated by k
+    rows in the same group and cannot be in the group's top-k.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    kc = F.col(key).cast("string")
+    u = (md5_long(F.concat(F.lit("aes:"), kc)) + F.lit(0.5)) / F.lit(
+        float(1 << 60)
+    )
+    aes_key = F.log(u) / w.cast("double")
+    salt = md5_long(F.concat(F.lit("salt:"), kc)) % F.lit(salt_buckets)
+    base = (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("_aes", aes_key)
+        .withColumn("_salt", salt)
+    )
+    w1 = Window.partitionBy(group_col, "_salt").orderBy(
+        F.col("_aes").desc(), F.col(key)
+    )
+    survivors = (
+        base.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(F.col("_aes").desc(), F.col(key))
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .drop("_aes")
+    )

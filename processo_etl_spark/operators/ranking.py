@@ -22,6 +22,8 @@ legitimate two-pass shape as the histogram min/max probe (quality/audit).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -119,3 +121,83 @@ def distributed_ntile(
     return ranked.withColumn(
         out_col, ntile_from_rank(F.col("__grank"), n_rows, k)
     ).drop("__grank")
+
+
+def exact_quantiles_twopass(
+    df: DataFrame,
+    col: str,
+    qs: list[float],
+    accuracy: int = 10_000,
+) -> list[tuple[float, int, float]]:
+    """EXACT type-1 quantiles (k-th smallest, k = ceil(q·n)) at scale:
+    approx-bracket then refine — never a global sort, never a per-group
+    ``percentile`` buffer (Spark's exact ``percentile`` collects every
+    value into one aggregation buffer; ``functions/cleaning.exact_median``
+    documents that as its 100 TB deviation — this is the path that
+    removes the deviation).
+
+    Three tiny jobs, each map-side combinable:
+
+    1. ``n`` + ``percentile_approx(col, q ± 2ε, accuracy)`` — the
+       sketch's rank error is ≤ ε·n (ε = 1/accuracy), so the bracket
+       [lo, hi] provably contains the exact order statistic;
+    2. per-q anchor ``count(col < lo)`` — absolute rank of the bracket
+       floor;
+    3. value-histogram of the bracket union (groupBy value): ≤ ~4εn
+       rows per q BEFORE duplicate collapse, so the driver holds at
+       most 4·|qs|·n/accuracy value-count pairs (~24 per q at n=60k,
+       accuracy=1e4).  Size the budget by choosing accuracy ≈ 4n/B for
+       a driver budget of B rows.
+
+    The returned value is an actual datum (no interpolation), so any
+    engine replaying "k-th smallest" agrees bit-for-bit; ties collapse
+    into one histogram row and the cumulative walk lands on the same
+    value regardless of tie order.  Returns [(q, k, value), …].
+    """
+    c = F.col(col)
+    eps = 1.0 / accuracy
+    src = df.filter(c.isNotNull())
+    lo_qs = [max(0.0, q - 2 * eps) for q in qs]
+    hi_qs = [min(1.0, q + 2 * eps) for q in qs]
+    probe = src.agg(
+        F.count(c).alias("n"),
+        F.percentile_approx(c, lo_qs, accuracy).alias("lo"),
+        F.percentile_approx(c, hi_qs, accuracy).alias("hi"),
+    ).first()
+    n, los, his = probe["n"], probe["lo"], probe["hi"]
+    if n == 0:
+        return [(q, 0, float("nan")) for q in qs]
+    anchors = src.agg(
+        *[
+            F.sum((c < F.lit(lo)).cast("long")).alias(f"a{i}")
+            for i, lo in enumerate(los)
+        ]
+    ).first()
+    in_any = None
+    for lo, hi in zip(los, his):
+        cond = (c >= F.lit(lo)) & (c <= F.lit(hi))
+        in_any = cond if in_any is None else (in_any | cond)
+    hist = sorted(
+        (r["v"], r["cnt"])
+        for r in src.filter(in_any)
+        .groupBy(c.alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    out = []
+    for q, lo, anchor in zip(qs, los, [anchors[f"a{i}"] for i in range(len(qs))]):
+        k = max(1, math.ceil(q * n))
+        need = k - anchor  # rank within [lo, hi] (positive by the ε bound)
+        cum = 0
+        value = None
+        for v, cnt in hist:
+            if v < lo:
+                continue
+            cum += cnt
+            if cum >= need:
+                value = v
+                break
+        if value is None:  # ε bound violated (cannot happen per sketch contract)
+            raise RuntimeError(f"quantile bracket missed q={q}; raise accuracy")
+        out.append((q, k, float(value)))
+    return out

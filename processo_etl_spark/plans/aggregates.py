@@ -720,3 +720,37 @@ def canary_decimal_20_6(spark, sf_dir):
     return spark.range(1).select(
         F.lit("12345678901234.654321").cast("decimal(20,6)").alias("v")
     )
+
+
+@register(
+    "quantile_exact_scalable",
+    oracle="""
+    WITH v AS (
+      SELECT l_extendedprice AS x FROM lineitem WHERE l_extendedprice IS NOT NULL),
+    n AS (SELECT count(*) AS n FROM v),
+    s AS (SELECT x, row_number() OVER (ORDER BY x) AS r FROM v),
+    qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+    SELECT qs.q,
+           greatest(1, CAST(ceil(qs.q * n.n) AS BIGINT)) AS k,
+           (SELECT s.x FROM s
+            WHERE s.r = greatest(1, CAST(ceil(qs.q * n.n) AS BIGINT))) AS value
+    FROM qs, n
+    ORDER BY qs.q
+    """,
+)
+def quantile_exact_scalable(spark, sf_dir):
+    """EXACT p50/p90/p99 of l_extendedprice via the approx-bracket +
+    refine path (operators/ranking.exact_quantiles_twopass) — the 100 TB
+    replacement for Spark's exact ``percentile`` (whose aggregation
+    buffer collects every value; see functions/cleaning.exact_median's
+    documented deviation).  Type-1 semantics (k-th smallest, k =
+    ceil(q·n)) return an actual datum, so the sort-free Spark path and
+    the sort-based oracle agree bit-for-bit, interpolation-free.  The
+    driver holds only the ≤4εn-row bracket histogram."""
+    from processo_etl_spark.operators import ranking
+
+    li = t(spark, sf_dir, "lineitem")
+    rows = ranking.exact_quantiles_twopass(
+        li, "l_extendedprice", [0.5, 0.9, 0.99]
+    )
+    return spark.createDataFrame(rows, "q double, k bigint, value double")

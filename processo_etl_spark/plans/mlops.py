@@ -2585,3 +2585,34 @@ def vocab_coverage_curve(spark, sf_dir):
             "coverage"
         ),
     )
+
+
+@register(
+    "sample_weighted_aes",
+    oracle="""
+    WITH scored AS (
+      SELECT source, doc_id, n_chars,
+             ln((CAST(('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+                / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS aes
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+    ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY aes DESC, doc_id) AS rnk
+      FROM scored)
+    SELECT source, doc_id, n_chars, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 8
+    """,
+)
+def sample_weighted_aes(spark, sf_dir):
+    """Weighted sampling without replacement, k=8 docs per source with
+    inclusion ∝ n_chars (ml/splits.weighted_sample_aes — Efraimidis-
+    Spirakis exponential keys over hash-uniform draws): the curation
+    primitive for "keep the best k per source, biased by quality
+    weight", deterministic with no RNG state.  The oracle replays the
+    md5-uniform, the ln key, and the (key, doc_id) tiebreak; the salted
+    two-stage top-k is exactly the global per-source top-k, so the
+    single-window SQL twin is value-identical."""
+    from processo_etl_spark.ml import splits
+
+    docs = t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return splits.weighted_sample_aes(docs, "doc_id", "n_chars", "source", k=8)

@@ -1365,3 +1365,47 @@ def test_mixed_language_flags_codeswitching(spark):
     # agreement is dominant-count / total chunks, in (0, 1]
     for r in out.values():
         assert 0.0 < r["agreement"] <= 1.0
+
+
+def test_weighted_sample_aes_topk_and_weight_bias(spark):
+    from processo_etl_spark.ml import splits
+
+    rows = [(f"d{i}", "g1", 1.0 if i else 1e9) for i in range(30)]
+    rows += [(f"e{i}", "g2", 1.0) for i in range(3)]  # group smaller than k
+    rows += [("bad1", "g1", 0.0), ("bad2", "g1", None)]
+    df = spark.createDataFrame(rows, "id string, grp string, w double")
+    out = splits.weighted_sample_aes(df, "id", "w", "grp", k=5).collect()
+    g1 = [r for r in out if r["grp"] == "g1"]
+    g2 = [r for r in out if r["grp"] == "g2"]
+    assert len(g1) == 5 and len(g2) == 3  # exactly k, or all when |group|<k
+    assert {r["rnk"] for r in g1} == {1, 2, 3, 4, 5}
+    # the 1e9-weight row ("d0") must dominate: ln(u)/1e9 ≈ 0 beats any
+    # unit-weight key with overwhelming margin
+    assert g1[0]["id"] == "d0" or [r for r in g1 if r["rnk"] == 1][0]["id"] == "d0"
+    assert not any(r["id"].startswith("bad") for r in out)
+
+
+def test_weighted_sample_aes_two_stage_equals_single_window(spark):
+    from pyspark.sql import Window
+
+    from processo_etl_spark.ml import splits
+    from processo_etl_spark.ml.dedup import md5_long
+
+    df = spark.createDataFrame(
+        [(f"k{i}", f"g{i % 3}", float(1 + i % 7)) for i in range(200)],
+        "id string, grp string, w double",
+    )
+    fast = splits.weighted_sample_aes(df, "id", "w", "grp", k=4, salt_buckets=8)
+    u = (md5_long(F.concat(F.lit("aes:"), F.col("id"))) + F.lit(0.5)) / F.lit(
+        float(1 << 60)
+    )
+    key = F.log(u) / F.col("w")
+    w = Window.partitionBy("grp").orderBy(key.desc(), "id")
+    ref = (
+        df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 4)
+        .select("id", "grp", "rnk")
+    )
+    assert sorted(map(tuple, fast.select("id", "grp", "rnk").collect())) == sorted(
+        map(tuple, ref.collect())
+    )

@@ -167,3 +167,28 @@ def test_distributed_rank_plan_has_no_single_partition_exchange(spark):
     ranked = ranking.distributed_rank(df, ["v", "id"], num_partitions=4)
     plan = ranked._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+def test_exact_quantiles_twopass_matches_sorted_list(spark):
+    from processo_etl_spark.operators import ranking
+
+    vals = [5.0, 1.0, 3.0, 3.0, 9.0, 7.0, 3.0, 2.0, 8.0, 4.0, 6.0]  # n=11, ties
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = ranking.exact_quantiles_twopass(df, "x", [0.25, 0.5, 0.9], accuracy=100)
+    s = sorted(vals)
+    import math
+
+    for (q, k, v) in got:
+        assert k == max(1, math.ceil(q * len(vals)))
+        assert v == s[k - 1]
+
+
+def test_exact_quantiles_twopass_nulls_and_even_n(spark):
+    from processo_etl_spark.operators import ranking
+
+    df = spark.createDataFrame(
+        [(None,), (4.0,), (1.0,), (None,), (2.0,), (3.0,)], "x double"
+    )
+    got = ranking.exact_quantiles_twopass(df, "x", [0.5], accuracy=100)
+    # n=4 non-null, k=ceil(2.0)=2 → second smallest
+    assert got == [(0.5, 2, 2.0)]
