@@ -169,3 +169,71 @@ def scd2_history_from_log(
     )
     wv = Window.partitionBy(key).orderBy("version")
     return hist.withColumn("valid_to", F.lead("valid_from").over(wv))
+
+
+def ewma_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.25,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the sequential
+    recurrence s₁ = x₁, sᵢ = (1−α)·sᵢ₋₁ + α·xᵢ (pandas
+    ``ewm(adjust=False)`` semantics), the standard smoothing feature in
+    monitoring and behavioral-feature pipelines.
+
+    A recurrence has no shuffle-free closed form that is numerically
+    faithful (the (1−α)ⁿ rescaling trick overflows), so the engine
+    folds each key's history ONCE: sort-array + ``aggregate`` HOF over
+    structs, appending the running state — one shuffle on the key, no
+    UDF, no window.  Per-task state is one key's history (same bound as
+    any collect_list over a key group); keys with million-event
+    histories should flow through the streaming twin
+    (``transformWithState``-style carry) or segmented folds composed by
+    the affine rule s_out = (1−α)^len·s_in + c — each segment's effect
+    on the EWMA is affine in the incoming state, so segments combine
+    associatively; that path is NOT oracle-checked because its
+    floating-point order differs from the naive fold.
+
+    Use α with an exact binary representation (0.25, 0.5, 0.125…) when
+    oracle parity matters: then both engines execute literally the same
+    IEEE multiply-adds in the same order (the oracle replays the fold
+    as a recursive CTE) and the result is bit-identical.
+    """
+    a = float(alpha)
+    struct_fields = [F.col(c) for c in order_cols] + [
+        F.col(value_col).alias("__x")
+    ]
+    arr = F.sort_array(F.collect_list(F.struct(*struct_fields)))
+    acc_t = "array<double>"
+    fold = F.aggregate(
+        arr,
+        F.expr(f"CAST(array() AS {acc_t})"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    F.size(acc) == 0, x["__x"].cast("double")
+                ).otherwise(
+                    F.element_at(acc, -1) * F.lit(1.0 - a)
+                    + x["__x"].cast("double") * F.lit(a)
+                )
+            ),
+        ),
+    )
+    grouped = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col)
+        .agg(arr.alias("__h"), fold.alias("__s"))
+    )
+    zipped = grouped.select(
+        key_col, F.explode(F.arrays_zip("__h", "__s")).alias("z")
+    )
+    return zipped.select(
+        key_col,
+        *[F.col(f"z.__h.{c}").alias(c) for c in order_cols],
+        F.col("z.__h.__x").alias(value_col),
+        F.col("z.__s").alias(out_col),
+    )

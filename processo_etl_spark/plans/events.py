@@ -887,3 +887,83 @@ def stream_cms_heavy_hitters(spark, sf_dir):
     from processo_etl_spark.streaming import jobs
 
     return jobs.run_cms_sketch_availablenow(spark, sf_dir)
+
+
+@register(
+    "graph_triangle_stats",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+    e AS (
+      SELECT DISTINCT p1.i AS a, p2.i AS b
+      FROM pairs p1 JOIN pairs p2 ON p1.g = p2.g AND p1.i < p2.i),
+    deg AS (
+      SELECT v, count(*) AS deg FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+    pn AS (
+      SELECT v, count(*) AS t FROM (
+        SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri) GROUP BY v)
+    SELECT deg.v AS node,
+           deg.deg AS degree,
+           COALESCE(pn.t, 0) AS triangles,
+           CASE WHEN deg.deg >= 2
+                THEN 2.0 * COALESCE(pn.t, 0)
+                     / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+                ELSE 0.0 END AS lcc
+    FROM deg LEFT JOIN pn ON deg.v = pn.v
+    """,
+)
+def graph_triangle_stats(spark, sf_dir):
+    """Triangle counting + local clustering coefficient over the
+    co-purchase graph (parts sharing an order; operators/graph
+    .cooccurrence_edges → triangle_stats).  The Spark side enumerates
+    via DEGREE ORIENTATION (out-degrees O(√m) even on power-law
+    graphs — Suri & Vassilvitskii's last-reducer fix); the oracle
+    enumerates id-ordered x<y<z.  Both see each triangle exactly once,
+    so counts match exactly and lcc is the same IEEE division."""
+    from processo_etl_spark.operators import graph
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return graph.triangle_stats(edges)
+
+
+@register(
+    "ewma_user_value",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL),
+    ew AS (
+      SELECT user_id, ts, event_id, value, rn,
+             CAST(value AS DOUBLE) AS ewma
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.ts, b.event_id, b.value, b.rn,
+             e.ewma * 0.75 + CAST(b.value AS DOUBLE) * 0.25 AS ewma
+      FROM ew e JOIN base b ON b.user_id = e.user_id AND b.rn = e.rn + 1)
+    SELECT user_id, ts, event_id, value, ewma FROM ew
+    """,
+)
+def ewma_user_value(spark, sf_dir):
+    """Per-user EWMA of event value, α=0.25 (operators/temporal
+    .ewma_per_key): the sequential smoothing recurrence folded once per
+    user via a sort-array HOF — one shuffle, no UDF, no window.  α and
+    1−α are exact binary fractions and the oracle's recursive CTE
+    replays the identical multiply-add sequence, so the doubles are
+    bit-identical.  The affine segmented-fold scale path for
+    million-event keys is documented on the operator."""
+    from processo_etl_spark.operators import temporal
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    return temporal.ewma_per_key(
+        ev, "user_id", ["ts", "event_id"], "value", alpha=0.25
+    )

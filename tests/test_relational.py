@@ -192,3 +192,28 @@ def test_exact_quantiles_twopass_nulls_and_even_n(spark):
     got = ranking.exact_quantiles_twopass(df, "x", [0.5], accuracy=100)
     # n=4 non-null, k=ceil(2.0)=2 → second smallest
     assert got == [(0.5, 2, 2.0)]
+
+
+def test_triangle_stats_hand_graph(spark):
+    from processo_etl_spark.operators import graph
+
+    # K4 on {1,2,3,4} (4 triangles, every node in 3) plus pendant 5-1
+    # and an open wedge 6-7, 7-8 (no triangle).
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5), (6, 7), (7, 8)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    out = {r["node"]: r for r in graph.triangle_stats(e).collect()}
+    for n in (1, 2, 3, 4):
+        assert out[n]["triangles"] == 3
+    assert out[1]["degree"] == 4 and out[1]["lcc"] == 2.0 * 3 / (4 * 3)
+    assert out[2]["lcc"] == 1.0  # all neighbor pairs connected
+    assert out[5]["triangles"] == 0 and out[5]["lcc"] == 0.0
+    assert out[7]["degree"] == 2 and out[7]["triangles"] == 0 and out[7]["lcc"] == 0.0
+
+
+def test_cooccurrence_edges_bounded_and_distinct(spark):
+    from processo_etl_spark.operators import graph
+
+    rows = [(1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "b"), (3, "c")]
+    df = spark.createDataFrame(rows, "g long, i string")
+    got = sorted(map(tuple, graph.cooccurrence_edges(df, "g", "i").collect()))
+    assert got == [("a", "b")]  # deduped across groups and within group

@@ -108,3 +108,29 @@ def test_range_join_boundary_inclusive(spark):
         start=F.col("lo"), end=F.col("hi"), bucket_width=30,
     )
     assert sorted(r["x"] for r in out.collect()) == [100, 200]
+
+
+def test_ewma_per_key_matches_pandas_ewm(spark):
+    import pandas as pd
+
+    from processo_etl_spark.operators import temporal
+
+    rows = [
+        ("u1", 1, 10.0), ("u1", 2, 20.0), ("u1", 3, 5.0), ("u1", 4, 40.0),
+        ("u2", 1, 7.0), ("u2", 2, None), ("u2", 3, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, seq long, x double")
+    got = {
+        (r["k"], r["seq"]): r["ewma"]
+        for r in temporal.ewma_per_key(df, "k", ["seq"], "x", alpha=0.25).collect()
+    }
+    for k in ("u1", "u2"):
+        s = pd.Series(
+            [x for kk, _, x in rows if kk == k and x is not None],
+            index=[q for kk, q, x in rows if kk == k and x is not None],
+        )
+        ref = s.ewm(alpha=0.25, adjust=False).mean()
+        for seq, v in ref.items():
+            assert got[(k, seq)] == v, (k, seq, got[(k, seq)], v)
+    # null rows are dropped, not zero-filled
+    assert ("u2", 2) not in got
