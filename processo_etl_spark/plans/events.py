@@ -967,3 +967,54 @@ def ewma_user_value(spark, sf_dir):
     return temporal.ewma_per_key(
         ev, "user_id", ["ts", "event_id"], "value", alpha=0.25
     )
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH old_s AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 3 <> 0),
+    new_s AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 5 <> 0),
+    d AS (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                            AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+                  THEN 'update' END AS change_type,
+             o.o_totalprice AS old_o_totalprice,
+             o.o_orderstatus AS old_o_orderstatus,
+             n.o_totalprice AS new_o_totalprice,
+             n.o_orderstatus AS new_o_orderstatus
+      FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey)
+    SELECT * FROM d WHERE change_type IS NOT NULL
+    """,
+)
+def snapshot_diff_orders(spark, sf_dir):
+    """Row-level snapshot reconciliation (operators/cdc.table_diff):
+    diff two versions of orders — %3-excluded keys become inserts,
+    %5-excluded keys deletes, %7 keys a +1.0 price update — emitting
+    only differing keys with old/new values.  One full-outer equi-join
+    on the key (shuffle-free when both snapshots are bucketed), change
+    detection via null-safe struct equality, no row hashing."""
+    from processo_etl_spark.operators import cdc
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    old = orders.filter(F.col("o_orderkey") % 3 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    new = orders.filter(F.col("o_orderkey") % 5 != 0)
+    return cdc.table_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )

@@ -134,3 +134,21 @@ def test_ewma_per_key_matches_pandas_ewm(spark):
             assert got[(k, seq)] == v, (k, seq, got[(k, seq)], v)
     # null rows are dropped, not zero-filled
     assert ("u2", 2) not in got
+
+
+def test_table_diff_three_change_types_and_nulls(spark):
+    from processo_etl_spark.operators import cdc
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, None, 3.0), (4, "d", None)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "B", 2.0), (3, None, 3.0), (5, "e", 5.0)],
+        "k long, s string, v double",
+    )
+    out = {r["k"]: r for r in cdc.table_diff(old, new, ["k"]).collect()}
+    assert set(out) == {2, 4, 5}  # 1 and 3 unchanged (3 via null-safe eq)
+    assert out[2]["change_type"] == "update" and out[2]["new_s"] == "B"
+    assert out[4]["change_type"] == "delete" and out[4]["new_s"] is None
+    assert out[5]["change_type"] == "insert" and out[5]["old_s"] is None
