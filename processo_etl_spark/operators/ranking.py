@@ -201,3 +201,106 @@ def exact_quantiles_twopass(
             raise RuntimeError(f"quantile bracket missed q={q}; raise accuracy")
         out.append((q, k, float(value)))
     return out
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    qs: list[float],
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """EXACT type-1 quantiles PER GROUP, fully distributed — the grouped
+    form of ``exact_quantiles_twopass`` with the driver removed from the
+    refinement: Spark's exact ``percentile`` buffers every value of a
+    group in one aggregation buffer, while this plan's per-task state is
+    bounded by the sketch's bracket width regardless of group size.
+
+    1. bracket agg: per group, ``n`` + ``percentile_approx(col, q ± 2ε,
+       accuracy)`` (combinable sketch; rank error ≤ ε·n_g pins the
+       bracket);
+    2. ONE tagged pass over the data joined to the broadcast bracket
+       table (|groups|·|qs| rows): rows below the bracket count into
+       the rank anchor, rows inside it into a per-(group, q, value)
+       histogram, rows above are dropped BEFORE the shuffle — a
+       combinable groupBy whose key space is bracket-sized;
+    3. a cumulative window over each (group, q)'s ≤ ~4ε·n_g histogram
+       rows picks the first value whose cumulative count reaches
+       k − anchor.  The window partition is bracket-sized by
+       construction — never group-sized.
+
+    Output: (group, q, k, value); values are actual data (no
+    interpolation), so sort-based oracles agree bit-for-bit.
+    """
+    g = F.col(group_col)
+    c = F.col(col)
+    eps = 1.0 / accuracy
+    lo_qs = [max(0.0, q - 2 * eps) for q in qs]
+    hi_qs = [min(1.0, q + 2 * eps) for q in qs]
+    src = df.filter(c.isNotNull()).select(g.alias("g"), c.alias("x"))
+    br = src.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("x", lo_qs, accuracy).alias("los"),
+        F.percentile_approx("x", hi_qs, accuracy).alias("his"),
+    )
+    brx = br.select(
+        "g",
+        "n",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in qs]).alias("q"),
+                F.col("los").alias("lo"),
+                F.col("his").alias("hi"),
+            )
+        ).alias("z"),
+    ).select(
+        "g",
+        F.col("z.q").alias("q"),
+        F.col("z.lo").alias("lo"),
+        F.col("z.hi").alias("hi"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.col("z.q") * F.col("n").cast("double")),
+        ).alias("k"),
+    )
+    tagged = (
+        src.join(F.broadcast(brx), "g")
+        .filter(F.col("x") <= F.col("hi"))
+        .select(
+            "g",
+            "q",
+            "k",
+            F.when(F.col("x") >= F.col("lo"), F.col("x")).alias("v"),
+        )
+    )
+    hist = tagged.groupBy("g", "q", "k", "v").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    anchors = (
+        hist.filter(F.col("v").isNull())
+        .select("g", "q", F.col("cnt").alias("anchor"))
+    )
+    w = (
+        Window.partitionBy("g", "q")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walked = (
+        hist.filter(F.col("v").isNotNull())
+        .join(F.broadcast(anchors), ["g", "q"], "left")
+        .withColumn("cum", F.sum("cnt").over(w))
+        .filter(
+            F.col("cum") >= F.col("k") - F.coalesce("anchor", F.lit(0))
+        )
+    )
+    pick = Window.partitionBy("g", "q").orderBy("v")
+    return (
+        walked.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("g").alias(group_col),
+            "q",
+            "k",
+            F.col("v").alias("value"),
+        )
+    )

@@ -754,3 +754,35 @@ def quantile_exact_scalable(spark, sf_dir):
         li, "l_extendedprice", [0.5, 0.9, 0.99]
     )
     return spark.createDataFrame(rows, "q double, k bigint, value double")
+
+
+@register(
+    "grouped_quantile_exact_scalable",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS g, l_extendedprice AS x FROM lineitem
+      WHERE l_extendedprice IS NOT NULL),
+    n AS (SELECT g, count(*) AS n FROM v GROUP BY g),
+    s AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS r FROM v),
+    qs AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q)
+    SELECT s.g AS l_returnflag, qs.q,
+           greatest(1, CAST(ceil(qs.q * n.n) AS BIGINT)) AS k,
+           s.x AS value
+    FROM s JOIN n USING (g)
+    JOIN qs ON s.r = greatest(1, CAST(ceil(qs.q * n.n) AS BIGINT))
+    """,
+)
+def grouped_quantile_exact_scalable(spark, sf_dir):
+    """Per-group exact p50/p90 of l_extendedprice by returnflag via the
+    fully distributed bracket-and-refine plan
+    (operators/ranking.grouped_exact_quantiles): per-task state bounded
+    by the sketch bracket (~4ε·n_g), never the group — the grouped
+    replacement for exact ``percentile``'s whole-group aggregation
+    buffer.  Values are actual data, so the sort-based oracle agrees
+    bit-for-bit."""
+    from processo_etl_spark.operators import ranking
+
+    li = t(spark, sf_dir, "lineitem")
+    return ranking.grouped_exact_quantiles(
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.9]
+    )

@@ -217,3 +217,24 @@ def test_cooccurrence_edges_bounded_and_distinct(spark):
     df = spark.createDataFrame(rows, "g long, i string")
     got = sorted(map(tuple, graph.cooccurrence_edges(df, "g", "i").collect()))
     assert got == [("a", "b")]  # deduped across groups and within group
+
+
+def test_grouped_exact_quantiles_matches_per_group_sort(spark):
+    import math
+
+    from processo_etl_spark.operators import ranking
+
+    data = [("a", float(v)) for v in [7, 1, 5, 5, 9, 2, 8, 5]]  # ties
+    data += [("b", float(v)) for v in range(1, 101)]  # bigger group
+    df = spark.createDataFrame(data, "g string, x double")
+    got = {
+        (r["g"], r["q"]): (r["k"], r["value"])
+        for r in ranking.grouped_exact_quantiles(
+            df, "g", "x", [0.25, 0.5, 0.99], accuracy=100
+        ).collect()
+    }
+    for grp in ("a", "b"):
+        vals = sorted(v for g, v in data if g == grp)
+        for q in (0.25, 0.5, 0.99):
+            k = max(1, math.ceil(q * len(vals)))
+            assert got[(grp, q)] == (k, vals[k - 1]), (grp, q)
