@@ -191,3 +191,71 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("lcc"),
     )
+
+
+def association_rules(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Pairwise association rules (market-basket support / confidence /
+    lift) from a (basket, item) relation — Agrawal & Srikant's Apriori
+    restricted to 2-itemsets, which is the part that matters at scale
+    (longer itemsets prune FROM these pairs).
+
+    For each directional rule a→b over N baskets:
+    ``support = n_ab/N``, ``confidence = n_ab/n_a``,
+    ``lift = (n_ab·N)/(n_a·n_b)``.
+
+    Scale shape: the pair generation fans out Σ|basket|² — linear for
+    bounded baskets (lineitem: ≤7 lines/order) — and ``min_pair_count``
+    prunes the pair table BEFORE the item-frequency joins (Apriori's
+    support-threshold anti-monotonicity), so the joined relation is
+    frequent-pairs-sized.  Item frequencies are one combinable groupBy,
+    joined twice by equi-key (broadcastable while |items| is
+    dimension-sized).  All ratios are double divisions of exact counts
+    — any engine agrees bit-for-bit."""
+    baskets = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("i")
+    ).distinct()
+    n_baskets = baskets.select("g").distinct().count()
+    item_n = baskets.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
+    b2 = baskets.select("g", F.col("i").alias("j"))
+    pairs = (
+        baskets.join(b2, "g")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_pair_count)
+    )
+    directed = pairs.select("i", "j", "n_both").unionAll(
+        pairs.select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "n_both"
+        )
+    )
+    na = item_n.select(F.col("i"), F.col("n_i").alias("n_ant"))
+    nb = item_n.select(
+        F.col("i").alias("j"), F.col("n_i").alias("n_cons")
+    )
+    nN = float(n_baskets)
+    return (
+        directed.join(na, "i")
+        .join(nb, "j")
+        .select(
+            F.col("i").alias("antecedent"),
+            F.col("j").alias("consequent"),
+            "n_both",
+            "n_ant",
+            "n_cons",
+            (F.col("n_both").cast("double") / F.lit(nN)).alias("support"),
+            (
+                F.col("n_both").cast("double")
+                / F.col("n_ant").cast("double")
+            ).alias("confidence"),
+            (
+                F.col("n_both").cast("double") * F.lit(nN)
+                / (F.col("n_ant") * F.col("n_cons")).cast("double")
+            ).alias("lift"),
+        )
+    )

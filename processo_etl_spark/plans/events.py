@@ -1018,3 +1018,36 @@ def snapshot_diff_orders(spark, sf_dir):
     return cdc.table_diff(
         old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
     )
+
+
+@register(
+    "assoc_rules_parts",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+    nb AS (SELECT count(DISTINCT g) AS n FROM b),
+    it AS (SELECT i, count(*) AS n_i FROM b GROUP BY i),
+    p AS (
+      SELECT b1.i AS i, b2.i AS j, count(*) AS n_both
+      FROM b b1 JOIN b b2 ON b1.g = b2.g AND b1.i < b2.i
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    d AS (SELECT i, j, n_both FROM p
+          UNION ALL SELECT j, i, n_both FROM p)
+    SELECT d.i AS antecedent, d.j AS consequent, d.n_both,
+           a.n_i AS n_ant, c.n_i AS n_cons,
+           CAST(d.n_both AS DOUBLE) / nb.n AS support,
+           CAST(d.n_both AS DOUBLE) / CAST(a.n_i AS DOUBLE) AS confidence,
+           CAST(d.n_both AS DOUBLE) * nb.n
+             / CAST(a.n_i * c.n_i AS DOUBLE) AS lift
+    FROM d JOIN it a ON d.i = a.i JOIN it c ON d.j = c.i CROSS JOIN nb
+    """,
+)
+def assoc_rules_parts(spark, sf_dir):
+    """Market-basket association rules over parts-per-order
+    (operators/graph.association_rules): directional support /
+    confidence / lift for part pairs co-purchased ≥2 times.  Pair
+    fan-out is bounded by lines-per-order; the support threshold prunes
+    before the frequency joins (Apriori anti-monotonicity)."""
+    from processo_etl_spark.operators import graph
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return graph.association_rules(li, "l_orderkey", "l_partkey", min_pair_count=2)

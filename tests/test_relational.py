@@ -238,3 +238,21 @@ def test_grouped_exact_quantiles_matches_per_group_sort(spark):
         for q in (0.25, 0.5, 0.99):
             k = max(1, math.ceil(q * len(vals)))
             assert got[(grp, q)] == (k, vals[k - 1]), (grp, q)
+
+
+def test_association_rules_hand_computed(spark):
+    from processo_etl_spark.operators import graph
+
+    # 4 baskets: {a,b} twice, {a,b,c} once, {c} once
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "b"),
+            (3, "c"), (4, "c")]
+    df = spark.createDataFrame(rows, "g long, i string")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+    for r in graph.association_rules(df, "g", "i", min_pair_count=2).collect()}
+    # only (a,b) reaches the threshold; both directions present
+    assert set(out) == {("a", "b"), ("b", "a")}
+    r = out[("a", "b")]
+    assert r["n_both"] == 3 and r["n_ant"] == 3 and r["n_cons"] == 3
+    assert r["support"] == 0.75 and r["confidence"] == 1.0
+    assert r["lift"] == 3.0 * 4 / 9
