@@ -786,3 +786,76 @@ def grouped_quantile_exact_scalable(spark, sf_dir):
     return ranking.grouped_exact_quantiles(
         li, "l_returnflag", "l_extendedprice", [0.5, 0.9]
     )
+
+
+@register(
+    "regression_price_on_qty_by_brand",
+    oracle="""
+    WITH s AS (
+      SELECT p_brand,
+        count(*) AS n,
+        SUM(CAST(ROUND(l_quantity, 2) AS DECIMAL(12,2))) AS sx,
+        SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(12,2))) AS sy,
+        SUM(CAST(ROUND(l_quantity, 2) AS DECIMAL(12,2))
+            * CAST(ROUND(l_quantity, 2) AS DECIMAL(12,2))) AS sxx,
+        SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(12,2))
+            * CAST(ROUND(l_extendedprice, 2) AS DECIMAL(12,2))) AS syy,
+        SUM(CAST(ROUND(l_quantity, 2) AS DECIMAL(12,2))
+            * CAST(ROUND(l_extendedprice, 2) AS DECIMAL(12,2))) AS sxy
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand)
+    SELECT p_brand, n,
+      ROUND(CAST(
+        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        AS DOUBLE), 12) AS slope,
+      ROUND(CAST(
+        (CAST(sy AS DOUBLE)
+         - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * CAST(sx AS DOUBLE))
+        / CAST(n AS DOUBLE) AS DOUBLE), 6) AS intercept,
+      ROUND(CAST(
+        ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        AS DOUBLE), 12) AS r2
+    FROM s
+    """,
+)
+def regression_price_on_qty_by_brand(spark, sf_dir):
+    """Per-group OLS (extendedprice ~ quantity by brand) from EXACT
+    decimal moment sums — grouped model fitting as ONE combinable
+    groupBy after a broadcast dim join; no MLlib iteration, no
+    per-group data movement beyond the moments.  Built-in covar/corr
+    accumulate order-dependent doubles; exact decimal (n, Σx, Σy, Σxx,
+    Σyy, Σxy) are order-insensitive and the closed-form slope /
+    intercept / r² is identical IEEE arithmetic on both engines,
+    rounded to 12 decimals (same ULP rationale as corr_matrix)."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    x, y = dec("l_quantity"), dec("l_extendedprice")
+    s = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov = d("n") * d("sxy") - d("sx") * d("sy")
+    varx = d("n") * d("sxx") - d("sx") * d("sx")
+    vary = d("n") * d("syy") - d("sy") * d("sy")
+    slope = cov / varx
+    return s.select(
+        "p_brand",
+        "n",
+        F.round(slope.cast("double"), 12).alias("slope"),
+        # 6 decimals, not 12: intercept ~1e4-1e5, and ROUND(x, d) is only
+        # engine-portable while |x|*10^d < 2^53 (corr_matrix ULP note).
+        F.round(
+            ((d("sy") - slope * d("sx")) / d("n")).cast("double"), 6
+        ).alias("intercept"),
+        F.round(((cov * cov) / (varx * vary)).cast("double"), 12).alias("r2"),
+    )
