@@ -304,3 +304,76 @@ def grouped_exact_quantiles(
             F.col("v").alias("value"),
         )
     )
+
+
+def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """2-D skyline (Pareto frontier), both criteria MINIMIZED: rows no
+    other row strictly dominates (other.x ≤ x AND other.y ≤ y with at
+    least one strict) — Börzsönyi/Kossmann/Stocker's SKYLINE OF
+    operator, the "best trade-offs" query (cheapest-vs-smallest,
+    price-vs-latency).  To maximize a criterion, pass its negation.
+
+    The naive formulation is a NOT EXISTS theta self-join — O(n²) and
+    unshardable.  In 2-D the skyline is exactly the rows where y
+    strictly undercuts the running min of y over all smaller x, so the
+    plan is the sort-based O(n log n) form, distributed with the same
+    range-partition + driver-prefix trick as ``distributed_rank``:
+
+    1. combinable groupBy x → min(y) (collapses the row count to
+       |distinct x| BEFORE any ordering work);
+    2. range-repartition on x; per-partition strict-prefix running min
+       (window partitioned BY the range partition — no global
+       exchange); one tiny per-partition-min collect gives each
+       partition the min over all PRIOR partitions as a broadcast
+       literal;
+    3. keep x-groups whose min(y) beats the combined strict prefix;
+       join back to the input on (x, y = min(y)) — same-x rows above
+       the group min are dominated within the group.
+
+    Ties: equal (x, y) duplicates dominate each other only weakly, so
+    all stay — matching the strict-dominance NOT EXISTS definition.
+    """
+    x, y = F.col(x_col), F.col(y_col)
+    # NULL criteria have no dominance semantics — and a NULL x group
+    # would sort first and poison the prefix min.  Excluded up front.
+    df = df.filter(x.isNotNull() & y.isNotNull())
+    g = df.groupBy(x.alias("__x")).agg(F.min(y).alias("__miny"))
+    parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = (
+        g.repartitionByRange(parts, F.col("__x"))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    pmins = {
+        r["__pid"]: r["m"]
+        for r in ranged.groupBy("__pid").agg(F.min("__miny").alias("m")).collect()
+    }
+    prior: dict[int, float] = {}
+    best = None
+    for pid in sorted(pmins):
+        if best is not None:
+            prior[pid] = best
+        best = pmins[pid] if best is None else min(best, pmins[pid])
+    prior_map = (
+        F.create_map(*[F.lit(v) for pid in prior for v in (pid, prior[pid])])
+        if prior
+        else F.create_map()
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.least(
+        F.min("__miny").over(w), prior_map[F.col("__pid")]
+    )  # least() ignores NULLs; NULL prefix = no smaller x anywhere
+    sky = (
+        ranged.withColumn("__prefix", prefix)
+        .filter(F.col("__prefix").isNull() | (F.col("__miny") < F.col("__prefix")))
+        .select("__x", "__miny")
+    )
+    return df.join(
+        sky, (x == F.col("__x")) & (y == F.col("__miny"))
+    ).drop("__x", "__miny")

@@ -859,3 +859,31 @@ def regression_price_on_qty_by_brand(spark, sf_dir):
         ).alias("intercept"),
         F.round(((cov * cov) / (varx * vary)).cast("double"), 12).alias("r2"),
     )
+
+
+@register(
+    "skyline_parts_price_size",
+    oracle="""
+    SELECT p_partkey, p_retailprice, p_size FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """,
+)
+def skyline_parts_price_size(spark, sf_dir):
+    """Pareto frontier of parts — cheapest-for-their-size (minimize
+    retailprice, maximize size) via operators/ranking.skyline_2d: the
+    sort-based O(n log n) skyline distributed with the range-partition
+    + driver-prefix running-min trick, vs the oracle's O(n²) NOT EXISTS
+    dominance scan.  groupBy-x collapses to |distinct prices| before
+    any ordering work; no global window, no theta join."""
+    from processo_etl_spark.operators import ranking
+
+    part = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    neg = part.withColumn("__negsize", -F.col("p_size"))
+    return ranking.skyline_2d(neg, "p_retailprice", "__negsize").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )

@@ -256,3 +256,26 @@ def test_association_rules_hand_computed(spark):
     assert r["n_both"] == 3 and r["n_ant"] == 3 and r["n_cons"] == 3
     assert r["support"] == 0.75 and r["confidence"] == 1.0
     assert r["lift"] == 3.0 * 4 / 9
+
+
+def test_skyline_2d_matches_not_exists(spark):
+    from processo_etl_spark.operators import ranking
+
+    rows = [
+        (1, 1.0, 5.0), (2, 2.0, 3.0), (3, 3.0, 3.0),  # 3 dominated by 2
+        (4, 2.0, 3.0),  # duplicate of 2 → both stay (weak dominance only)
+        (5, 4.0, 1.0), (6, 1.0, 5.0),  # dup of 1
+        (7, 0.5, 9.0), (8, None, 1.0), (9, 1.0, None),  # nulls excluded
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = sorted(r["id"] for r in ranking.skyline_2d(df, "x", "y").collect())
+    # brute-force strict dominance on the non-null rows
+    pts = [(i, x, y) for i, x, y in rows if x is not None and y is not None]
+    want = sorted(
+        i
+        for i, x, y in pts
+        if not any(
+            qx <= x and qy <= y and (qx < x or qy < y) for _, qx, qy in pts
+        )
+    )
+    assert got == want == [1, 2, 4, 5, 6, 7]
