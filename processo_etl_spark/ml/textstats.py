@@ -525,3 +525,69 @@ def hashed_bow_features(
             F.array(*[F.col(f"_f{i}") for i in range(dim)]).alias("features"),
         )
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    level: int = 6,
+    max_ratio_keep: float = 0.95,
+    min_ratio_keep: float = 0.10,
+) -> DataFrame:
+    """Compression-ratio quality signal: ``zlib(text) / len(text)`` per
+    document — the cheap information-density probe used by large-corpus
+    curation pipelines (e.g. the C4/MassiveText lineage): near-zero
+    ratios mean machine-generated repetition (boilerplate loops, keyword
+    stuffing) and ratios near/above 1 mean high-entropy non-text (hex
+    dumps, base64, binary pasted as text); both ends are poor training
+    data.  Complements the n-gram repetition ratios (same family,
+    different blind spots: zlib sees long-range and non-token structure).
+
+    This is the engine's canonical JUSTIFIED Python hot-path: a DEFLATE
+    pass has no Column-expression form, so it runs as an Arrow-batched
+    ``mapInPandas`` (one Python call per batch, zero JVM↔Python
+    per-row chatter) — the same boundary discipline as the multimodal
+    decoders (ml/multimodal), never a row-at-a-time UDF.  No SQL oracle
+    by design (DuckDB ships no zlib); semantics are pinned by unit
+    tests instead, and the output is deterministic for a fixed zlib
+    level (RFC 1950 stream, no timestamps).
+
+    Output: (id, n_bytes, n_compressed, ratio, keep) — ``keep`` brackets
+    the ratio in [min_ratio_keep, max_ratio_keep].  Empty/NULL text
+    compresses to the 8-byte zlib skeleton; ratio is defined as 0 there
+    (n_bytes 0) and fails ``keep``.
+    """
+
+    def batches(it):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            raw = pdf[text_col].map(
+                lambda t: b"" if t is None else t.encode("utf-8")
+            )
+            n_bytes = raw.map(len).astype("int64")
+            n_comp = raw.map(
+                lambda b: len(zlib.compress(b, level))
+            ).astype("int64")
+            ratio = (n_comp / n_bytes.where(n_bytes > 0, 1)).where(
+                n_bytes > 0, 0.0
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n_bytes,
+                    "n_compressed": n_comp,
+                    "ratio": ratio,
+                    "keep": (ratio >= min_ratio_keep)
+                    & (ratio <= max_ratio_keep),
+                }
+            )
+
+    out_schema = (
+        f"{id_col} long, n_bytes long, n_compressed long, "
+        "ratio double, keep boolean"
+    )
+    return df.select(id_col, text_col).mapInPandas(batches, schema=out_schema)

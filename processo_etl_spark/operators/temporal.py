@@ -237,3 +237,51 @@ def ewma_per_key(
         F.col("z.__h.__x").alias(value_col),
         F.col("z.__s").alias(out_col),
     )
+
+
+def event_sequence_match(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    code: Column,
+    pattern: str,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: regex over each key's event-type sequence.
+
+    Funnels count milestone presence; real behavioral predicates are
+    ORDER-SENSITIVE with exclusions ("two clicks then a purchase with
+    no error in between") — SQL:2016 MATCH_RECOGNIZE territory, which
+    Spark lacks.  Encoding each key's ordered history as a one-char-
+    per-event string reduces the pattern to a regex: one combinable
+    collect per key (the sessionize shuffle shape), then ``rlike`` /
+    ``regexp_extract_all`` — JVM-side, codegen-friendly.
+
+    Keep the pattern to char classes and greedy quantifiers (no
+    backreferences, no lookaround): then Java regex (Spark) and RE2
+    (DuckDB, Hyperscan, …) produce identical match boundaries, so the
+    operator stays oracle-checkable and portable to any downstream
+    engine.  Per-key state is the journey string (one byte per event);
+    million-event keys should segment by session first — the same
+    bound as any per-key fold.
+
+    Output: (key, n_events, journey, matched, n_matches) with
+    ``n_matches`` the non-overlapping greedy match count.
+    """
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(*[F.col(c) for c in order_cols], code.alias("__c"))
+        )
+    )
+    journey = F.array_join(F.transform(arr, lambda x: x["__c"]), "")
+    g = df.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"), journey.alias("journey")
+    )
+    return g.select(
+        key_col,
+        "n_events",
+        "journey",
+        F.col("journey").rlike(pattern).alias("matched"),
+        F.size(F.regexp_extract_all("journey", F.lit(pattern), F.lit(0)))
+        .cast("long")
+        .alias("n_matches"),
+    )

@@ -1051,3 +1051,38 @@ def assoc_rules_parts(spark, sf_dir):
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return graph.association_rules(li, "l_orderkey", "l_partkey", min_pair_count=2)
+
+
+@register(
+    "sequence_double_click_purchase",
+    oracle="""
+    WITH j AS (
+      SELECT user_id, count(*) AS n_events,
+             string_agg(upper(substr(event_type, 1, 1)), ''
+                        ORDER BY ts, event_id) AS journey
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_events, journey,
+           regexp_matches(journey, 'C[VCS]*C[VCS]*P') AS matched,
+           CAST(len(regexp_extract_all(journey, 'C[VCS]*C[VCS]*P'))
+                AS BIGINT) AS n_matches
+    FROM j
+    """,
+)
+def sequence_double_click_purchase(spark, sf_dir):
+    """MATCH_RECOGNIZE-lite (operators/temporal.event_sequence_match):
+    users whose journey contains click→click→purchase with NO error
+    between — order-sensitive with exclusion, beyond funnel milestone
+    counting.  Event codes are first letters (V/C/P/S/E, distinct in
+    this domain); char-class-only regex keeps Java and RE2 semantics
+    identical, so the full journey string AND the match count are
+    hash-graded."""
+    from processo_etl_spark.operators import temporal
+
+    ev = t(spark, sf_dir, "events")
+    return temporal.event_sequence_match(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        F.upper(F.substring("event_type", 1, 1)),
+        "C[VCS]*C[VCS]*P",
+    )

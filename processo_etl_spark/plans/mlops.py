@@ -2616,3 +2616,16 @@ def sample_weighted_aes(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
     return splits.weighted_sample_aes(docs, "doc_id", "n_chars", "source", k=8)
+
+
+@register("text_compression_ratio")  # rows-only: DuckDB ships no zlib
+def text_compression_ratio(spark, sf_dir):
+    """Compression-ratio curation signal (ml/textstats.compression_ratio):
+    zlib(text)/len(text) per document via Arrow-batched mapInPandas —
+    the justified-Python hot path (DEFLATE has no Column form).  Flags
+    both repetition (ratio→0) and high-entropy non-text (ratio→1).
+    Deterministic for the fixed zlib level, but ungraded by SQL oracle
+    by design; unit tests pin the semantics."""
+    return textstats.compression_ratio(
+        t(spark, sf_dir, "documents"), "text", "doc_id"
+    )

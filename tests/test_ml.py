@@ -1409,3 +1409,31 @@ def test_weighted_sample_aes_two_stage_equals_single_window(spark):
     assert sorted(map(tuple, fast.select("id", "grp", "rnk").collect())) == sorted(
         map(tuple, ref.collect())
     )
+
+
+def test_compression_ratio_flags_both_tails(spark):
+    import os
+    import zlib
+
+    repetitive = "spam ham " * 500
+    normal = (
+        "The quick brown fox jumps over the lazy dog while seventeen "
+        "magistrates debated compression entropy in Geneva. " * 8
+    )
+    high_entropy = os.urandom(4096).hex()  # hex of random bytes ≈ max entropy
+    df = spark.createDataFrame(
+        [(1, repetitive), (2, normal), (3, high_entropy), (4, None), (5, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.compression_ratio(df, "text", "doc_id").collect()
+    }
+    assert out[1]["ratio"] < 0.05 and not out[1]["keep"]
+    assert 0.10 <= out[2]["ratio"] <= 0.95 and out[2]["keep"]
+    assert out[3]["ratio"] > 0.5
+    for d in (4, 5):  # NULL and empty: ratio defined as 0, fails keep
+        assert out[d]["n_bytes"] == 0 and out[d]["ratio"] == 0.0
+        assert not out[d]["keep"]
+    # exact parity with local zlib on one row
+    assert out[2]["n_compressed"] == len(zlib.compress(normal.encode(), 6))

@@ -152,3 +152,34 @@ def test_table_diff_three_change_types_and_nulls(spark):
     assert out[2]["change_type"] == "update" and out[2]["new_s"] == "B"
     assert out[4]["change_type"] == "delete" and out[4]["new_s"] is None
     assert out[5]["change_type"] == "insert" and out[5]["old_s"] is None
+
+
+def test_event_sequence_match_order_and_exclusion(spark):
+    from processo_etl_spark.operators import temporal
+
+    rows = [
+        # u1: C C P → match (1 non-overlapping)
+        ("u1", 1, "click"), ("u1", 2, "click"), ("u1", 3, "purchase"),
+        # u2: C E C P → error between the clicks breaks it
+        ("u2", 1, "click"), ("u2", 2, "error"), ("u2", 3, "click"),
+        ("u2", 4, "purchase"),
+        # u3: C C P C C P → two disjoint matches
+        ("u3", 1, "click"), ("u3", 2, "click"), ("u3", 3, "purchase"),
+        ("u3", 4, "click"), ("u3", 5, "click"), ("u3", 6, "purchase"),
+        # u4: P C C → order matters, no match
+        ("u4", 1, "purchase"), ("u4", 2, "click"), ("u4", 3, "click"),
+    ]
+    df = spark.createDataFrame(rows, "u string, seq long, event_type string")
+    out = {
+        r["u"]: r
+        for r in temporal.event_sequence_match(
+            df, "u", ["seq"],
+            F.upper(F.substring("event_type", 1, 1)),
+            "C[VCS]*C[VCS]*P",
+        ).collect()
+    }
+    assert out["u1"]["matched"] and out["u1"]["n_matches"] == 1
+    assert not out["u2"]["matched"]
+    assert out["u2"]["journey"] == "CECP"
+    assert out["u3"]["n_matches"] == 2
+    assert not out["u4"]["matched"] and out["u4"]["journey"] == "PCC"
