@@ -61,15 +61,18 @@ def _ranked_with_total(
     # __pid, so WindowExec sees per-partition data — no global exchange.
     w = Window.partitionBy("__pid").orderBy(*cols)
     # Broadcast the offsets as a literal map — no join, stays narrow.
-    offset_map = F.create_map(
-        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
-    ) if offsets else F.create_map()
+    # Empty-input edge: a literal map() is VOID-keyed and map()[int]
+    # fails analysis — with no partitions every offset is 0.
+    offset_map = (
+        F.create_map(
+            *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+        )[F.col("__pid")]
+        if offsets
+        else F.lit(None).cast("long")
+    )
     ranked = ranged.withColumn(
         rank_col,
-        (
-            F.coalesce(offset_map[F.col("__pid")], F.lit(0))
-            + F.row_number().over(w)
-        ).cast("long"),
+        (F.coalesce(offset_map, F.lit(0)) + F.row_number().over(w)).cast("long"),
     ).drop("__pid")
     return ranked, acc
 
@@ -356,10 +359,15 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         if best is not None:
             prior[pid] = best
         best = pmins[pid] if best is None else min(best, pmins[pid])
+    # An empty literal map is VOID-keyed and map()[int] fails analysis —
+    # when no partition has a predecessor (≤1 non-empty partition), the
+    # prior-min is simply NULL everywhere.
     prior_map = (
-        F.create_map(*[F.lit(v) for pid in prior for v in (pid, prior[pid])])
+        F.create_map(*[F.lit(v) for pid in prior for v in (pid, prior[pid])])[
+            F.col("__pid")
+        ]
         if prior
-        else F.create_map()
+        else F.lit(None).cast("double")
     )
     w = (
         Window.partitionBy("__pid")
@@ -367,7 +375,7 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prefix = F.least(
-        F.min("__miny").over(w), prior_map[F.col("__pid")]
+        F.min("__miny").over(w), prior_map
     )  # least() ignores NULLs; NULL prefix = no smaller x anywhere
     sky = (
         ranged.withColumn("__prefix", prefix)

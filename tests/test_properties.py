@@ -198,3 +198,67 @@ def test_bloom_never_false_negative(spark, texts):
         "k", bloom.bloom_hit_expr(words, F.col("k"), 1 << 10, 3).alias("hit")
     )
     assert all(r["hit"] for r in lit.collect())
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    st.sampled_from([0.1, 0.5, 0.9]),
+)
+def test_grouped_exact_quantiles_property(spark, rows, q):
+    import math
+
+    from processo_etl_spark.operators import ranking
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "g string, x double"
+    )
+    got = {
+        r["g"]: (r["k"], r["value"])
+        for r in ranking.grouped_exact_quantiles(
+            df, "g", "x", [q], accuracy=100
+        ).collect()
+    }
+    by_g: dict[str, list[float]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(float(v))
+    for g, vals in by_g.items():
+        vals.sort()
+        k = max(1, math.ceil(q * len(vals)))
+        assert got[g] == (k, vals[k - 1])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_skyline_2d_property_matches_bruteforce(spark, pts):
+    from processo_etl_spark.operators import ranking
+
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "id long, x double, y double",
+    )
+    got = sorted(r["id"] for r in ranking.skyline_2d(df, "x", "y").collect())
+    want = sorted(
+        i
+        for i, (x, y) in enumerate(pts)
+        if not any(
+            qx <= x and qy <= y and (qx < x or qy < y) for qx, qy in pts
+        )
+    )
+    assert got == want
