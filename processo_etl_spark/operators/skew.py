@@ -43,3 +43,44 @@ def salted_join(
     )
     out = big_salted.join(small_exploded, on=[*keys, SALT_COL], how=how)
     return out.drop(SALT_COL)
+
+
+def skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Key-skew profile for a prospective shuffle key — the measurement
+    that DECIDES between the plain plan, AQE, and ``salted_join``
+    (choose n_salts ≈ skew_factor): per-key counts reduced to
+    ``n_rows``, ``n_keys``, ``max_count``, ``max_key_share``,
+    ``top{k}_share``, ``cov`` (coefficient of variation of key counts)
+    and ``skew_factor`` (hottest key vs mean — the straggler-task
+    multiplier a shuffle on this key would suffer).
+
+    Scale shape: ONE combinable groupBy to |keys| rows; every statistic
+    then reduces that summary (the top-k is a TakeOrdered over |keys|,
+    never a global window).  Moments are exact integer/decimal sums
+    (Σc as long, Σc² as DECIMAL(38,0) — counts up to ~1e9 would
+    overflow int64 squared), so the doubles are reproducible and
+    oracle-checkable: cov = √((K·Σc² − N²)) / N with that literal
+    bracketing on both engines."""
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top = counts.orderBy(F.col("c").desc(), "k").limit(top_k)
+    top_sum = top.agg(F.sum("c").alias("s")).first()["s"] or 0
+    s = counts.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_count"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sq"),
+    )
+    n = F.col("n_rows").cast("double")
+    k = F.col("n_keys").cast("double")
+    var_num = k * F.col("sq").cast("double") - n * n
+    return s.select(
+        "n_rows",
+        "n_keys",
+        "max_count",
+        (F.col("max_count").cast("double") / n).alias("max_key_share"),
+        (F.lit(float(top_sum)) / n).alias(f"top{top_k}_share"),
+        (F.sqrt(var_num) / n).alias("cov"),
+        (F.col("max_count").cast("double") * k / n).alias("skew_factor"),
+    )

@@ -1086,3 +1086,36 @@ def sequence_double_click_purchase(spark, sf_dir):
         F.upper(F.substring("event_type", 1, 1)),
         "C[VCS]*C[VCS]*P",
     )
+
+
+@register(
+    "skew_report_events_user",
+    oracle="""
+    WITH c AS (SELECT user_id AS k, count(*) AS c FROM events GROUP BY 1),
+    top AS (SELECT sum(c) AS s FROM
+            (SELECT c FROM c ORDER BY c DESC, k LIMIT 10)),
+    agg AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                   count(*) AS n_keys,
+                   max(c) AS max_count,
+                   sum(CAST(c AS DECIMAL(38,0)) * c) AS sq
+            FROM c)
+    SELECT n_rows, n_keys, max_count,
+      CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE) AS max_key_share,
+      CAST((SELECT s FROM top) AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top10_share,
+      sqrt(CAST(n_keys AS DOUBLE) * CAST(sq AS DOUBLE)
+           - CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))
+        / CAST(n_rows AS DOUBLE) AS cov,
+      CAST(max_count AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        / CAST(n_rows AS DOUBLE) AS skew_factor
+    FROM agg
+    """,
+)
+def skew_report_events_user(spark, sf_dir):
+    """Shuffle-key skew profile of events.user_id
+    (operators/skew.skew_report): the measurement that picks between
+    the plain plan, AQE skew-join, and salted_join (n_salts ≈
+    skew_factor).  One combinable groupBy to |keys| rows; exact
+    integer/decimal moments make the doubles oracle-checkable."""
+    from processo_etl_spark.operators import skew
+
+    return skew.skew_report(t(spark, sf_dir, "events"), "user_id")

@@ -363,3 +363,65 @@ def join_salted_skew(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
     )
+
+
+@register(
+    "fk_orphan_audit",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        AS lineitem_orphan_orders,
+      (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        AS lineitem_orphan_parts,
+      (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        AS lineitem_orphan_suppliers,
+      (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        AS orders_orphan_customers,
+      (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        AS customer_orphan_nations
+    """,
+)
+def fk_orphan_audit(spark, sf_dir):
+    """Referential-integrity audit across the star: orphan-FK counts for
+    every edge (fact→dims, orders→customer, customer→nation) — the DQ
+    gate a warehouse load runs before publishing (the reference's DDL
+    declares these FKs; sources/ddl.py emits them — this query VERIFIES
+    them set-based).  Each count is a left-anti join against the dim's
+    key projection: dims broadcast, the fact never shuffles, and the
+    five probes are independent jobs over column-pruned scans."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+
+    def orphans(child, fk, parent, pk):
+        return child.select(fk).join(
+            F.broadcast(parent.select(pk)),
+            child[fk] == parent[pk],
+            "left_anti",
+        ).count()
+
+    counts = {
+        "lineitem_orphan_orders": orphans(
+            li, "l_orderkey", orders, "o_orderkey"
+        ),
+        "lineitem_orphan_parts": orphans(
+            li, "l_partkey", t(spark, sf_dir, "part"), "p_partkey"
+        ),
+        "lineitem_orphan_suppliers": orphans(
+            li, "l_suppkey", t(spark, sf_dir, "supplier"), "s_suppkey"
+        ),
+        "orders_orphan_customers": orphans(
+            orders, "o_custkey", cust, "c_custkey"
+        ),
+        "customer_orphan_nations": orphans(
+            cust, "c_nationkey", t(spark, sf_dir, "nation"), "n_nationkey"
+        ),
+    }
+    return spark.createDataFrame(
+        [tuple(counts.values())], " , ".join(f"{k} long" for k in counts)
+    )

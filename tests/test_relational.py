@@ -279,3 +279,19 @@ def test_skyline_2d_matches_not_exists(spark):
         )
     )
     assert got == want == [1, 2, 4, 5, 6, 7]
+
+
+def test_skew_report_hand_computed(spark):
+    import math
+
+    from processo_etl_spark.operators import skew
+
+    rows = [("hot",)] * 6 + [("a",), ("b",), ("c",)]  # counts 6,1,1,1
+    df = spark.createDataFrame(rows, "k string")
+    r = skew.skew_report(df, "k", top_k=2).collect()[0]
+    assert r["n_rows"] == 9 and r["n_keys"] == 4 and r["max_count"] == 6
+    assert r["max_key_share"] == 6 / 9
+    assert r["top2_share"] == 7 / 9
+    assert r["skew_factor"] == 6.0 * 4 / 9  # hottest key vs mean
+    # cov = sqrt(K*sum(c^2) - N^2)/N with sum(c^2)=39
+    assert abs(r["cov"] - math.sqrt(4 * 39 - 81) / 9) < 1e-15
