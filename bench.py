@@ -55,6 +55,13 @@ HEADLINE = (
     # corpus-frequency boilerplate excision.
     "decontaminate_bloom",
     "boilerplate_chunk_removal",
+    # r4 breadth additions: sequential-recurrence fold, Pareto frontier,
+    # snapshot reconciliation, MATCH_RECOGNIZE-lite, skew profiling.
+    "ewma_user_value",
+    "skyline_parts_price_size",
+    "snapshot_diff_orders",
+    "sequence_double_click_purchase",
+    "skew_report_events_user",
 )
 
 
