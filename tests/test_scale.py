@@ -260,3 +260,28 @@ def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
     assert frac(spath, "y") <= 0.15
     # Layout never changes content.
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """DPP proof: a selective broadcast-dim filter prunes the fact's
+    partition directories AT RUNTIME (the scan's PartitionFilters gains
+    a dynamicpruning subquery).  At 100 TB this is the difference
+    between scanning 2 date partitions and scanning 2000 — free with
+    partitioned layouts + equi-joins, but worth a regression test
+    because it silently degrades to a full scan if the join stops
+    broadcasting or the partition column gets wrapped in an expression."""
+    fact = spark.range(0, 5000).select(
+        (F.col("id") % 20).alias("date_key"), F.col("id").alias("v")
+    )
+    fpath = str(tmp_path / "fact_part")
+    fact.write.partitionBy("date_key").parquet(fpath)
+    dim = spark.createDataFrame(
+        [(i, "keep" if i < 2 else "drop") for i in range(20)],
+        "date_key long, flag string",
+    )
+    f = spark.read.parquet(fpath)
+    j = f.join(F.broadcast(dim).filter(F.col("flag") == "keep"), "date_key")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the result is the 2 surviving partitions' rows
+    assert j.count() == 5000 // 20 * 2
