@@ -1119,3 +1119,71 @@ def skew_report_events_user(spark, sf_dir):
     from processo_etl_spark.operators import skew
 
     return skew.skew_report(t(spark, sf_dir, "events"), "user_id")
+
+
+@register(
+    "hll_sliding_7d_distinct",
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    ex AS (
+      SELECT d.day,
+             count(DISTINCT CAST(e.ts AS DATE)) AS n_days_merged,
+             count(DISTINCT e.user_id) AS exact_users_7d
+      FROM days d JOIN events e
+        ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day)
+    SELECT day, n_days_merged, exact_users_7d,
+           true AS within_tolerance
+    FROM ex
+    """,
+)
+def hll_sliding_7d_distinct(spark, sf_dir):
+    """Trailing-7-day distinct users PER DAY from the daily HLL sketch
+    table alone — the sliding-window extension of
+    ``hll_daily_merge_distinct``: exact sliding distinct is
+    non-mergeable (yesterday's count can't be reused), so at 100 TB the
+    only sane plan is |days| constant-size sketches self-joined over
+    the window offset (a tiny |days|×7 relation) and union-merged per
+    day; raw events are touched ONCE to build the dailies.  The exact
+    side (a 7× event explode) rides along only to grade the ±6%
+    tolerance verdict (default-lgK HLL is ~1.6% RSE) — at 100 TB it is
+    exactly the pass the sketch table exists to avoid."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    # Range-join-free window merge: each daily sketch CONTRIBUTES to the
+    # 7 trailing windows ending at day..day+6 — a bounded 7× explode +
+    # one combinable groupBy, the same turn-the-range-join-into-buckets
+    # move as operators/temporal.range_join_bucketed (a datediff theta
+    # join would plan as BroadcastNestedLoopJoin).  Windows ending past
+    # the last observed day are dropped by the semi-join with real days.
+    days = daily.select("day")
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", 6))
+        ).alias("day"),
+        "sk",
+    ).join(days, "day", "left_semi")
+    approx = contrib.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_days_merged"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_7d"),
+    )
+    ev_contrib = ev.select(
+        F.explode(
+            F.sequence(F.to_date("ts"), F.date_add(F.to_date("ts"), 6))
+        ).alias("day"),
+        "user_id",
+    ).join(days, "day", "left_semi")
+    exact = ev_contrib.groupBy("day").agg(
+        F.count_distinct("user_id").alias("exact_users_7d")
+    )
+    return approx.join(exact, "day").select(
+        "day",
+        "n_days_merged",
+        "exact_users_7d",
+        (
+            F.abs(F.col("approx_7d") - F.col("exact_users_7d"))
+            <= 0.06 * F.col("exact_users_7d")
+        ).alias("within_tolerance"),
+    )
