@@ -887,3 +887,50 @@ def skyline_parts_price_size(spark, sf_dir):
     return ranking.skyline_2d(neg, "p_retailprice", "__negsize").select(
         "p_partkey", "p_retailprice", "p_size"
     )
+
+
+@register(
+    "bootstrap_ci_price_mean",
+    oracle="""
+    WITH reps AS (SELECT unnest(generate_series(0, 31)) AS b),
+    base AS (
+      SELECT CAST(ROUND(l_extendedprice, 2) AS DECIMAL(12,2)) AS x,
+             CAST(l_orderkey AS VARCHAR) || ':' ||
+             CAST(l_linenumber AS VARCHAR) AS k
+      FROM lineitem),
+    drawn AS (
+      SELECT r.b, base.x,
+        (CAST(('0x' || substr(md5('bs' || CAST(r.b AS VARCHAR) || ':' || base.k), 1, 15)) AS BIGINT) + 0.5)
+          / 1152921504606846976.0 AS u
+      FROM base CROSS JOIN reps r),
+    wtab AS (SELECT b, x, (CASE WHEN u >= 0.36787944117144233 THEN 1 ELSE 0 END) + (CASE WHEN u >= 0.7357588823428847 THEN 1 ELSE 0 END) + (CASE WHEN u >= 0.9196986029286058 THEN 1 ELSE 0 END) + (CASE WHEN u >= 0.9810118431238463 THEN 1 ELSE 0 END) + (CASE WHEN u >= 0.9963401531726563 THEN 1 ELSE 0 END) + (CASE WHEN u >= 0.9994058151824183 THEN 1 ELSE 0 END) + (CASE WHEN u >= 0.999916758850712 THEN 1 ELSE 0 END) + (CASE WHEN u >= 0.9999897508033253 THEN 1 ELSE 0 END) AS w FROM drawn),
+    means AS (
+      SELECT b, CAST(SUM(x * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS mean
+      FROM wtab WHERE w > 0 GROUP BY b
+      UNION ALL
+      SELECT -1 AS b, CAST(SUM(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      FROM base)
+    SELECT
+      max(CASE WHEN b = -1 THEN mean END) AS point_mean,
+      (list_sort(list(mean) FILTER (WHERE b >= 0)))[2] AS ci_lo,
+      (list_sort(list(mean) FILTER (WHERE b >= 0)))[31] AS ci_hi,
+      CAST(count(*) FILTER (WHERE b >= 0) AS BIGINT) AS n_replicates
+    FROM means
+""",
+)
+def bootstrap_ci_price_mean(spark, sf_dir):
+    """90% CI for mean(l_extendedprice) via the Poisson bootstrap
+    (quality/audit.poisson_bootstrap_mean_ci): 32 deterministic
+    hash-Poisson replicate means in one bounded explode + one
+    combinable groupBy — the bootstrap that distributes (no global
+    resampling coordination).  Exact decimal replicate sums make the
+    whole CI bit-identical to the SQL replay."""
+    from processo_etl_spark.quality import audit
+
+    li = t(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return audit.poisson_bootstrap_mean_ci(li, "l_extendedprice", key)

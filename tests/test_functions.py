@@ -167,3 +167,22 @@ def test_winsorize_robust_hand_computed(spark):
     assert out[50]["robust_z"] == pytest.approx((50 - 50.5) / 49.5)
     # robust_z uses the RAW value (winsorization doesn't distort the scale)
     assert out[100]["robust_z"] == pytest.approx((100 - 50.5) / 49.5)
+
+
+def test_poisson_bootstrap_ci_brackets_and_determinism(spark):
+    from processo_etl_spark.quality import audit
+
+    df = spark.createDataFrame(
+        [(i, 100.0 + (i % 7)) for i in range(400)], "k long, v double"
+    )
+    key = F.col("k").cast("string")
+    r1 = audit.poisson_bootstrap_mean_ci(df, "v", key).collect()[0]
+    r2 = audit.poisson_bootstrap_mean_ci(df, "v", key).collect()[0]
+    assert r1 == r2  # hash draws: fully deterministic across runs
+    assert r1["n_replicates"] == 32
+    # point estimate is the exact full-sample mean
+    exact = sum(100.0 + (i % 7) for i in range(400)) / 400
+    assert abs(r1["point_mean"] - exact) < 1e-9
+    # CI brackets the point estimate and is tight for low-variance data
+    assert r1["ci_lo"] <= r1["point_mean"] <= r1["ci_hi"]
+    assert r1["ci_hi"] - r1["ci_lo"] < 1.0  # sd≈2, n=400 → CI width ≈ 0.33
