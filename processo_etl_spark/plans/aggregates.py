@@ -934,3 +934,88 @@ def bootstrap_ci_price_mean(spark, sf_dir):
         F.col("l_linenumber").cast("string"),
     )
     return audit.poisson_bootstrap_mean_ci(li, "l_extendedprice", key)
+
+
+@register(
+    "abtest_welch_price_promo",
+    oracle="""
+    WITH s AS (
+      SELECT (l_partkey % 2 = 0) AS grp,
+        count(*) AS n,
+        SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(12,2))) AS sx,
+        SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(12,2))
+            * CAST(ROUND(l_extendedprice, 2) AS DECIMAL(12,2))) AS sxx
+      FROM lineitem GROUP BY 1),
+    m AS (
+      SELECT grp, n,
+        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+           / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var
+      FROM s),
+    w AS (
+      SELECT
+        max(CASE WHEN grp THEN n END) AS n_a,
+        max(CASE WHEN NOT grp THEN n END) AS n_b,
+        max(CASE WHEN grp THEN mean END) AS mean_a,
+        max(CASE WHEN NOT grp THEN mean END) AS mean_b,
+        max(CASE WHEN grp THEN var END) AS var_a,
+        max(CASE WHEN NOT grp THEN var END) AS var_b
+      FROM m)
+    SELECT n_a, n_b,
+      ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+      ROUND((mean_a - mean_b)
+        / sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)),
+        8) AS t_stat,
+      abs((mean_a - mean_b)
+        / sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)))
+        > 1.959963984540054 AS significant_95
+    FROM w
+    """,
+)
+def abtest_welch_price_promo(spark, sf_dir):
+    """Two-sample Welch t-test between segments (even vs odd partkey
+    playing treatment/control) from EXACT decimal moments: one
+    combinable groupBy yields (n, Σx, Σx²) per arm; mean, sample
+    variance, and the Welch statistic are then identical IEEE
+    arithmetic on both engines (sqrt is correctly rounded).  The
+    verdict compares |t| to the fixed large-df 95% critical value —
+    a t CDF is not engine-portable, a literal threshold is.  Means
+    round at 6 / t at 8 decimals per the 2^53 ROUND-portability rule."""
+    li = t(spark, sf_dir, "lineitem")
+    x = dec("l_extendedprice")
+    s = li.groupBy((F.col("l_partkey") % 2 == 0).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    m = s.select(
+        "grp",
+        "n",
+        (d("sx") / d("n")).alias("mean"),
+        (
+            (d("sxx") - d("sx") * d("sx") / d("n"))
+            / (F.col("n") - 1).cast("double")
+        ).alias("var"),
+    )
+    g = lambda c, t_: F.max(F.when(F.col("grp") == t_, F.col(c)))  # noqa: E731
+    w = m.agg(
+        g("n", True).alias("n_a"),
+        g("n", False).alias("n_b"),
+        g("mean", True).alias("mean_a"),
+        g("mean", False).alias("mean_b"),
+        g("var", True).alias("var_a"),
+        g("var", False).alias("var_b"),
+    )
+    tstat = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        F.col("var_a") / F.col("n_a").cast("double")
+        + F.col("var_b") / F.col("n_b").cast("double")
+    )
+    return w.select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(tstat, 8).alias("t_stat"),
+        (F.abs(tstat) > F.lit(1.959963984540054)).alias("significant_95"),
+    )
