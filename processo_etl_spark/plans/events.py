@@ -1187,3 +1187,84 @@ def hll_sliding_7d_distinct(spark, sf_dir):
             <= 0.06 * F.col("exact_users_7d")
         ).alias("within_tolerance"),
     )
+
+
+@register(
+    "events_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_variant_extract(spark, sf_dir):
+    """Semi-structured props via Spark 4's VARIANT type: ``parse_json``
+    once per row into the binary variant encoding, then typed
+    ``try_variant_get`` paths — the open-schema path for payloads whose
+    keys drift (vs events_json_typed's fixed from_json StructType,
+    which silently NULLs new keys; vs get_json_object's per-key
+    re-parse).  At 100 TB variant columns persist in parquet with
+    shredded statistics, so this is the forward-compatible lake
+    encoding for event payloads."""
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.withColumn("v", F.parse_json("props"))
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.try_variant_get("v", "$.k", "int")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+      FROM events GROUP BY user_id),
+    d AS (
+      SELECT CAST(date_diff('microsecond', fv, fp) AS DOUBLE) / 1e6 AS delay_s
+      FROM f WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv),
+    n AS (SELECT count(*) AS n FROM d),
+    s AS (SELECT delay_s, row_number() OVER (ORDER BY delay_s) AS r FROM d),
+    qs AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q)
+    SELECT qs.q,
+           greatest(1, CAST(ceil(qs.q * n.n) AS BIGINT)) AS k,
+           (SELECT s.delay_s FROM s
+            WHERE s.r = greatest(1, CAST(ceil(qs.q * n.n) AS BIGINT))) AS value
+    FROM qs, n ORDER BY qs.q
+    """,
+)
+def funnel_time_to_convert(spark, sf_dir):
+    """Conversion-delay distribution: per user, seconds from first view
+    to first purchase (converters only), then exact p50/p90 via the
+    scalable bracket-and-refine quantile path — primitives composing:
+    one conditional-min groupBy (the funnel) feeding
+    operators/ranking.exact_quantiles_twopass (no sort, no value
+    buffer).  k doubles as the converter count context."""
+    from processo_etl_spark.operators import ranking
+
+    ev = t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("fp"),
+    )
+    d = f.filter(
+        F.col("fv").isNotNull()
+        & F.col("fp").isNotNull()
+        & (F.col("fp") >= F.col("fv"))
+    ).select(
+        # exact integer microsecond diff on BOTH engines (sub-second
+        # parts make SECOND-unit diffs diverge: Spark truncates the full
+        # difference, DuckDB counts boundary crossings), then /1e6.
+        (
+            F.expr("timestampdiff(MICROSECOND, fv, fp)").cast("double")
+            / F.lit(1e6)
+        ).alias("delay_s")
+    )
+    rows = ranking.exact_quantiles_twopass(d, "delay_s", [0.5, 0.9])
+    return spark.createDataFrame(rows, "q double, k bigint, value double")
