@@ -385,3 +385,46 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     return df.join(
         sky, (x == F.col("__x")) & (y == F.col("__miny"))
     ).drop("__x", "__miny")
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rk",
+    salt_key: str | Column | None = None,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Top-k per group with BOUNDED task state — the scale twin of
+    ``row_number() OVER (PARTITION BY group) <= k``: a plain grouped
+    window sorts each group in one task, so one celebrity group stalls
+    the stage and can spill unboundedly.  Here stage 1 ranks within
+    (group, salt) — per-task sort state is |group|/salt_buckets however
+    skewed the groups — and keeps ranks ≤ k; stage 2 ranks the
+    ≤ salt_buckets·k survivors per group.  A row outside its salt's
+    top-k is dominated by k same-group rows, so the two-stage result
+    EQUALS the single-window top-k (same argument as
+    ml/splits.weighted_sample_aes, which inlines this shape).
+
+    ``order_by`` must be a total order (append a unique tiebreaker);
+    ``salt_key`` defaults to the first order column's string form —
+    pass the row key explicitly when the first order column is heavily
+    duplicated (a constant salt would put a whole group in one bucket
+    and restore the skew)."""
+    from processo_etl_spark.ml.dedup import md5_long
+
+    sk = salt_key if salt_key is not None else order_by[-1]
+    skc = (F.col(sk) if isinstance(sk, str) else sk).cast("string")
+    salt = md5_long(F.concat(F.lit("topk:"), skc)) % F.lit(salt_buckets)
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order_by)
+    survivors = (
+        df.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+        .drop("__r1", "__salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return survivors.withColumn(
+        rank_col, F.row_number().over(w2).cast("int")
+    ).filter(F.col(rank_col) <= k)

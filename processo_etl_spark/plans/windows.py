@@ -227,3 +227,32 @@ def window_trailing_24h_value(spark, sf_dir):
         "event_id",
         F.sum(dec("value")).over(w).cast("double").alias("trailing_24h"),
     )
+
+
+@register(
+    "top3_orders_per_cust_scalable",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+      CAST(row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+    FROM orders QUALIFY rk <= 3
+    """,
+)
+def top3_orders_per_cust_scalable(spark, sf_dir):
+    """Bounded-state twin of window_top3_orders_per_cust
+    (operators/ranking.grouped_topk): salted two-stage top-k whose
+    per-task sort state is |group|/64 under any skew — SAME oracle as
+    the plain window, so the equivalence is hash-graded, not just
+    unit-tested."""
+    from processo_etl_spark.operators import ranking
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return ranking.grouped_topk(
+        o,
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+        salt_key="o_orderkey",
+    )

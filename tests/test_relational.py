@@ -295,3 +295,25 @@ def test_skew_report_hand_computed(spark):
     assert r["skew_factor"] == 6.0 * 4 / 9  # hottest key vs mean
     # cov = sqrt(K*sum(c^2) - N^2)/N with sum(c^2)=39
     assert abs(r["cov"] - math.sqrt(4 * 39 - 81) / 9) < 1e-15
+
+
+def test_grouped_topk_equals_window_under_skew(spark):
+    from pyspark.sql import Window
+
+    from processo_etl_spark.operators import ranking
+
+    # one celebrity group (150 rows) + small groups, duplicate order
+    # values to exercise the tiebreaker
+    rows = [("hot", i, float(i % 9)) for i in range(150)]
+    rows += [(f"g{j}", i, float(i)) for j in range(4) for i in range(3)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    fast = ranking.grouped_topk(
+        df, ["g"], [F.desc("v"), F.asc("id")], k=5, salt_key="id",
+        salt_buckets=8,
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+    ref = (
+        df.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, ref.collect()))
