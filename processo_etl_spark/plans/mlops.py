@@ -2629,3 +2629,36 @@ def text_compression_ratio(spark, sf_dir):
     return textstats.compression_ratio(
         t(spark, sf_dir, "documents"), "text", "doc_id"
     )
+
+
+@register(
+    "target_encode_brand_price",
+    oracle="""
+    WITH j AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(ROUND(l_extendedprice, 2) AS DECIMAL(12,2)) AS y, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    c AS (SELECT p_brand, SUM(y) AS s, count(*) AS n FROM j GROUP BY p_brand),
+    g AS (SELECT CAST(SUM(y) AS DOUBLE) / count(*) AS gmean FROM j)
+    SELECT j.l_orderkey, j.l_linenumber, j.p_brand,
+      (CAST(c.s - j.y AS DOUBLE) + 20.0 * g.gmean)
+        / (CAST(c.n - 1 AS DOUBLE) + 20.0) AS target_enc
+    FROM j JOIN c USING (p_brand) CROSS JOIN g
+    """,
+)
+def target_encode_brand_price(spark, sf_dir):
+    """Leakage-safe smoothed target encoding of p_brand against
+    l_extendedprice (ml/encoding.target_encode_loo): leave-one-out
+    m-estimate per ROW from one combinable per-category aggregate
+    broadcast back by equi-join — the standard GBM feature for
+    high-cardinality categoricals, exact-decimal deterministic."""
+    from processo_etl_spark.ml import encoding
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return encoding.target_encode_loo(
+        j, "p_brand", "l_extendedprice", smoothing=20.0
+    ).select("l_orderkey", "l_linenumber", "p_brand", "target_enc")

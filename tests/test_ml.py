@@ -1437,3 +1437,24 @@ def test_compression_ratio_flags_both_tails(spark):
         assert not out[d]["keep"]
     # exact parity with local zlib on one row
     assert out[2]["n_compressed"] == len(zlib.compress(normal.encode(), 6))
+
+
+def test_target_encode_loo_hand_computed(spark):
+    from processo_etl_spark.ml import encoding
+
+    # cat A: y = 10, 20, 30; cat B (singleton): y = 100
+    df = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "A", 20.0), (3, "A", 30.0), (4, "B", 100.0)],
+        "id long, c string, y double",
+    )
+    m = 2.0
+    gmean = 160.0 / 4
+    out = {
+        r["id"]: r["target_enc"]
+        for r in encoding.target_encode_loo(df, "c", "y", smoothing=m).collect()
+    }
+    assert out[1] == (50.0 + m * gmean) / (2 + m)  # (60-10 + m*40)/(3-1+m)
+    assert out[2] == (40.0 + m * gmean) / (2 + m)
+    assert out[3] == (30.0 + m * gmean) / (2 + m)
+    # singleton category reduces exactly to the smoothed global mean
+    assert out[4] == (0.0 + m * gmean) / (0 + m) == gmean
