@@ -1268,3 +1268,18 @@ def funnel_time_to_convert(spark, sf_dir):
     )
     rows = ranking.exact_quantiles_twopass(d, "delay_s", [0.5, 0.9])
     return spark.createDataFrame(rows, "q double, k bigint, value double")
+
+
+@register("stream_ewma_user_value")  # rows-only: streaming drains execute
+def stream_ewma_user_value(spark, sf_dir):
+    """Streaming per-user EWMA (streaming/jobs.ewma_stateful): the
+    order-sensitive recurrence made incremental — rows settle into the
+    one-double carry once the watermark passes them (bounded state:
+    carry + lateness window, never the history); each batch emits the
+    provisional ewma folded through the still-pending rows.  Equals the
+    batch ewma_user_value fold bit-for-bit across out-of-order
+    micro-batches (tests/test_streaming.py); the batch twin is the
+    oracle-graded path."""
+    from processo_etl_spark.streaming import jobs
+
+    return jobs.run_ewma_availablenow(spark, sf_dir)

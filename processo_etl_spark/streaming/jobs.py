@@ -605,3 +605,131 @@ def run_sessionize_tws_availablenow(spark: SparkSession, sf_dir: str) -> DataFra
     # keep a session-wide default provider for other queries
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     return spark.table(name)
+
+
+EWMA_OUTPUT_SCHEMA = (
+    "user_id BIGINT, n_settled BIGINT, n_pending BIGINT, ewma DOUBLE"
+)
+EWMA_STATE_SCHEMA = (
+    "carry DOUBLE, n_settled BIGINT, "
+    "pts ARRAY<DOUBLE>, pids ARRAY<BIGINT>, pvals ARRAY<DOUBLE>"
+)
+
+
+def ewma_stateful(
+    events: DataFrame, alpha: float = 0.25, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of ``operators/temporal.ewma_per_key`` — the
+    ORDER-SENSITIVE recurrence class (sessionization's interval merge
+    is order-independent; an EWMA is not), made incremental with the
+    watermark as the ordering frontier:
+
+    - rows settle into the one-double ``carry`` — folded in (ts,
+      event_id) order — only once their ts drops below the watermark,
+      because no on-time row can still arrive before them;
+    - rows inside the horizon stay PENDING in state (the bounded-state
+      guarantee: state per user is carry + the lateness window, never
+      the full history);
+    - each batch emits the user's CURRENT ewma = carry folded through
+      the sorted pending rows (provisional — it can be revised while
+      new on-time rows may still interleave, which is exactly why those
+      rows haven't settled);
+    - rows later than the watermark at arrival are dropped, the
+      standard too-late contract.
+
+    The settled fold and the batch operator execute the identical
+    multiply-add sequence over the identical order, so once everything
+    settles the streaming ewma IS the batch ewma bit-for-bit
+    (asserted across out-of-order micro-batches in
+    tests/test_streaming.py).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    a = float(alpha)
+
+    def fold(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            carry, n_settled, pts, pids, pvals = state.get
+            pending = list(zip(pts, pids, pvals))
+        else:
+            carry, n_settled, pending = None, 0, []
+        wm = state.getCurrentWatermarkMs() / 1000.0
+        for pdf in pdf_iter:
+            sub = pdf[pdf["value"].notna()]
+            for ts, eid, val in zip(
+                sub["ts"], sub["event_id"], sub["value"]
+            ):
+                t_ = ts.timestamp()
+                if t_ >= wm:  # too-late rows are dropped, never folded
+                    pending.append((t_, int(eid), float(val)))
+        pending.sort()
+        settle = [p for p in pending if p[0] < wm]
+        pending = [p for p in pending if p[0] >= wm]
+        for _, _, v in settle:
+            carry = v if carry is None else carry * (1.0 - a) + v * a
+            n_settled += 1
+        prov = carry
+        for _, _, v in pending:
+            prov = v if prov is None else prov * (1.0 - a) + v * a
+        state.update(
+            (
+                carry,
+                n_settled,
+                [p[0] for p in pending],
+                [p[1] for p in pending],
+                [p[2] for p in pending],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_settled": [n_settled],
+                "n_pending": [len(pending)],
+                "ewma": [prov],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_ewma_availablenow(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.25
+) -> DataFrame:
+    """Drain the events source through the stateful EWMA; update mode
+    re-emits users across batches — keep each user's final row (max
+    observed event count)."""
+    name = f"stream_ewma_{uuid.uuid4().hex[:8]}"
+    q = (
+        ewma_stateful(read_events_stream(spark, sf_dir), alpha=alpha)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_ewma_"))
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc(F.col("n_settled") + F.col("n_pending"))
+    )
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -349,3 +349,85 @@ def test_stream_bloom_filter_equals_batch_build(spark):
     assert streamed.count() <= (1 << 16) // 32
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_stream_ewma_equals_batch_across_ordered_batches(spark, tmp_path):
+    """The EWMA recurrence must survive batch boundaries: replay events
+    as 4 time-ranged files (one per trigger, modTime-ordered), so the
+    carry folds across batches and most rows SETTLE below the watermark
+    mid-stream.  Every user's final provisional ewma must equal the
+    batch operator's last value bit-for-bit, and settling must actually
+    have happened (the bounded-state claim is real, not vacuous)."""
+    import tempfile
+    import time
+    import uuid
+
+    from processo_etl_spark import catalog
+    from processo_etl_spark.operators import temporal
+    from processo_etl_spark.streaming import jobs
+
+    # Watermarks need tz-aware TIMESTAMP (session tz pinned UTC, so the
+    # NTZ cast is value-identity — same move as read_events_stream).
+    ev = catalog.load(spark, SF_DIR, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "user_id", "value",
+    )
+    src = tmp_path / "events_ranged"
+    src.mkdir()
+    bounds = ev.approxQuantile("event_id", [0.25, 0.5, 0.75], 0.0)
+    lo = float("-inf")
+    for i, hi in enumerate([*bounds, float("inf")]):
+        # event_id correlates with ts in the fixture: ranged slices give
+        # time-ordered arrival, so no row is ever too-late.
+        part = ev.filter(
+            (F.col("event_id") > lo) & (F.col("event_id") <= hi)
+        )
+        part.coalesce(1).write.parquet(str(src / f"b{i}"))
+        time.sleep(1.1)  # distinct modTimes pin the trigger order
+        lo = hi
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b*"))
+    )
+    name = f"ewma_mb_{uuid.uuid4().hex[:8]}"
+    q = (
+        jobs.ewma_stateful(stream, alpha=0.25, watermark="1 second")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_ewma_mb_"))
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc(F.col("n_settled") + F.col("n_pending"))
+    )
+    final = {
+        r["user_id"]: r
+        for r in spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .collect()
+    }
+    batch = temporal.ewma_per_key(
+        ev, "user_id", ["ts", "event_id"], "value", alpha=0.25
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    batch_final = {
+        r["user_id"]: r["ewma"]
+        for r in batch.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") == 1)
+        .collect()
+    }
+    assert set(final) == set(batch_final)
+    for uid, row in final.items():
+        assert row["ewma"] == batch_final[uid], uid
+    # the carry did real work: most rows settled before the drain ended
+    settled = sum(r["n_settled"] for r in final.values())
+    pending = sum(r["n_pending"] for r in final.values())
+    assert settled > pending
