@@ -262,3 +262,62 @@ def test_skyline_2d_property_matches_bruteforce(spark, pts):
         )
     )
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.sampled_from(["keep", "drop", "edit"]),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_table_diff_reconstructs_edits(spark, plan):
+    """Apply a random edit plan to a snapshot; table_diff must recover
+    exactly the planned inserts/deletes/updates — no phantom rows."""
+    from processo_etl_spark.operators import cdc
+
+    old_rows = [(k, float(k)) for k, _ in plan]
+    new_rows = [(k, float(k) + (1.0 if op == "edit" else 0.0))
+                for k, op in plan if op != "drop"]
+    new_rows += [(1000 + k, 0.5) for k, op in plan if op == "drop"]  # inserts
+    old = spark.createDataFrame(old_rows, "k long, v double")
+    new = spark.createDataFrame(new_rows, "k long, v double")
+    got = {(r["k"], r["change_type"]) for r in cdc.table_diff(old, new, ["k"]).collect()}
+    want = set()
+    for k, op in plan:
+        if op == "drop":
+            want.add((k, "delete"))
+            want.add((1000 + k, "insert"))
+        elif op == "edit":
+            want.add((k, "update"))
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_ewma_per_key_property_matches_sequential_fold(spark, xs):
+    from processo_etl_spark.operators import temporal
+
+    df = spark.createDataFrame(
+        [("k", i, float(x)) for i, x in enumerate(xs)],
+        "g string, seq long, x double",
+    )
+    got = {
+        r["seq"]: r["ewma"]
+        for r in temporal.ewma_per_key(df, "g", ["seq"], "x", alpha=0.25).collect()
+    }
+    s = None
+    for i, x in enumerate(xs):
+        s = x if s is None else s * 0.75 + x * 0.25
+        assert got[i] == s, i
