@@ -2662,3 +2662,32 @@ def target_encode_brand_price(spark, sf_dir):
     return encoding.target_encode_loo(
         j, "p_brand", "l_extendedprice", smoothing=20.0
     ).select("l_orderkey", "l_linenumber", "p_brand", "target_enc")
+
+
+@register(
+    "phrase_query_hash_join",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    tok AS (
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS t
+      FROM base, UNNEST(generate_series(1, len(w))) AS s(i))
+    SELECT a.doc_id AS doc, CAST(count(*) AS INT) AS n_phrase
+    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.t = 'hash' AND b.t = 'join'
+    GROUP BY 1
+    """,
+)
+def phrase_query_hash_join(spark, sf_dir):
+    """Positional-index phrase query (ml/invindex): documents where
+    'hash join' occurs adjacently, answered from the inverted index —
+    the index is built once (two combinable groupBys, postings capped
+    with an explicit truncated flag) and the query reads exactly two
+    posting rows.  The oracle replays adjacency over raw token
+    positions; counts match because posting positions are exact."""
+    from processo_etl_spark.ml import invindex
+
+    docs = t(spark, sf_dir, "documents")
+    postings = invindex.build_postings(docs, "doc_id", "text")
+    out = invindex.phrase_query(postings, "hash", "join")
+    return out.select("doc", F.col("n_phrase").cast("int").alias("n_phrase"))

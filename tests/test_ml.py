@@ -1458,3 +1458,43 @@ def test_target_encode_loo_hand_computed(spark):
     assert out[3] == (30.0 + m * gmean) / (2 + m)
     # singleton category reduces exactly to the smoothed global mean
     assert out[4] == (0.0 + m * gmean) / (0 + m) == gmean
+
+
+def test_inverted_index_phrase_query_hand_computed(spark):
+    from processo_etl_spark.ml import invindex
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big data hash join wins"),      # one adjacency
+            (2, "hash join hash join"),          # two adjacencies
+            (3, "join hash"),                    # reversed → no match
+            (4, "hash miss join"),               # gap → no match
+        ],
+        "doc_id long, text string",
+    )
+    postings = invindex.build_postings(docs, "doc_id", "text")
+    p = {r["term"]: r for r in postings.collect()}
+    assert p["hash"]["df_count"] == 4 and not p["hash"]["truncated"]
+    # positions are 0-based within the normalized token stream
+    assert [x["positions"] for x in p["join"]["postings"] if x["doc"] == 2] == [[1, 3]]
+    out = {
+        r["doc"]: r["n_phrase"]
+        for r in invindex.phrase_query(postings, "hash", "join").collect()
+    }
+    assert out == {1: 1, 2: 2}
+
+
+def test_inverted_index_posting_cap_flags_truncation(spark):
+    from processo_etl_spark.ml import invindex
+
+    docs = spark.createDataFrame(
+        [(i, "the common term") for i in range(10)], "doc_id long, text string"
+    )
+    p = {
+        r["term"]: r
+        for r in invindex.build_postings(
+            docs, "doc_id", "text", max_docs_per_term=3
+        ).collect()
+    }
+    assert p["common"]["df_count"] == 10 and p["common"]["truncated"]
+    assert [x["doc"] for x in p["common"]["postings"]] == [0, 1, 2]  # doc-sorted slice
