@@ -88,3 +88,60 @@ def phrase_query(
         .select("doc", n_phrase.alias("n_phrase"))
         .filter(F.col("n_phrase") > 0)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    postings: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Spärck Jones) from the
+    positional index: score = Σ_t idf_t · tf·(k1+1)/(tf + k1·(1−b+b·len/avglen))
+    with idf_t = ln((N − df_t + 0.5)/(df_t + 0.5) + 1) (the Lucene
+    variant, non-negative).
+
+    Scale shape: only the |query| posting rows are read (tf =
+    |positions|); doc lengths are one combinable groupBy over the
+    corpus (in practice a persisted side table maintained with the
+    index); N/avglen enter as two-pass scalars from exact integer sums.
+    Scores ROUND to 10 decimals: idf's ``ln`` may differ in the last
+    ulp across engines, and 1e-10 is ~5 orders above that noise while
+    |score|·10¹⁰ stays far under 2^53 (the ROUND-portability rule).
+    Ties (identical tf/len profiles → identical scores) break by doc.
+    """
+    tp = tokenize_positions(docs, id_col, text_col)
+    lengths = tp.groupBy("doc").agg(F.count(F.lit(1)).alias("len"))
+    tot = lengths.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("len").alias("s")
+    ).first()
+    n_docs, avglen = tot["n"], tot["s"] / tot["n"]
+    q = postings.filter(F.col("term").isin(query_terms)).select(
+        "term",
+        (
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df_count") + F.lit(0.5))
+                / (F.col("df_count") + F.lit(0.5))
+                + F.lit(1.0)
+            )
+        ).alias("idf"),
+        F.explode("postings").alias("p"),
+    )
+    tf = F.size(F.col("p.positions")).cast("double")
+    contrib = q.select(
+        F.col("p.doc").alias("doc"),
+        (F.col("idf") * tf * F.lit(k1 + 1.0)).alias("num"),
+        tf.alias("tf"),
+    ).join(lengths, "doc")
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("len").cast("double") / F.lit(avglen)
+    )
+    scored = contrib.groupBy("doc").agg(
+        F.round(F.sum(F.col("num") / denom), 10).alias("score"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    return scored.orderBy(F.desc("score"), "doc").limit(k)

@@ -2691,3 +2691,44 @@ def phrase_query_hash_join(spark, sf_dir):
     postings = invindex.build_postings(docs, "doc_id", "text")
     out = invindex.phrase_query(postings, "hash", "join")
     return out.select("doc", F.col("n_phrase").cast("int").alias("n_phrase"))
+
+
+@register(
+    "bm25_topk_hash_join_scan",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    tok AS (
+      SELECT doc_id, w[i] AS t
+      FROM base, UNNEST(generate_series(1, len(w))) AS s(i)),
+    lens AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+    tot AS (SELECT count(*) AS n,
+                   CAST(sum(len) AS DOUBLE) / count(*) AS avglen FROM lens),
+    tfs AS (SELECT doc_id, t, count(*) AS tf FROM tok
+            WHERE t IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+    dfs AS (SELECT t, count(*) AS df FROM tfs GROUP BY t)
+    SELECT tfs.doc_id AS doc,
+      ROUND(SUM(
+        ln((CAST(tot.n AS DOUBLE) - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+          * tfs.tf * 2.2
+          / (tfs.tf + 1.2 * (0.25 + 0.75 * lens.len / tot.avglen))
+      ), 10) AS score,
+      count(*) AS n_terms_hit
+    FROM tfs JOIN dfs USING (t) JOIN lens USING (doc_id) CROSS JOIN tot
+    GROUP BY 1 ORDER BY score DESC, doc LIMIT 10
+    """,
+)
+def bm25_topk_hash_join_scan(spark, sf_dir):
+    """BM25 top-10 for the query {hash, join, scan} answered from the
+    positional inverted index (ml/invindex.bm25_topk): only the three
+    posting rows are read for scoring; doc lengths are the index's
+    side table; N/avglen enter as exact-integer two-pass scalars.
+    Scores round at 10 decimals — idf's ln may differ in the last ulp
+    across engines, ~5 orders below the grid."""
+    from processo_etl_spark.ml import invindex
+
+    docs = t(spark, sf_dir, "documents")
+    postings = invindex.build_postings(docs, "doc_id", "text")
+    return invindex.bm25_topk(
+        docs, postings, "doc_id", "text", ["hash", "join", "scan"], k=10
+    )

@@ -1498,3 +1498,37 @@ def test_inverted_index_posting_cap_flags_truncation(spark):
     }
     assert p["common"]["df_count"] == 10 and p["common"]["truncated"]
     assert [x["doc"] for x in p["common"]["postings"]] == [0, 1, 2]  # doc-sorted slice
+
+
+def test_bm25_ranking_properties(spark):
+    import math
+
+    from processo_etl_spark.ml import invindex
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash join hash"),   # high tf, short
+            (2, "hash " + "filler " * 40),     # one hit, long doc
+            (3, "join"),                       # one hit, shortest
+            (4, "nothing relevant here"),      # no hit → absent
+        ],
+        "doc_id long, text string",
+    )
+    postings = invindex.build_postings(docs, "doc_id", "text")
+    out = invindex.bm25_topk(
+        docs, postings, "doc_id", "text", ["hash", "join"], k=10
+    ).collect()
+    by_doc = {r["doc"]: r for r in out}
+    assert 4 not in by_doc
+    assert by_doc[1]["n_terms_hit"] == 2
+    # doc 1 hits both terms with high tf and short length → top rank
+    assert out[0]["doc"] == 1
+    # length normalization: doc 3's single 'join' in a 1-token doc must
+    # outscore doc 2's single 'hash' diluted in 41 tokens (equal idf by
+    # symmetry: df=2 for both terms)
+    assert by_doc[3]["score"] > by_doc[2]["score"]
+    # hand-check doc 3: idf = ln((4-2+0.5)/(2+0.5)+1), tf=1, len=1
+    n, df, k1, b, avglen = 4, 2, 1.2, 0.75, (5 + 41 + 1 + 3) / 4
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    want = idf * 1 * 2.2 / (1 + k1 * (0.25 + b * 1 / avglen))
+    assert abs(by_doc[3]["score"] - want) < 1e-9
