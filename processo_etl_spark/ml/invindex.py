@@ -145,3 +145,31 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_terms_hit"),
     )
     return scored.orderBy(F.desc("score"), "doc").limit(k)
+
+
+def merge_postings(
+    old: DataFrame, delta: DataFrame, max_docs_per_term: int = 10_000
+) -> DataFrame:
+    """Incremental index maintenance: fold a delta index (built over a
+    batch of NEW docs — disjoint doc ids) into the existing one without
+    touching the old corpus — union the posting structs per term,
+    re-sort, re-cap.  ``merge(build(A), build(B)) == build(A ∪ B)``
+    struct-for-struct for disjoint doc sets (tested), so ingest batches
+    compose associatively — the same mergeability contract as the HLL /
+    CMS / Bloom sketches, which is what makes per-batch index builds
+    the 100 TB ingest shape (never re-tokenize the old corpus).
+
+    df_count sums BEFORE the cap (both inputs carry their full count),
+    so ``truncated`` stays truthful after merging."""
+    both = old.select("term", "df_count", "postings").unionByName(
+        delta.select("term", "df_count", "postings")
+    )
+    return both.groupBy("term").agg(
+        F.sum("df_count").alias("df_count"),
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("postings"))),
+            1,
+            max_docs_per_term,
+        ).alias("postings"),
+        (F.sum("df_count") > max_docs_per_term).alias("truncated"),
+    )

@@ -1532,3 +1532,30 @@ def test_bm25_ranking_properties(spark):
     idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
     want = idf * 1 * 2.2 / (1 + k1 * (0.25 + b * 1 / avglen))
     assert abs(by_doc[3]["score"] - want) < 1e-9
+
+
+def test_merge_postings_equals_full_rebuild(spark):
+    from processo_etl_spark.ml import invindex
+
+    rows = [(i, f"hash join doc{i} " + ("scan " * (i % 3))) for i in range(20)]
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    a = full.filter(F.col("doc_id") < 12)
+    b = full.filter(F.col("doc_id") >= 12)
+    merged = invindex.merge_postings(
+        invindex.build_postings(a, "doc_id", "text"),
+        invindex.build_postings(b, "doc_id", "text"),
+    )
+    rebuilt = invindex.build_postings(full, "doc_id", "text")
+    as_map = lambda df: {  # noqa: E731
+        r["term"]: (r["df_count"], [(x["doc"], list(x["positions"])) for x in r["postings"]], r["truncated"])
+        for r in df.collect()
+    }
+    assert as_map(merged) == as_map(rebuilt)
+    # and the cap stays truthful post-merge
+    capped = invindex.merge_postings(
+        invindex.build_postings(a, "doc_id", "text", max_docs_per_term=5),
+        invindex.build_postings(b, "doc_id", "text", max_docs_per_term=5),
+        max_docs_per_term=5,
+    )
+    h = {r["term"]: r for r in capped.collect()}["hash"]
+    assert h["df_count"] == 20 and h["truncated"] and len(h["postings"]) == 5
