@@ -285,3 +285,56 @@ def event_sequence_match(
         .cast("long")
         .alias("n_matches"),
     )
+
+
+def interval_union_length(
+    df: DataFrame,
+    key_col: str,
+    start_us: Column,
+    end_us: Column,
+) -> DataFrame:
+    """Total COVERED length per key of a set of (possibly overlapping)
+    intervals — the classic gaps-and-islands problem (coverage/uptime/
+    concurrent-activity analytics; naive SUM(end−start) double-counts
+    every overlap).
+
+    Sweep-line as windows: order intervals by start within the key; an
+    interval STARTS A NEW ISLAND iff its start exceeds the running max
+    of all previous ends; island id = running count of such flags; the
+    covered length is Σ over islands of (max end − min start).  Two
+    key-partitioned windows + one groupBy — all state bounded per key,
+    and all arithmetic on integer microseconds, so any engine agrees
+    exactly.
+
+    Output: (key, n_intervals, n_islands, covered_us).
+    """
+    s, e = start_us.alias("__s"), end_us.alias("__e")
+    base = df.select(F.col(key_col).alias("__k"), s, e).filter(
+        F.col("__e") >= F.col("__s")
+    )
+    w = Window.partitionBy("__k").orderBy("__s", "__e")
+    prev_max_end = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flag = (
+        F.when(prev_max_end.isNull() | (F.col("__s") > prev_max_end), 1)
+        .otherwise(0)
+    )
+    flagged = base.withColumn("__new", flag)
+    island = F.sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = (
+        flagged.withColumn("__isl", island)
+        .groupBy("__k", "__isl")
+        .agg(
+            F.min("__s").alias("__is"),
+            F.max("__e").alias("__ie"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    return islands.groupBy(F.col("__k").alias(key_col)).agg(
+        F.sum("__n").alias("n_intervals"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("__ie") - F.col("__is")).alias("covered_us"),
+    )

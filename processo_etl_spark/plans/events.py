@@ -1283,3 +1283,54 @@ def stream_ewma_user_value(spark, sf_dir):
     from processo_etl_spark.streaming import jobs
 
     return jobs.run_ewma_availablenow(spark, sf_dir)
+
+
+@register(
+    "interval_union_active_time",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 60000000.0) AS BIGINT) AS e
+      FROM events WHERE value IS NOT NULL AND value > 0),
+    flagged AS (
+      SELECT user_id, s, e,
+        CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+               OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    isl AS (
+      SELECT user_id, s, e,
+        sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS island
+      FROM flagged),
+    g AS (
+      SELECT user_id, island, min(s) AS i_s, max(e) AS i_e, count(*) AS n
+      FROM isl GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(sum(n) AS BIGINT) AS n_intervals,
+           count(*) AS n_islands,
+           CAST(sum(i_e - i_s) AS BIGINT) AS covered_us
+    FROM g GROUP BY user_id
+    """,
+)
+def interval_union_active_time(spark, sf_dir):
+    """Gaps-and-islands interval union per user
+    (operators/temporal.interval_union_length): events become activity
+    intervals [ts, ts + value minutes]; total covered time must NOT
+    double-count overlaps — the sweep-line islands plan on exact
+    integer microseconds (two key-partitioned windows + one groupBy,
+    state bounded per key; floor() pins the double→µs cast, which
+    truncates on Spark but rounds on DuckDB)."""
+    from processo_etl_spark.operators import temporal
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    start = F.unix_micros(F.col("ts").cast("timestamp"))
+    end = start + F.floor(F.col("value") * F.lit(60000000.0)).cast("long")
+    return temporal.interval_union_length(ev, "user_id", start, end)

@@ -183,3 +183,30 @@ def test_event_sequence_match_order_and_exclusion(spark):
     assert out["u2"]["journey"] == "CECP"
     assert out["u3"]["n_matches"] == 2
     assert not out["u4"]["matched"] and out["u4"]["journey"] == "PCC"
+
+
+def test_interval_union_length_hand_computed(spark):
+    from processo_etl_spark.operators import temporal
+
+    rows = [
+        # u1: [0,10] ∪ [5,15] ∪ [20,30] → two islands, 15 + 10 = 25
+        ("u1", 0, 10), ("u1", 5, 15), ("u1", 20, 30),
+        # u2: nested [0,100] ⊇ [10,20] → one island of 100
+        ("u2", 0, 100), ("u2", 10, 20),
+        # u3: touching endpoints merge (s == prev end): [0,5][5,9] → 9
+        ("u3", 0, 5), ("u3", 5, 9),
+        # u4: degenerate zero-length interval counts an island of 0
+        ("u4", 7, 7),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = {
+        r["k"]: r
+        for r in temporal.interval_union_length(
+            df, "k", F.col("s"), F.col("e")
+        ).collect()
+    }
+    assert out["u1"]["n_islands"] == 2 and out["u1"]["covered_us"] == 25
+    assert out["u2"]["n_islands"] == 1 and out["u2"]["covered_us"] == 100
+    assert out["u3"]["n_islands"] == 1 and out["u3"]["covered_us"] == 9
+    assert out["u4"]["n_islands"] == 1 and out["u4"]["covered_us"] == 0
+    assert out["u1"]["n_intervals"] == 3
