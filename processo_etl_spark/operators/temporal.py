@@ -338,3 +338,53 @@ def interval_union_length(
         F.count(F.lit(1)).alias("n_islands"),
         F.sum(F.col("__ie") - F.col("__is")).alias("covered_us"),
     )
+
+
+def peak_concurrency(
+    df: DataFrame,
+    key_col: str,
+    start_us: Column,
+    end_us: Column,
+) -> DataFrame:
+    """Maximum number of simultaneously open intervals per key — the
+    other classic sweep-line question (peak concurrent sessions /
+    connections / load).  Each interval emits (+1 at start, −1 at end);
+    the running sum over the time-ordered deltas is the live count and
+    its max is the peak.  End events sort BEFORE start events at the
+    same instant with half-open [s, e) semantics — back-to-back
+    intervals don't fake an overlap.  One explode + one key-partitioned
+    window; integer arithmetic throughout.
+
+    Output: (key, n_intervals, peak).
+    """
+    s, e = start_us.alias("__s"), end_us.alias("__e")
+    base = df.select(F.col(key_col).alias("__k"), s, e).filter(
+        F.col("__e") >= F.col("__s")
+    )
+    deltas = base.select(
+        "__k",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("__s").alias("t"),
+                    F.lit(1).alias("ord"),  # ends (ord 0) sort first
+                    F.lit(1).alias("d"),
+                ),
+                F.struct(
+                    F.col("__e").alias("t"),
+                    F.lit(0).alias("ord"),
+                    F.lit(-1).alias("d"),
+                ),
+            )
+        ).alias("ev"),
+    ).select("__k", "ev.t", "ev.ord", "ev.d")
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("t", "ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = deltas.withColumn("live", F.sum("d").over(w))
+    return running.groupBy(F.col("__k").alias(key_col)).agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+        F.max("live").alias("peak"),
+    )

@@ -1334,3 +1334,45 @@ def interval_union_active_time(spark, sf_dir):
     start = F.unix_micros(F.col("ts").cast("timestamp"))
     end = start + F.floor(F.col("value") * F.lit(60000000.0)).cast("long")
     return temporal.interval_union_length(ev, "user_id", start, end)
+
+
+@register(
+    "peak_concurrency_per_user",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 60000000.0) AS BIGINT) AS e
+      FROM events WHERE value IS NOT NULL AND value > 0),
+    deltas AS (
+      SELECT user_id, s AS t, 1 AS o, 1 AS d FROM iv
+      UNION ALL
+      SELECT user_id, e AS t, 0 AS o, -1 AS d FROM iv),
+    run AS (
+      SELECT user_id,
+        sum(d) OVER (PARTITION BY user_id ORDER BY t, o
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+      FROM deltas)
+    SELECT user_id,
+           CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+           CAST(max(live) AS INT) AS peak
+    FROM run GROUP BY user_id
+    """,
+)
+def peak_concurrency_per_user(spark, sf_dir):
+    """Peak simultaneous activity intervals per user
+    (operators/temporal.peak_concurrency): the +1/−1 sweep whose
+    running sum's max is the answer; ends sort before starts at equal
+    instants (half-open semantics), so back-to-back intervals don't
+    fake an overlap.  Exact integer µs throughout."""
+    from processo_etl_spark.operators import temporal
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    start = F.unix_micros(F.col("ts").cast("timestamp"))
+    end = start + F.floor(F.col("value") * F.lit(60000000.0)).cast("long")
+    out = temporal.peak_concurrency(ev, "user_id", start, end)
+    return out.select(
+        "user_id", "n_intervals", F.col("peak").cast("int").alias("peak")
+    )

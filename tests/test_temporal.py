@@ -210,3 +210,26 @@ def test_interval_union_length_hand_computed(spark):
     assert out["u3"]["n_islands"] == 1 and out["u3"]["covered_us"] == 9
     assert out["u4"]["n_islands"] == 1 and out["u4"]["covered_us"] == 0
     assert out["u1"]["n_intervals"] == 3
+
+
+def test_peak_concurrency_half_open_semantics(spark):
+    from processo_etl_spark.operators import temporal
+
+    rows = [
+        # u1: [0,10] [5,15] [8,12] → 3 overlap in [8,10)
+        ("u1", 0, 10), ("u1", 5, 15), ("u1", 8, 12),
+        # u2: back-to-back [0,5][5,9]: half-open → peak 1, not 2
+        ("u2", 0, 5), ("u2", 5, 9),
+        # u3: single interval
+        ("u3", 3, 4),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = {
+        r["k"]: r
+        for r in temporal.peak_concurrency(
+            df, "k", F.col("s"), F.col("e")
+        ).collect()
+    }
+    assert out["u1"]["peak"] == 3 and out["u1"]["n_intervals"] == 3
+    assert out["u2"]["peak"] == 1
+    assert out["u3"]["peak"] == 1
