@@ -428,3 +428,63 @@ def grouped_topk(
     return survivors.withColumn(
         rank_col, F.row_number().over(w2).cast("int")
     ).filter(F.col(rank_col) <= k)
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_by: list[str | Column],
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``SUM(value) OVER (ORDER BY …)`` — distributed, the
+    running-sum sibling of :func:`distributed_rank`: range-partition on
+    the order key, per-partition local running sums, and each
+    partition's prior-partition TOTAL added back as a broadcast literal
+    (one tiny per-partition-totals job).  No single-partition window
+    anywhere.
+
+    Exactness: integer/decimal values sum associatively, so the split
+    is value-identical to the global window; for doubles the
+    re-association can differ in the last ulps — keep the value column
+    integral (the sweep-line use case: +1/−1 deltas).  Rows tied on the
+    full ``order_by`` receive order-dependent INTERMEDIATE sums (any
+    window does this); aggregate consumers (max/min of the running sum)
+    are tie-safe when ties share a sign, as in the concurrency sweep.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = (
+        df.repartitionByRange(int(parts), *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = {
+        r["__pid"]: r["s"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    prior: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        prior[pid] = acc
+        acc += totals[pid] or 0
+    offset = (
+        F.create_map(
+            *[F.lit(x) for pid in prior for x in (pid, prior[pid])]
+        )[F.col("__pid")]
+        if prior
+        else F.lit(None).cast("long")
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ranged.withColumn(
+        out_col,
+        F.coalesce(offset, F.lit(0)) + F.sum(value_col).over(w),
+    ).drop("__pid")

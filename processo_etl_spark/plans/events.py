@@ -1376,3 +1376,54 @@ def peak_concurrency_per_user(spark, sf_dir):
     return out.select(
         "user_id", "n_intervals", F.col("peak").cast("int").alias("peak")
     )
+
+
+@register(
+    "peak_concurrency_global",
+    oracle="""
+    WITH iv AS (
+      SELECT epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 60000000.0) AS BIGINT) AS e
+      FROM events WHERE value IS NOT NULL AND value > 0),
+    deltas AS (
+      SELECT s AS t, 1 AS o, 1 AS d FROM iv
+      UNION ALL
+      SELECT e AS t, 0 AS o, -1 AS d FROM iv),
+    run AS (
+      SELECT sum(d) OVER (ORDER BY t, o
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS live
+      FROM deltas)
+    SELECT CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+           CAST(max(live) AS INT) AS peak
+    FROM run
+    """,
+)
+def peak_concurrency_global(spark, sf_dir):
+    """GLOBAL peak simultaneous activity across all users — the sweep
+    whose running sum is inherently a global ORDER BY, distributed via
+    operators/ranking.distributed_cumsum (range partition + local
+    running sums + broadcast prior-partition totals; the oracle's
+    single-partition window is exactly the plan this avoids).  Ties at
+    one instant share a sign per the ord key, so max(live) is
+    tie-order-safe."""
+    from processo_etl_spark.operators import ranking
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    )
+    start = F.unix_micros(F.col("ts").cast("timestamp"))
+    end = start + F.floor(F.col("value") * F.lit(60000000.0)).cast("long")
+    deltas = ev.select(
+        F.explode(
+            F.array(
+                F.struct(start.alias("t"), F.lit(1).alias("o"), F.lit(1).alias("d")),
+                F.struct(end.alias("t"), F.lit(0).alias("o"), F.lit(-1).alias("d")),
+            )
+        ).alias("ev")
+    ).select("ev.t", "ev.o", "ev.d")
+    run = ranking.distributed_cumsum(deltas, ["t", "o"], "d", out_col="live")
+    return run.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+        F.max("live").cast("int").alias("peak"),
+    )

@@ -317,3 +317,23 @@ def test_grouped_topk_equals_window_under_skew(spark):
         .filter(F.col("rk") <= 5)
     )
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_distributed_cumsum_matches_global_window(spark):
+    from pyspark.sql import Window
+
+    from processo_etl_spark.operators import ranking
+
+    df = spark.createDataFrame(
+        [(i * 7 % 101, 1 if i % 3 else -1) for i in range(200)],
+        "t long, d long",
+    )
+    got = ranking.distributed_cumsum(df, ["t", "d"], "d", num_partitions=7)
+    w = Window.orderBy("t", "d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = df.withColumn("cumsum", F.sum("d").over(w))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    # and no single-partition window in the distributed plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "No Partition Defined" not in plan
