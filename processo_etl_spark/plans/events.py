@@ -1427,3 +1427,44 @@ def peak_concurrency_global(spark, sf_dir):
         (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
         F.max("live").cast("int").alias("peak"),
     )
+
+
+@register(
+    "new_vs_returning_daily",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events
+      GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+    SELECT act.day,
+      CAST(sum(CASE WHEN fs.first_day = act.day THEN 1 ELSE 0 END) AS BIGINT)
+        AS new_users,
+      CAST(sum(CASE WHEN fs.first_day < act.day THEN 1 ELSE 0 END) AS BIGINT)
+        AS returning_users
+    FROM act JOIN fs USING (user_id)
+    GROUP BY act.day
+    """,
+)
+def new_vs_returning_daily(spark, sf_dir):
+    """Daily new-vs-returning user split (the standard growth metric):
+    first-seen day per user (one combinable min-groupBy, at scale an
+    incrementally maintained table — min is append-monotone, same
+    contract as the high-watermark), joined to the distinct
+    (day, user) activity and split by comparison.  Two combinable
+    aggregates + one equi-join; no windows."""
+    ev = t(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    act = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    return (
+        act.join(fs, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                (F.col("first_day") == F.col("day")).cast("long")
+            ).alias("new_users"),
+            F.sum(
+                (F.col("first_day") < F.col("day")).cast("long")
+            ).alias("returning_users"),
+        )
+    )
