@@ -408,14 +408,22 @@ def grouped_topk(
     ml/splits.weighted_sample_aes, which inlines this shape).
 
     ``order_by`` must be a total order (append a unique tiebreaker);
-    ``salt_key`` defaults to the first order column's string form —
-    pass the row key explicitly when the first order column is heavily
-    duplicated (a constant salt would put a whole group in one bucket
-    and restore the skew)."""
+    ``salt_key`` defaults to the hash of ALL columns' string forms
+    (order_by entries may be SortOrder expressions — ``F.desc(c)`` —
+    which cannot be re-evaluated as values, so the default never
+    touches them).  Pass the row key explicitly when a cheaper or
+    stabler salt exists; a salt CONSTANT within a group would put the
+    whole group in one bucket and restore the skew."""
     from processo_etl_spark.ml.dedup import md5_long
 
-    sk = salt_key if salt_key is not None else order_by[-1]
-    skc = (F.col(sk) if isinstance(sk, str) else sk).cast("string")
+    if salt_key is not None:
+        skc = (
+            F.col(salt_key) if isinstance(salt_key, str) else salt_key
+        ).cast("string")
+    else:
+        skc = F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in df.columns]
+        )
     salt = md5_long(F.concat(F.lit("topk:"), skc)) % F.lit(salt_buckets)
     w1 = Window.partitionBy(*group_cols, "__salt").orderBy(*order_by)
     survivors = (

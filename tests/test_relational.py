@@ -337,3 +337,26 @@ def test_distributed_cumsum_matches_global_window(spark):
     # and no single-partition window in the distributed plan
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "No Partition Defined" not in plan
+
+
+def test_grouped_topk_default_salt_handles_sortorder_columns(spark):
+    """Regression: order_by entries are often SortOrder expressions
+    (F.desc), which cannot be evaluated as values — the default salt
+    must never touch them (it hashes all columns instead)."""
+    from pyspark.sql import Window
+
+    from processo_etl_spark.operators import ranking
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", i, float(i % 4)) for i in range(60)],
+        "g string, id long, v double",
+    )
+    out = ranking.grouped_topk(
+        df, ["g"], [F.desc("v"), F.asc("id")], k=3, salt_buckets=4
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("v"), F.asc("id"))
+    ref = (
+        df.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, ref.collect()))
