@@ -1019,3 +1019,50 @@ def abtest_welch_price_promo(spark, sf_dir):
         F.round(tstat, 8).alias("t_stat"),
         (F.abs(tstat) > F.lit(1.959963984540054)).alias("significant_95"),
     )
+
+
+@register(
+    "impute_median_by_group",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS g, l_quantity AS x FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_quantity > 0),
+    n AS (SELECT g, count(*) AS n FROM v GROUP BY g),
+    s AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS r FROM v),
+    med AS (
+      SELECT s.g, s.x AS med FROM s JOIN n USING (g)
+      WHERE s.r = greatest(1, CAST(ceil(0.5 * n.n) AS BIGINT)))
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           CASE WHEN l.l_quantity IS NULL OR l.l_quantity <= 0
+                THEN med.med ELSE l.l_quantity END AS qty_imputed
+    FROM lineitem l JOIN med ON l.l_returnflag = med.g
+    """,
+)
+def impute_median_by_group(spark, sf_dir):
+    """Per-GROUP median imputation — the grouped generalization of the
+    reference's global median fill (dag.py:79-90), composed from
+    operators/ranking.grouped_exact_quantiles (type-1 median, per-task
+    state bounded by the sketch bracket) broadcast back by equi-join:
+    null/non-positive quantities take their returnflag's median.  The
+    exact ``percentile`` per group would buffer whole groups; this path
+    never does."""
+    from processo_etl_spark.operators import ranking
+
+    li = t(spark, sf_dir, "lineitem")
+    valid = li.filter(
+        F.col("l_quantity").isNotNull() & (F.col("l_quantity") > 0)
+    )
+    med = ranking.grouped_exact_quantiles(
+        valid, "l_returnflag", "l_quantity", [0.5]
+    ).select("l_returnflag", F.col("value").alias("med"))
+    return li.join(F.broadcast(med), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.when(
+            F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0),
+            F.col("med"),
+        )
+        .otherwise(F.col("l_quantity"))
+        .alias("qty_imputed"),
+    )
