@@ -137,6 +137,14 @@ def winsorize_robust(
     ).first()
     x = F.col(col).cast("double")
     iqr = q["q3"] - q["q1"]
+    if iqr is None or iqr == 0:
+        # Constant / near-constant column (ADVICE r4): dividing by a zero
+        # IQR would emit ±Inf/NaN at scan speed with no warning.  The
+        # quantile probe already ran driver-side, so fail loudly here.
+        raise ValueError(
+            f"winsorize_robust: IQR of {col!r} is {iqr!r} (q1 == q3); "
+            "robust scaling is undefined for a constant column"
+        )
     return df.select(
         *keys,
         x.alias("value"),

@@ -105,22 +105,33 @@ def bloom_probe(
     """Append ``flag_col``: True iff ALL k of the key's bits are set.
 
     The filter side is ≤ m/32 rows — always broadcast; items keep all
-    their columns.  A word the build never touched is an all-zero word
-    (left join NULL → miss).  False negatives are impossible by
-    construction; false positives are the documented trade-off.
+    their columns AND their multiplicity: the k-bit reassembly groups on
+    a per-row ``monotonically_increasing_id``, not on the item columns,
+    so duplicate input rows stay distinct outputs and non-groupable
+    column types (map, …) pass through untouched (ADVICE r4).  A word
+    the build never touched is an all-zero word (left join NULL →
+    miss).  False negatives are impossible by construction; false
+    positives are the documented trade-off.
     """
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     others = list(items.columns)
-    probed = items.select(
-        *others, F.explode(_word_masks(key, k, n_bits)).alias("c")
-    ).select(*others, F.col("c.word").alias("word"), F.col("c.mask").alias("mask"))
+    rid = "__bloom_rid"
+    probed = items.withColumn(rid, F.monotonically_increasing_id()).select(
+        rid, *others, F.explode(_word_masks(key, k, n_bits)).alias("c")
+    ).select(
+        rid, *others, F.col("c.word").alias("word"), F.col("c.mask").alias("mask")
+    )
     hit = F.col("mask").bitwiseAND(F.coalesce(F.col("bits"), F.lit(0))) == F.col(
         "mask"
     )
     return (
         probed.join(F.broadcast(bloom), on="word", how="left")
-        .groupBy(*others)
-        .agg(F.bool_and(hit).alias(flag_col))
+        .groupBy(rid)
+        .agg(
+            *[F.first(c).alias(c) for c in others],
+            F.bool_and(hit).alias(flag_col),
+        )
+        .drop(rid)
     )
 
 

@@ -40,19 +40,37 @@ def target_encode_loo(
     where Σ_c/n_c are the row's category sums, ȳ the global target
     mean, and m the smoothing pseudo-count.  Categories of size 1
     reduce to ȳ exactly (the leave-one-out numerator drops to m·ȳ).
+
+    NULL handling (ADVICE r4): Σ_c, n_c, and ȳ aggregate only NON-NULL
+    targets, so a null target never inflates a denominator.  A row with
+    a null target keeps its category's plain m-estimate (no
+    leave-one-out — it contributed nothing to Σ_c).  Rows whose
+    category is NULL — or whose category has no non-null targets — get
+    the global prior ȳ (the n_c = 0 limit of the m-estimate) instead of
+    being dropped: the join is a left join.
     """
     y = F.round(F.col(target_col), scale).cast(f"decimal(12,{scale})")
-    per_cat = df.groupBy(F.col(category_col).alias("__c")).agg(
+    valid = df.filter(F.col(target_col).isNotNull())
+    per_cat = valid.groupBy(F.col(category_col).alias("__c")).agg(
         F.sum(y).alias("__sum"), F.count(F.lit(1)).alias("__n")
     )
-    g = df.agg(
+    g = valid.agg(
         F.sum(y).cast("double").alias("s"), F.count(F.lit(1)).alias("n")
     ).first()
-    gmean = g["s"] / g["n"]
+    gmean = (g["s"] / g["n"]) if g["n"] else 0.0
     joined = df.join(
-        F.broadcast(per_cat), df[category_col] == F.col("__c")
+        F.broadcast(per_cat), df[category_col] == F.col("__c"), "left"
     ).drop("__c")
-    enc = (
-        (F.col("__sum") - y).cast("double") + F.lit(smoothing) * F.lit(gmean)
-    ) / ((F.col("__n") - 1).cast("double") + F.lit(smoothing))
+    has_y = F.col(target_col).isNotNull()
+    num = (
+        (F.col("__sum") - F.when(has_y, y).otherwise(F.lit(0))).cast("double")
+        + F.lit(smoothing) * F.lit(gmean)
+    )
+    den = (
+        (F.col("__n") - F.when(has_y, F.lit(1)).otherwise(F.lit(0))).cast(
+            "double"
+        )
+        + F.lit(smoothing)
+    )
+    enc = F.coalesce(num / den, F.lit(gmean))
     return joined.withColumn(out_col, enc).drop("__sum", "__n")

@@ -297,15 +297,38 @@ def grouped_exact_quantiles(
         )
     )
     pick = Window.partitionBy("g", "q").orderBy("v")
-    return (
+    picked = (
         walked.withColumn("__rn", F.row_number().over(pick))
         .filter(F.col("__rn") == 1)
-        .select(
-            F.col("g").alias(group_col),
-            "q",
-            "k",
-            F.col("v").alias("value"),
-        )
+        .select("g", "q", "k", F.col("v").alias("value"))
+    )
+    # Loud bracket-violation check (ADVICE r4): the ungrouped twin
+    # exact_quantiles_twopass raises RuntimeError when the sketch bracket
+    # misses; here a miss would silently DROP the (group, q) row.  Every
+    # (g, q) in the bracket spec must produce a pick (k ≥ 1 and groups
+    # have ≥ 1 non-null row by construction), so re-attach the spec and
+    # raise at execution time — lazily, no extra driver job — if any
+    # spec row comes back pickless.
+    spec = brx.select("g", "q", "k")
+    guarded = F.when(
+        F.col("value").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "grouped_exact_quantiles: sketch bracket produced no "
+                    "pick for group="
+                ),
+                F.col("g").cast("string"),
+                F.lit(" q="),
+                F.col("q").cast("string"),
+            )
+        ),
+    ).otherwise(F.col("value"))
+    return spec.join(picked, ["g", "q", "k"], "left").select(
+        F.col("g").alias(group_col),
+        "q",
+        "k",
+        guarded.alias("value"),
     )
 
 
