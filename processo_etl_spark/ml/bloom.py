@@ -217,6 +217,7 @@ def bloom_contamination(
     n: int = 5,
     n_bits: int = 1 << 16,
     k: int = 4,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Benchmark decontamination through a Bloom filter of the eval
     set's word n-grams, with the exact probe alongside for audit.
@@ -253,8 +254,12 @@ def bloom_contamination(
         .persist()
     )
     words = bloom_filter_words(eval_grams, "gram", n_bits=n_bits, k=k)
+    tk = F.col(toks_col) if toks_col else None
     corpus_grams = corpus.select(
-        id_col, F.explode(F.array_distinct(word_shingles(text_col, n))).alias("gram")
+        id_col,
+        F.explode(F.array_distinct(word_shingles(text_col, n, toks=tk))).alias(
+            "gram"
+        ),
     )
     flagged = corpus_grams.withColumn(
         "bloom_hit", bloom_hit_expr(words, F.col("gram"), n_bits, k)

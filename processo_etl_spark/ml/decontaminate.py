@@ -34,6 +34,7 @@ def ngram_contamination(
     text_col: str,
     id_col: str,
     n: int = 13,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Per-corpus-document contamination report.
 
@@ -49,8 +50,12 @@ def ngram_contamination(
         )
         .distinct()
     )
+    tk = F.col(toks_col) if toks_col else None
     corpus_grams = corpus.select(
-        id_col, F.explode(F.array_distinct(word_shingles(text_col, n))).alias("gram")
+        id_col,
+        F.explode(F.array_distinct(word_shingles(text_col, n, toks=tk))).alias(
+            "gram"
+        ),
     )
     hits = (
         corpus_grams.join(F.broadcast(eval_grams), "gram")

@@ -116,6 +116,7 @@ def boilerplate_chunk_removal(
     id_col: str,
     chunk_tokens: int = 10,
     min_docs: int = 2,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """CCNet/RefinedWeb-style boilerplate excision: drop EVERY
     occurrence of any ``chunk_tokens``-word chunk that appears in at
@@ -135,8 +136,11 @@ def boilerplate_chunk_removal(
 
     Returns one row per document: n_chunks, n_dropped, clean_text.
     """
-    tk = normalize_text(text_col)
-    toks = F.split(tk, " ")
+    toks = (
+        F.col(toks_col)
+        if toks_col
+        else F.split(normalize_text(text_col), " ")
+    )
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -176,14 +180,19 @@ def boilerplate_chunk_removal(
     )
 
 
-def word_shingles(text_col: Column | str, n: int = 3) -> Column:
+def word_shingles(
+    text_col: Column | str, n: int = 3, toks: Column | None = None
+) -> Column:
     """Word n-gram shingles as an array<string> — pure array expressions.
 
     tokens[i..i+n-1] for i in 1..len-n+1; rows shorter than n yield the
-    whole text as a single shingle so they still participate.
+    whole text as a single shingle so they still participate.  Pass a
+    precomputed ``toks`` array (the plans/common.corpus tokenize-once
+    relation) to skip the normalize+split here — identical values by
+    construction.
     """
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(normalize_text(col), " ")
+    toks = F.split(normalize_text(col), " ") if toks is None else toks
 
     # Bind the token array ONCE as a lambda value: higher-order functions
     # bypass codegen subexpression elimination, so referencing the
@@ -267,6 +276,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding + exact verify.
 
@@ -278,9 +288,10 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows_per_band = k // bands
+    tk = F.col(toks_col) if toks_col else None
     base = df.select(
         F.col(id_col).alias("doc"),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("sh"),
+        F.array_distinct(word_shingles(text_col, shingle_n, toks=tk)).alias("sh"),
     ).withColumn("sig", minhash_signature(F.col("sh"), k))
     # The self-join + verify re-read this lineage 4×; materialize once.
     # At cluster scale this would be a parquet signature table instead.
@@ -705,12 +716,13 @@ def simhash_dedup_pairs_banded(
 
 
 def _positional_grams(
-    df: DataFrame, text_col: str, id_col: str, n: int
+    df: DataFrame, text_col: str, id_col: str, n: int, toks_col: str | None = None
 ) -> DataFrame:
     """(doc_id, pos, g): word n-grams with their 1-based start position."""
+    tk = F.col(toks_col) if toks_col else None
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(word_shingles(F.col(text_col), n)).alias("pos0", "g"),
+        F.posexplode(word_shingles(F.col(text_col), n, toks=tk)).alias("pos0", "g"),
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "g")
 
 
@@ -742,6 +754,7 @@ def duplicate_spans(
     id_col: str,
     n: int = 3,
     min_docs: int = 2,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Exact duplicate TEXT-SPAN detection — word-granular ExactSubstr
     (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
@@ -778,7 +791,7 @@ def duplicate_spans(
     also switch the join key to ``md5_long(g)`` to cut shuffle bytes
     ~2.5× (not worth it at bench scale where grams are ~20 bytes).
     """
-    grams = _positional_grams(df, text_col, id_col, n).persist(
+    grams = _positional_grams(df, text_col, id_col, n, toks_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     dup = _dup_gram_keys(grams, min_docs)
@@ -861,6 +874,7 @@ def excise_duplicate_spans(
     id_col: str,
     n: int = 3,
     min_docs: int = 2,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Remove cross-document duplicated spans from the text — the
     excision half of ExactSubstr dedup (Lee et al. 2022): every token
@@ -886,7 +900,7 @@ def excise_duplicate_spans(
     toks = base.select(
         "doc_id", F.posexplode("w").alias("pos0", "t")
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "t")
-    grams = _positional_grams(df, text_col, id_col, n).persist(
+    grams = _positional_grams(df, text_col, id_col, n, toks_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     dup = _dup_gram_keys(grams, min_docs)

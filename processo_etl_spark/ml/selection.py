@@ -57,6 +57,7 @@ def importance_weights(
     id_col: str,
     target: Column,
     n_buckets: int = 1024,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, importance): mean hashed-unigram likelihood
     ratio of each document against the ``target`` sub-corpus.
@@ -66,10 +67,13 @@ def importance_weights(
     raw distribution is the whole input.
     """
     b = n_buckets
+    tok_arr = (
+        F.col(toks_col) if toks_col else F.split(normalize_text(text_col), " ")
+    )
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         target.alias("is_t"),
-        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+        F.explode(tok_arr).alias("tok"),
     ).withColumn("b", md5_long(F.col("tok")) % b)
 
     # Global totals are the column sums of the B-row bucket stats, so

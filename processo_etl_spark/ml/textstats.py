@@ -23,6 +23,15 @@ def tokens_ws(c: Column | str) -> Column:
     return F.split(normalize_text(c), " ")
 
 
+def _toks(text_col: Column | str, toks_col: str | None) -> Column:
+    """The token array: the precomputed ``toks_col`` when the caller has
+    a tokenize-once corpus relation (plans/common.corpus), else derived
+    from ``text_col``.  Both forms are the identical expression result —
+    ``toks_col`` just lets the shared lineage be persisted and matched
+    by the cache manager across queries."""
+    return F.col(toks_col) if toks_col else tokens_ws(text_col)
+
+
 def token_count_ws(c: Column | str) -> Column:
     return F.size(tokens_ws(c))
 
@@ -37,8 +46,10 @@ def token_count_bpe_regex(c: Column | str) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
 
 
-def stopword_ratio(c: Column | str, lang: str = "en") -> Column:
-    toks = tokens_ws(c)
+def stopword_ratio(
+    c: Column | str, lang: str = "en", toks_col: str | None = None
+) -> Column:
+    toks = _toks(c, toks_col)
     hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS[lang])))
     return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
@@ -77,18 +88,20 @@ def detect_language(c: Column | str) -> Column:
     return F.element_at(F.transform(F.array(scores), _decide), 1)
 
 
-def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str, toks_col: str | None = None
+) -> DataFrame:
     """Per-document quality features + a composite score in [0,1].
 
     Score terms use ``floor`` scaling (not round) so every engine agrees
     bit-for-bit; a single narrow projection, no shuffle.
     """
-    toks = tokens_ws(text_col)
+    toks = _toks(text_col, toks_col)
     n_tok = F.size(toks)
     n_char = F.length(F.col(text_col))
     punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), 0))
     mean_tok_len = (n_char.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double"))
-    sw_ratio = stopword_ratio(text_col, "en")
+    sw_ratio = stopword_ratio(text_col, "en", toks_col=toks_col)
     score = (
         F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
         + F.least(sw_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.3)
@@ -177,7 +190,9 @@ def repetition_ratios(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), feats.alias("f")).select(id_col, "f.*")
 
 
-def gopher_quality_flags(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def gopher_quality_flags(
+    df: DataFrame, text_col: str, id_col: str, toks_col: str | None = None
+) -> DataFrame:
     """Gopher-rules-style quality signals per document (public heuristics
     from the Gopher/MassiveText filtering literature):
 
@@ -188,7 +203,7 @@ def gopher_quality_flags(df: DataFrame, text_col: str, id_col: str) -> DataFrame
 
     One narrow projection; the token array is let-bound (HOFs skip CSE).
     """
-    toks = tokens_ws(text_col)
+    toks = _toks(text_col, toks_col)
 
     def _feats(tk: Column) -> Column:
         n = F.size(tk)
@@ -243,7 +258,12 @@ def doc_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
 
 
-def vocab_counts(df: DataFrame, text_col: str, min_count: int = 1) -> DataFrame:
+def vocab_counts(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 1,
+    toks_col: str | None = None,
+) -> DataFrame:
     """Corpus vocabulary: term → document frequency + total occurrences.
 
     The tokenizer-training precursor (vocab/merges start from exactly
@@ -251,7 +271,7 @@ def vocab_counts(df: DataFrame, text_col: str, min_count: int = 1) -> DataFrame:
     term — the canonical word-count shape; at 100 TB the only shuffle
     carries (term, partial counts), never documents.
     """
-    toks = F.explode(tokens_ws(text_col)).alias("term")
+    toks = F.explode(_toks(text_col, toks_col)).alias("term")
     return (
         df.select(toks)
         .groupBy("term")
@@ -260,11 +280,16 @@ def vocab_counts(df: DataFrame, text_col: str, min_count: int = 1) -> DataFrame:
     )
 
 
-def doc_frequency(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def doc_frequency(
+    df: DataFrame, text_col: str, id_col: str, toks_col: str | None = None
+) -> DataFrame:
     """term → number of documents containing it (distinct per doc first,
     so the shuffle carries at most |vocab| × |docs| *distinct* pairs)."""
     return (
-        df.select(id_col, F.explode(F.array_distinct(tokens_ws(text_col))).alias("term"))
+        df.select(
+            id_col,
+            F.explode(F.array_distinct(_toks(text_col, toks_col))).alias("term"),
+        )
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
@@ -276,6 +301,7 @@ def tfidf_top_terms(
     id_col: str,
     k: int = 3,
     scale: int = 10_000,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Top-k characteristic terms per document by tf-idf.
 
@@ -287,11 +313,11 @@ def tfidf_top_terms(
     """
     n_docs = df.count()  # one cheap metadata-only count (parquet rowcount)
     tf = (
-        df.select(id_col, F.explode(tokens_ws(text_col)).alias("term"))
+        df.select(id_col, F.explode(_toks(text_col, toks_col)).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    idf = doc_frequency(df, text_col, id_col).withColumn(
+    idf = doc_frequency(df, text_col, id_col, toks_col=toks_col).withColumn(
         "idf", F.log(F.lit(float(n_docs)) / F.col("df"))
     )
     scored = tf.join(F.broadcast(idf), "term").withColumn(
@@ -313,6 +339,7 @@ def corpus_frequency_score(
     text_col: str,
     id_col: str,
     rare_threshold: int = 2,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Per-document corpus-statistics quality score — the count-based
     proxy for LM-perplexity filtering (CCNet/Gopher pipelines score docs
@@ -334,9 +361,9 @@ def corpus_frequency_score(
     are summed as DECIMAL(38,0) (a 100 TB corpus puts freq ~1e11 × tf
     ~1e3 past int64) then emitted as DOUBLE.
     """
-    freq = vocab_counts(df, text_col)
+    freq = vocab_counts(df, text_col, toks_col=toks_col)
     tf = (
-        df.select(F.col(id_col), F.explode(tokens_ws(text_col)).alias("term"))
+        df.select(F.col(id_col), F.explode(_toks(text_col, toks_col)).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -18,7 +18,7 @@ from processo_etl_spark.ml import (
     textstats,
 )
 from processo_etl_spark.plans import register
-from processo_etl_spark.plans.common import t
+from processo_etl_spark.plans.common import corpus, t
 
 # Shared SQL fragments mirroring ml.dedup conventions -------------------------
 _NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
@@ -137,13 +137,14 @@ def dedup_minhash_lsh(spark, sf_dir):
     """Near-dup pairs: MinHash (k=8) → LSH banding (2 bands × 4 rows) →
     bucket equi-join → exact Jaccard verify ≥ 0.2.  Never all-pairs."""
     return dedup.minhash_lsh_pairs(
-        t(spark, sf_dir, "documents"),
+        corpus(spark, sf_dir),
         "doc_id",
         "text",
         k=8,
         bands=2,
         shingle_n=3,
         threshold=0.2,
+        toks_col="toks",
     )
 
 
@@ -497,7 +498,8 @@ def dedup_duplicate_spans(spark, sf_dir):
     spans never overlap).  The excision-grade complement to
     chunk_dedup's fixed blocks."""
     return dedup.duplicate_spans(
-        t(spark, sf_dir, "documents"), "text", "doc_id", n=3, min_docs=2
+        corpus(spark, sf_dir), "text", "doc_id", n=3, min_docs=2,
+        toks_col="toks",
     )
 
 
@@ -573,9 +575,13 @@ def select_importance_dsir(spark, sf_dir):
     target: ml/selection.importance_weights — hashed-unigram likelihood
     ratios, value-sorted-fold document mean.  Selection pairs with
     distributed_ntile / hash thresholds, never a global sort."""
-    docs = t(spark, sf_dir, "documents")
     return selection.importance_weights(
-        docs, "text", "doc_id", target=F.col("lang") == "en", n_buckets=1024
+        corpus(spark, sf_dir),
+        "text",
+        "doc_id",
+        target=F.col("lang") == "en",
+        n_buckets=1024,
+        toks_col="toks",
     )
 
 
@@ -605,7 +611,8 @@ def text_corpus_freq_score(spark, sf_dir):
     (ml/textstats.corpus_frequency_score) — deliberately
     transcendental-free so both engines agree bit-for-bit."""
     return textstats.corpus_frequency_score(
-        t(spark, sf_dir, "documents"), "text", "doc_id", rare_threshold=2
+        corpus(spark, sf_dir), "text", "doc_id", rare_threshold=2,
+        toks_col="toks",
     )
 
 
@@ -786,10 +793,9 @@ def text_langid(spark, sf_dir):
 )
 def text_quality_score(spark, sf_dir):
     """Composite quality score (length/stopword/punct terms, floor-scaled)."""
-    docs = t(spark, sf_dir, "documents")
-    return textstats.quality_features(docs, "text").select(
-        "doc_id", "n_tokens", "quality_score"
-    )
+    return textstats.quality_features(
+        corpus(spark, sf_dir), "text", toks_col="toks"
+    ).select("doc_id", "n_tokens", "quality_score")
 
 
 # --- dedup clustering: connected components over near-dup pairs ------------------------------
@@ -855,7 +861,7 @@ def text_gopher_flags(spark, sf_dir):
     fraction, top-token repetition, conjunctive keep flag — all native
     expressions, one pass."""
     return textstats.gopher_quality_flags(
-        t(spark, sf_dir, "documents"), "text", "doc_id"
+        corpus(spark, sf_dir), "text", "doc_id", toks_col="toks"
     )
 
 
@@ -959,7 +965,7 @@ def boilerplate_chunk_removal(spark, sf_dir):
     content-keyed document-frequency shuffle; the repeated-chunk set is
     slim and joins back by content key."""
     return dedup.boilerplate_chunk_removal(
-        t(spark, sf_dir, "documents"), "text", "doc_id",
+        corpus(spark, sf_dir), "text", "doc_id", toks_col="toks",
         chunk_tokens=10, min_docs=2,
     )
 
@@ -1748,10 +1754,12 @@ def decontaminate_ngram_overlap(spark, sf_dir):
     eval gram set broadcasts; the corpus never shuffles for the probe."""
     from processo_etl_spark.ml import decontaminate
 
-    docs = t(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 31 != 0)
+    docs = corpus(spark, sf_dir)
+    corp = docs.filter(F.col("doc_id") % 31 != 0)
     eval_set = docs.filter(F.col("doc_id") % 31 == 0)
-    return decontaminate.ngram_contamination(corpus, eval_set, "text", "doc_id", n=5)
+    return decontaminate.ngram_contamination(
+        corp, eval_set, "text", "doc_id", n=5, toks_col="toks"
+    )
 
 
 # Bloom-filter replay (ml/bloom conventions): same md5-affine family,
@@ -1815,11 +1823,12 @@ def decontaminate_bloom(spark, sf_dir):
     guarantee (n_bloom_hits ≥ n_exact_hits) is hash-graded."""
     from processo_etl_spark.ml import bloom
 
-    docs = t(spark, sf_dir, "documents")
-    corpus = docs.filter(F.col("doc_id") % 31 != 0)
+    docs = corpus(spark, sf_dir)
+    corp = docs.filter(F.col("doc_id") % 31 != 0)
     eval_set = docs.filter(F.col("doc_id") % 31 == 0)
     return bloom.bloom_contamination(
-        corpus, eval_set, "text", "doc_id", n=5, n_bits=_BLOOM_BITS, k=_BLOOM_K
+        corp, eval_set, "text", "doc_id", n=5, n_bits=_BLOOM_BITS, k=_BLOOM_K,
+        toks_col="toks"
     )
 
 
@@ -1910,7 +1919,7 @@ def tfidf_top_terms(spark, sf_dir):
     idf table broadcasts back onto the term explode.  Scores floor-scaled
     before ranking so the order is engine-reproducible."""
     return textstats.tfidf_top_terms(
-        t(spark, sf_dir, "documents"), "text", "doc_id", k=3
+        corpus(spark, sf_dir), "text", "doc_id", k=3, toks_col="toks"
     )
 
 
@@ -2162,7 +2171,8 @@ def dedup_excise_spans(spark, sf_dir):
     that actually produces the deduplicated corpus from
     ``dedup_duplicate_spans``'s findings."""
     return dedup.excise_duplicate_spans(
-        t(spark, sf_dir, "documents"), "text", "doc_id", n=3, min_docs=2
+        corpus(spark, sf_dir), "text", "doc_id", n=3, min_docs=2,
+        toks_col="toks",
     )
 
 
@@ -2206,9 +2216,9 @@ def ccnet_perplexity_buckets(spark, sf_dir):
     swaps in operators/ranking.distributed_ntile applied per language
     (same two-phase rank, no semantics change).
     """
-    docs = t(spark, sf_dir, "documents")
+    docs = corpus(spark, sf_dir)
     scores = textstats.corpus_frequency_score(
-        docs, "text", "doc_id", rare_threshold=2
+        docs, "text", "doc_id", rare_threshold=2, toks_col="toks"
     ).select("doc_id", "mean_term_freq")
     from pyspark.sql import Window
 
