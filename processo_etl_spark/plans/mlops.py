@@ -1037,6 +1037,36 @@ def multimodal_features(spark, sf_dir):
 
 
 @register(
+    "multimodal_png_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+      list_transform(generate_series(0, 7), c ->
+        CAST(list_sum(list_transform(generate_series(0, 7),
+             r -> (doc_id * 31 + r * 7 + c * 13) % 256)) AS DOUBLE) / 2040.0
+      ) AS feature
+    FROM documents
+    """,
+)
+def multimodal_png_decode(spark, sf_dir):
+    """REAL image decode, hash-graded (VERDICT r4 #4): deterministic 8×8
+    grayscale PNGs (real DEFLATE streams, ml/png.encode_gray) are decoded
+    back by the vendored stdlib codec — or Pillow where it exists — and
+    reduced to per-column mean intensities.  The pixel pattern is
+    closed-form ((id·31 + r·7 + c·13) mod 256), so the oracle states the
+    expected features without any image library; a decode bug (wrong
+    unfilter, wrong inflate framing, row-order flip) breaks the hash.
+    Scale shape: two Arrow-batched mapInPandas stages, zero shuffles.
+    """
+    from processo_etl_spark.ml import multimodal
+
+    docs = t(spark, sf_dir, "documents")
+    media = multimodal.synthesize_png_media(docs, "doc_id")
+    return multimodal.extract_features(
+        media, n_features=8, real_decode=True
+    ).select("media_id", "feature")
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
     WITH media AS (
