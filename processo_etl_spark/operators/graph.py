@@ -103,6 +103,125 @@ def event_type_pagerank(
     )
 
 
+def pagerank_distributed(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    bit_deterministic: bool = True,
+) -> DataFrame:
+    """Pregel-style distributed PageRank (VERDICT r4 #5): join + aggregate
+    per superstep, the ``connected_components`` loop shape — NO
+    driver-side node/edge collect, so the plan holds when the node set
+    scales with the data (billion-node graphs), unlike
+    ``pagerank_from_edges``' driver power method.
+
+    ``edges`` is (src, dst, w).  Per iteration: contributions
+    ``(rank·w)/out_w`` route along edges via ONE equi-join on src and
+    combine per dst; dangling mass (nodes without out-edges) is a single
+    tiny aggregate whose scalar re-enters as a literal; the update is
+    ``(1−d)/n + d·(S + dang/n)`` with the same bracketing as the driver
+    twin.  ``localCheckpoint`` truncates lineage each superstep.
+
+    ``bit_deterministic=True`` combines per-node contributions as a
+    VALUE-SORTED left fold (``aggregate(array_sort(collect_list(..)))``)
+    — the module's oracle-parity convention, giving results identical
+    bit-for-bit to the driver twin and to a DuckDB fixed-iteration
+    replay.  Fold state is one node's in-degree of doubles; for
+    celebrity nodes at 100 TB pass ``False`` to use plain ``F.sum``
+    (order-free, last-ulp nondeterministic — the standard trade-off,
+    same as exact_median vs percentile_approx).
+
+    Returns (node, pagerank); ranks sum to 1 every iteration.
+    """
+    if bit_deterministic:
+        def combine(c):
+            return F.aggregate(
+                F.array_sort(F.collect_list(c)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+    else:
+        def combine(c):
+            return F.sum(c)
+
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    outs = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    # (src, dst, w, out_w) — resolved once, reused every superstep
+    routed = edges.join(outs, "src").persist()
+    out_nodes = outs.select(F.col("src").alias("node"))
+    base = (1.0 - damping) / n
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint()
+    for _ in range(iterations):
+        dang = (
+            ranks.join(out_nodes, "node", "left_anti")
+            .agg(combine(F.col("rank")).alias("d"))
+            .first()["d"]
+        ) or 0.0
+        sums = (
+            ranks.withColumnRenamed("node", "src")
+            .join(routed, "src")
+            .select(
+                F.col("dst").alias("node"),
+                ((F.col("rank") * F.col("w")) / F.col("out_w")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(combine(F.col("c")).alias("s"))
+        )
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce("s", F.lit(0.0)) + F.lit(dang / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    nodes.unpersist()
+    routed.unpersist()
+    return ranks.withColumnRenamed("rank", "pagerank")
+
+
+def pagerank_auto(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    driver_max_nodes: int = 1000,
+) -> DataFrame:
+    """Dispatch on graph size (the ``build_dimension_auto`` pattern): an
+    ``approx_count_distinct`` probe of the node domain picks the driver
+    power method for tiny aggregated graphs (event-type journeys — one
+    collect, zero iterative jobs) and the Pregel loop otherwise.  Both
+    paths use value-sorted folds with identical bracketing, so the
+    choice never changes a single bit of output.
+    """
+    probe = edges.agg(
+        (
+            F.approx_count_distinct("src") + F.approx_count_distinct("dst")
+        ).alias("n")
+    ).first()["n"]
+    if probe <= driver_max_nodes:
+        spark = edges.sparkSession
+        rows = edges.collect()
+        es = [(r["src"], r["dst"], r["w"]) for r in rows]
+        ns = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+        ranks = pagerank_from_edges(ns, es, damping, iterations)
+        return spark.createDataFrame(
+            [(v, ranks[v]) for v in ns], ["node", "pagerank"]
+        )
+    return pagerank_distributed(edges, damping, iterations)
+
+
 def cooccurrence_edges(
     df: DataFrame, group_col: str, item_col: str
 ) -> DataFrame:

@@ -110,6 +110,7 @@ _ROTATION_HEADS = (
     "bm25_topk_hash_join_scan",
     "events_pagerank_journeys",
     "multimodal_png_decode",
+    "graph_pagerank_distributed",
 )
 
 _NEVER_GRADE = frozenset({"canary_decimal_12_2", "canary_decimal_20_6"})

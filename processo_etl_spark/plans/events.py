@@ -861,6 +861,106 @@ def events_pagerank_journeys(spark, sf_dir):
     )
 
 
+def _pagerank_distributed_oracle(iterations: int = 5) -> str:
+    """Fixed-iteration replay of operators/graph.pagerank_distributed as
+    generated CTEs.  Every double mirrors the engine bit-for-bit: the
+    per-node combine is a value-sorted fold, contributions bracket as
+    ``(rank * w) / out_w``, and the update as
+    ``(1.0 - d)/n + d * (S + dang/n)`` — the engine's exact operator
+    order.  list_reduce has no init, but ``0.0 + x == x`` for the
+    positive operands here, so the folds agree with the engine's
+    0.0-seeded ``aggregate``.  The damping complement is written
+    ``CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)``: DuckDB parses bare
+    ``1.0 - 0.85`` as exact DECIMAL 0.15, whose double conversion is
+    one ulp BELOW the engine's binary ``1.0 - 0.85``
+    (0.15000000000000002) — measured as a 152-node 1-ulp hash mismatch
+    before the cast."""
+    head = """
+    WITH edges AS (
+      SELECT 'c:' || o_custkey AS src, 'o:' || o_orderkey AS dst,
+             CAST(1 AS BIGINT) AS w
+      FROM orders
+      UNION ALL
+      SELECT 'o:' || l_orderkey, 'p:' || l_partkey, count(*)
+      FROM lineitem GROUP BY 1, 2
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges
+        UNION ALL SELECT dst FROM edges)),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    outs AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+    it0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"""
+    its = []
+    for i in range(1, iterations + 1):
+        p = i - 1
+        its.append(f""",
+    d{i} AS (
+      SELECT CASE WHEN dl IS NULL OR len(dl) = 0 THEN 0.0
+                  ELSE list_reduce(list_sort(dl), (x, y) -> x + y) END AS dang
+      FROM (SELECT list(r.rank) AS dl
+            FROM it{p} r LEFT JOIN outs o ON r.node = o.src
+            WHERE o.src IS NULL)),
+    s{i} AS (
+      SELECT e.dst AS node,
+             list_reduce(list_sort(list((r.rank * e.w) / o.out_w)),
+                         (x, y) -> x + y) AS s
+      FROM edges e
+      JOIN it{p} r ON e.src = r.node
+      JOIN outs o ON e.src = o.src
+      GROUP BY e.dst),
+    it{i} AS (
+      SELECT n.node,
+             ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n)
+               + 0.85 * (COALESCE(s.s, 0.0) + (d{i}.dang / nn.n)) AS rank
+      FROM nodes n LEFT JOIN s{i} s ON n.node = s.node, nn, d{i})""")
+    return (
+        head
+        + "".join(its)
+        + f"\n    SELECT node, rank AS pagerank FROM it{iterations}"
+    )
+
+
+@register(
+    "graph_pagerank_distributed",
+    oracle=_pagerank_distributed_oracle(5),
+)
+def graph_pagerank_distributed(spark, sf_dir):
+    """Distributed Pregel-style PageRank (VERDICT r4 #5) on a graph whose
+    NODE SET SCALES WITH THE DATA: customers → their orders → the parts
+    they contain (real skew: customer out-degree is order count, parts
+    are heavy-tailed, and every part node is dangling, stressing the
+    dangling-mass redistribution).  operators/graph.pagerank_distributed
+    runs 5 join+aggregate supersteps with NO driver-side node or edge
+    collect — one equi-join on src and one combine per superstep,
+    lineage truncated by localCheckpoint, exactly the
+    connected_components loop shape.  The oracle replays all 5
+    iterations as generated CTEs with value-sorted folds, so every rank
+    double hash-matches bit-for-bit — the iterative algorithm is
+    exactly graded, not rows-only."""
+    from processo_etl_spark.operators import graph
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    e1 = orders.select(
+        F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("o:"), F.col("o_orderkey")).alias("dst"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    e2 = (
+        li.groupBy("l_orderkey", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(
+            F.concat(F.lit("o:"), F.col("l_orderkey")).alias("src"),
+            F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+            F.col("w"),
+        )
+    )
+    return graph.pagerank_distributed(
+        e1.unionAll(e2), damping=0.85, iterations=5
+    )
+
+
 @register("stream_bloom_filter")  # rows-only: streaming drains execute
 def stream_bloom_filter(spark, sf_dir):
     """Streaming Bloom-filter build over user_id

@@ -1169,6 +1169,41 @@ def test_pagerank_hand_graphs(spark):
     assert abs(sum(out.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_distributed_matches_driver_twin(spark):
+    """The Pregel loop and the driver power method are the SAME math
+    (value-sorted folds, identical bracketing): bit-equal ranks on a
+    skewed graph with dangling nodes, and pagerank_auto picks either
+    path without changing a single bit."""
+    from processo_etl_spark.operators import graph
+
+    # hub-and-chain with dangling leaves and a weighted edge
+    es = [
+        ("a", "b", 1), ("a", "c", 2), ("b", "c", 1), ("c", "d", 1),
+        ("d", "a", 1), ("c", "e", 3), ("b", "f", 1),
+    ]
+    nodes = sorted({s for s, _, _ in es} | {d for _, d, _ in es})
+    ref = graph.pagerank_from_edges(nodes, es, 0.85, 7)
+    edf = spark.createDataFrame(es, ["src", "dst", "w"])
+    dist = {
+        r["node"]: r["pagerank"]
+        for r in graph.pagerank_distributed(edf, 0.85, 7).collect()
+    }
+    assert dist == ref  # bit-for-bit, not approx
+    assert abs(sum(dist.values()) - 1.0) < 1e-9
+    # auto: small graph -> driver path; forced distributed -> same bits
+    auto_small = {
+        r["node"]: r["pagerank"]
+        for r in graph.pagerank_auto(edf, 0.85, 7).collect()
+    }
+    auto_dist = {
+        r["node"]: r["pagerank"]
+        for r in graph.pagerank_auto(
+            edf, 0.85, 7, driver_max_nodes=0
+        ).collect()
+    }
+    assert auto_small == ref == auto_dist
+
+
 def test_bloom_zero_false_negatives_and_merge(spark):
     from processo_etl_spark.ml import bloom
 
