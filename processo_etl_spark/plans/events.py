@@ -158,6 +158,21 @@ def stream_sessionize_stateful(spark, sf_dir):
     return jobs.run_sessionize_stateful_availablenow(spark, sf_dir)
 
 
+@register("stream_sessionize_tws")
+def stream_sessionize_tws(spark, sf_dir):
+    """The transformWithStateInPandas sessionizer surface, UN-GATED
+    (rows-only): runs the Spark 4 typed-state API where its protobuf
+    runtime exists and degrades transparently to the row-identical
+    applyInPandasWithState twin where it doesn't
+    (streaming/jobs.run_sessionize_tws_or_twin_availablenow) — the
+    capability is callable in every environment instead of raising
+    ImportError.  TWS⇔twin equality is asserted in
+    tests/test_streaming.py wherever both can execute."""
+    from processo_etl_spark.streaming import jobs
+
+    return jobs.run_sessionize_tws_or_twin_availablenow(spark, sf_dir)
+
+
 @register("stream_tumbling_counts")
 def stream_tumbling_counts(spark, sf_dir):
     """GENUINE Structured Streaming run (rows-only): file source →
