@@ -62,6 +62,10 @@ HEADLINE = (
     "snapshot_diff_orders",
     "sequence_double_click_purchase",
     "skew_report_events_user",
+    # r5 additions: distributed Pregel PageRank and the hash-graded
+    # real PNG decode (vendored stdlib codec).
+    "graph_pagerank_distributed",
+    "multimodal_png_decode",
 )
 
 

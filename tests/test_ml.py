@@ -1204,6 +1204,26 @@ def test_pagerank_distributed_matches_driver_twin(spark):
     assert auto_small == ref == auto_dist
 
 
+def test_shared_corpus_relation_caches_and_matches(spark):
+    """plans/common.corpus returns ONE persisted relation per
+    (session, sf_dir) — same object on repeat calls — whose toks column
+    equals the inline tokens_ws derivation bit-for-bit."""
+    from processo_etl_spark.ml.textstats import tokens_ws
+    from processo_etl_spark.plans import common
+
+    sf = "/root/testdata/sf0.001"
+    c1 = common.corpus(spark, sf)
+    c2 = common.corpus(spark, sf)
+    assert c1 is c2  # cached: tokenize-once per session+sf_dir
+    inline = (
+        common.t(spark, sf, "documents")
+        .select("doc_id", tokens_ws("text").alias("toks"))
+    )
+    shared = c1.select("doc_id", "toks")
+    assert shared.exceptAll(inline).count() == 0
+    assert inline.exceptAll(shared).count() == 0
+
+
 def test_bloom_zero_false_negatives_and_merge(spark):
     from processo_etl_spark.ml import bloom
 

@@ -74,26 +74,48 @@ def test_approx_quartiles_close_to_exact(spark):
 
 
 def test_registry_integrity_and_priority_window():
-    """The r3 regression class, pinned: every _PRIORITY name must be a
-    registered query (ghost entries broke all_queries() for a whole
-    round), the graded window is exactly 50 wide, iteration order
-    starts with the priority prefix, and every windowed query has a
-    DuckDB oracle (a graded slot without an oracle is a weaker
-    rows-only check).  Import-only — no Spark jobs."""
+    """The r3 regression class, pinned for the r5 SELF-ROTATING window:
+    every pinned/head name must be a registered query (ghost entries
+    broke all_queries() for a whole round), the graded window is
+    exactly _WINDOW wide and leads the iteration order, rotation slots
+    prefer never-graded oracle-backed queries, and the known-red
+    canaries never occupy a graded slot.  Import-only — no Spark jobs."""
     from processo_etl_spark import plans
-    from processo_etl_spark.plans import _PRIORITY
+    from processo_etl_spark.plans import (
+        _NEVER_GRADE,
+        _PINNED,
+        _ROTATION_HEADS,
+        _WINDOW,
+        _graded_names,
+    )
 
     queries = plans.all_queries()
     oracles = plans.all_oracles()
-    assert len(_PRIORITY) == 50
-    missing = [n for n in _PRIORITY if n not in queries]
-    assert not missing, f"_PRIORITY names not registered: {missing}"
-    assert list(queries)[:50] == list(_PRIORITY)
-    # similarity_topk_ivf is the one sanctioned rows-only slot (iterative
-    # k-means has no SQL twin; its recall certificate is in-query).
-    no_oracle = {n for n in _PRIORITY if n not in oracles}
+    ghosts = [
+        n for n in (*_PINNED, *_ROTATION_HEADS) if n not in queries
+    ]
+    assert not ghosts, f"pinned/head names not registered: {ghosts}"
+    window = list(queries)[:_WINDOW]
+    assert window[: len(_PINNED)] == list(_PINNED)
+    assert not (set(window) & _NEVER_GRADE)
+    # every rotation slot this round is oracle-backed (the pool of
+    # ungraded oracle-backed queries is not yet exhausted) except the
+    # sanctioned rows-only pin (iterative k-means has no SQL twin).
+    no_oracle = {n for n in window if n not in oracles}
     assert no_oracle <= {"similarity_topk_ivf"}, (
         f"graded-window queries without oracles: {sorted(no_oracle)}"
     )
+    # rotation targets never-before-graded queries while any remain
+    graded = _graded_names()
+    ungraded_pool = [
+        n
+        for n in queries
+        if n not in graded and n in oracles and n not in _NEVER_GRADE
+    ]
+    rotation = window[len(_PINNED) :]
+    if len(ungraded_pool) >= len(rotation):
+        assert all(n not in graded for n in rotation), (
+            "rotation wasted slots on already-graded queries"
+        )
     # Oracle keys are always a subset of query keys.
     assert set(oracles) <= set(queries)
