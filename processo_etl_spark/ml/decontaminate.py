@@ -67,3 +67,90 @@ def ngram_contamination(
         F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
         (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.5,
+    bits: int = 4,
+    probes: int = 8,
+) -> DataFrame:
+    """Embedding-space decontamination — the SEMANTIC complement of
+    ``ngram_contamination``: flag corpus items whose embedding is within
+    cosine ≥ ``threshold`` of ANY eval-set embedding.  Catches
+    paraphrased / translated / templated benchmark leakage that exact
+    13-gram collision checks miss (the reason modern decontamination
+    pipelines run both passes).
+
+    Scale shape (the ``minhash_lsh_pairs`` discipline applied to
+    vectors): both sides bucket into ``probes`` independent sign-LSH
+    bands of ``bits`` dims each (the SemDeDup/IVF quantizer family,
+    ml/similarity.sign_bucket_at); candidates are pairs agreeing on ANY
+    band — an equi-join on (band, cell), never corpus × eval.  The
+    candidate shuffle carries only (band, cell, id); embeddings
+    re-attach per DISTINCT surviving pair for ONE exact cosine each.
+    Banded recall has MinHash-band characteristics (a missed pair must
+    disagree in all ``probes`` bands — vanishingly unlikely at high
+    cosine); the brute-force certificate for auditing recall is
+    ``similarity.brute_force_topk``.
+
+    Returns per corpus item: ``n_matches`` (eval embeddings at ≥
+    threshold), ``max_cos`` (best candidate cosine, NULL when no band
+    collided), ``contaminated``.
+    """
+    from processo_etl_spark.ml.similarity import cosine, sign_bucket_at
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("band"),
+                    sign_bucket_at(F.col(vec_col), bits, p * bits).alias(
+                        "cell"
+                    ),
+                )
+                for p in range(probes)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), F.explode(cells).alias("bc")
+        ).select(out_id, "bc.band", "bc.cell")
+
+    pairs = (
+        banded(corpus, "cid")
+        .join(banded(eval_set, "eid"), ["band", "cell"])
+        .select("cid", "eid")
+        .dropDuplicates(["cid", "eid"])
+    )
+    scored = (
+        pairs.join(
+            corpus.select(
+                F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+            ),
+            "cid",
+        )
+        .join(
+            eval_set.select(
+                F.col(id_col).alias("eid"), F.col(vec_col).alias("ev")
+            ),
+            "eid",
+        )
+        .select("cid", cosine(F.col("cv"), F.col("ev")).alias("cos"))
+    )
+    hits = scored.groupBy("cid").agg(
+        F.sum((F.col("cos") >= threshold).cast("long")).alias("n_matches"),
+        F.max("cos").alias("max_cos"),
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(hits, corpus[id_col] == hits["cid"], "left")
+        .select(
+            id_col,
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            F.col("max_cos"),
+            (F.coalesce("n_matches", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

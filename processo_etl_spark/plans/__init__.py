@@ -111,6 +111,7 @@ _ROTATION_HEADS = (
     "events_pagerank_journeys",
     "multimodal_png_decode",
     "graph_pagerank_distributed",
+    "decontaminate_semantic",
 )
 
 _NEVER_GRADE = frozenset({"canary_decimal_12_2", "canary_decimal_20_6"})

@@ -440,6 +440,58 @@ _COS_AB = """
 """
 
 
+_SEMDECON_ON = " OR ".join(
+    f"{_bkt_sql('a', 4, p * 4)} = {_bkt_sql('b', 4, p * 4)}" for p in range(8)
+)
+
+
+@register(
+    "decontaminate_semantic",
+    oracle=f"""
+    WITH corp AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 31 <> 0),
+    ev AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 31 = 0),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS cid, b.vec_id AS eid
+      FROM corp a JOIN ev b ON ({_SEMDECON_ON})),
+    scored AS (
+      SELECT p.cid, {_COS_AB} AS cos
+      FROM pairs p
+      JOIN corp a ON p.cid = a.vec_id
+      JOIN ev b ON p.eid = b.vec_id),
+    hits AS (
+      SELECT cid,
+             CAST(SUM(CASE WHEN cos >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matches,
+             MAX(cos) AS max_cos
+      FROM scored GROUP BY cid)
+    SELECT c.vec_id,
+           COALESCE(h.n_matches, 0) AS n_matches,
+           h.max_cos AS max_cos,
+           COALESCE(h.n_matches, 0) > 0 AS contaminated
+    FROM corp c LEFT JOIN hits h ON c.vec_id = h.cid
+    """,
+)
+def decontaminate_semantic(spark, sf_dir):
+    """Semantic decontamination (ml/decontaminate.semantic_contamination):
+    corpus embeddings within cosine ≥ 0.5 of any eval-set embedding
+    (vec_id % 31 == 0 plays the benchmark role), candidates banded
+    through 8 independent 4-bit sign-LSH cells — an equi-join on
+    (band, cell), never corpus × eval; embeddings re-attach only for
+    distinct surviving pairs.  The paraphrase-robust complement to the
+    13-gram collision checks (`decontaminate_ngram_overlap` /
+    `decontaminate_bloom`)."""
+    from processo_etl_spark.ml import decontaminate
+
+    emb = t(spark, sf_dir, "embeddings")
+    corp = emb.filter(F.col("vec_id") % 31 != 0)
+    ev = emb.filter(F.col("vec_id") % 31 == 0)
+    return decontaminate.semantic_contamination(
+        corp, ev, "vec_id", "embedding", threshold=0.5, bits=4, probes=8
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""

@@ -1224,6 +1224,31 @@ def test_shared_corpus_relation_caches_and_matches(spark):
     assert inline.exceptAll(shared).count() == 0
 
 
+def test_semantic_contamination_planted_leak(spark):
+    """A corpus vector nearly identical to an eval vector must be
+    flagged; an orthogonal one must not."""
+    from processo_etl_spark.ml import decontaminate
+
+    dim = 16
+    base = [1.0] + [0.0] * (dim - 1)
+    near = [0.99] + [0.05] + [0.0] * (dim - 2)
+    ortho = [0.0] * (dim - 1) + [1.0]
+    corpus = spark.createDataFrame(
+        [(1, near), (2, ortho)], ["vec_id", "embedding"]
+    )
+    ev = spark.createDataFrame([(100, base)], ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: r
+        for r in decontaminate.semantic_contamination(
+            corpus, ev, "vec_id", "embedding", threshold=0.9, bits=4, probes=4
+        ).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["n_matches"] == 1
+    assert out[1]["max_cos"] > 0.99
+    assert not out[2]["contaminated"] and out[2]["n_matches"] == 0
+    assert len(out) == 2  # every corpus row present (left join)
+
+
 def test_bloom_zero_false_negatives_and_merge(spark):
     from processo_etl_spark.ml import bloom
 
