@@ -101,45 +101,11 @@ def semantic_contamination(
     threshold), ``max_cos`` (best candidate cosine, NULL when no band
     collided), ``contaminated``.
     """
-    from processo_etl_spark.ml.similarity import cosine, sign_bucket_at
+    from processo_etl_spark.ml.similarity import banded_candidates
 
-    def banded(df: DataFrame, out_id: str) -> DataFrame:
-        cells = F.array(
-            *[
-                F.struct(
-                    F.lit(p).alias("band"),
-                    sign_bucket_at(F.col(vec_col), bits, p * bits).alias(
-                        "cell"
-                    ),
-                )
-                for p in range(probes)
-            ]
-        )
-        return df.select(
-            F.col(id_col).alias(out_id), F.explode(cells).alias("bc")
-        ).select(out_id, "bc.band", "bc.cell")
-
-    pairs = (
-        banded(corpus, "cid")
-        .join(banded(eval_set, "eid"), ["band", "cell"])
-        .select("cid", "eid")
-        .dropDuplicates(["cid", "eid"])
-    )
-    scored = (
-        pairs.join(
-            corpus.select(
-                F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
-            ),
-            "cid",
-        )
-        .join(
-            eval_set.select(
-                F.col(id_col).alias("eid"), F.col(vec_col).alias("ev")
-            ),
-            "eid",
-        )
-        .select("cid", cosine(F.col("cv"), F.col("ev")).alias("cos"))
-    )
+    scored = banded_candidates(
+        corpus, eval_set, id_col, vec_col, bits=bits, probes=probes
+    ).select(F.col("lid").alias("cid"), F.col("cos"))
     hits = scored.groupBy("cid").agg(
         F.sum((F.col("cos") >= threshold).cast("long")).alias("n_matches"),
         F.max("cos").alias("max_cos"),

@@ -314,3 +314,131 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def banded_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bits: int = 4,
+    probes: int = 8,
+) -> DataFrame:
+    """Distinct (lid, rid, cos) candidate pairs between two vector sets
+    that agree on ANY of ``probes`` independent ``bits``-dim sign-LSH
+    bands — an equi-join on (band, cell), never left × right; vectors
+    re-attach per distinct surviving pair for one exact cosine each.
+    The shared candidate generator behind semantic decontamination and
+    bitext mining."""
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("band"),
+                    sign_bucket_at(F.col(vec_col), bits, p * bits).alias(
+                        "cell"
+                    ),
+                )
+                for p in range(probes)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), F.explode(cells).alias("bc")
+        ).select(out_id, "bc.band", "bc.cell")
+
+    pairs = (
+        banded(left, "lid")
+        .join(banded(right, "rid"), ["band", "cell"])
+        .select("lid", "rid")
+        .dropDuplicates(["lid", "rid"])
+    )
+    return (
+        pairs.join(
+            left.select(F.col(id_col).alias("lid"), F.col(vec_col).alias("lv")),
+            "lid",
+        )
+        .join(
+            right.select(
+                F.col(id_col).alias("rid"), F.col(vec_col).alias("rv")
+            ),
+            "rid",
+        )
+        .select("lid", "rid", cosine(F.col("lv"), F.col("rv")).alias("cos"))
+    )
+
+
+def margin_bitext_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    bits: int = 4,
+    probes: int = 8,
+    margin_threshold: float = 1.0,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix recipe): score each cross-lingual candidate by its
+    cosine RATIO to the mean of both endpoints' top-``k`` neighborhoods
+    — absolute cosine thresholds fail because some sentences are "hubs"
+    that are close to everything; the margin normalizes that out.
+
+        margin(x, y) = cos(x, y) / ((avg_k(x) + avg_k(y)) / 2)
+
+    Neighborhood means are over each endpoint's top-``k`` banded
+    candidates (cos desc, id-asc tiebreak — deterministic), summed as
+    value-sorted folds for engine-portable doubles.  Emits each left
+    item's best partner by (margin desc, rid asc) with margin ≥
+    ``margin_threshold``: (src_id, tgt_id, cos, margin).
+
+    Scale shape: the banded candidate join is the only corpus-scale
+    work (never left × right); the two top-k windows partition by item
+    id over candidate rows only — bounded by each item's band-collision
+    count, not the corpus.
+    """
+    cands = banded_candidates(left, right, id_col, vec_col, bits, probes)
+    wl = Window.partitionBy("lid").orderBy(F.desc("cos"), F.asc("rid"))
+    wr = Window.partitionBy("rid").orderBy(F.desc("cos"), F.asc("lid"))
+    ranked = cands.withColumn("rkl", F.row_number().over(wl)).withColumn(
+        "rkr", F.row_number().over(wr)
+    )
+    ranked = ranked.persist()
+
+    def fold_avg(c):
+        return F.aggregate(
+            F.array_sort(F.collect_list(c)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ) / F.count(F.lit(1)).cast("double")
+
+    avg_l = (
+        ranked.filter(F.col("rkl") <= k)
+        .groupBy("lid")
+        .agg(fold_avg(F.col("cos")).alias("avg_l"))
+    )
+    avg_r = (
+        ranked.filter(F.col("rkr") <= k)
+        .groupBy("rid")
+        .agg(fold_avg(F.col("cos")).alias("avg_r"))
+    )
+    margined = (
+        ranked.join(avg_l, "lid")
+        .join(avg_r, "rid")
+        .withColumn(
+            "margin",
+            F.col("cos")
+            / ((F.col("avg_l") + F.col("avg_r")) / F.lit(2.0)),
+        )
+    )
+    best = Window.partitionBy("lid").orderBy(F.desc("margin"), F.asc("rid"))
+    return (
+        margined.withColumn("__b", F.row_number().over(best))
+        .filter((F.col("__b") == 1) & (F.col("margin") >= margin_threshold))
+        .select(
+            F.col("lid").alias("src_id"),
+            F.col("rid").alias("tgt_id"),
+            "cos",
+            "margin",
+        )
+    )

@@ -112,6 +112,7 @@ _ROTATION_HEADS = (
     "multimodal_png_decode",
     "graph_pagerank_distributed",
     "decontaminate_semantic",
+    "bitext_mine_margin",
 )
 
 _NEVER_GRADE = frozenset({"canary_decimal_12_2", "canary_decimal_20_6"})

@@ -493,6 +493,69 @@ def decontaminate_semantic(spark, sf_dir):
 
 
 @register(
+    "bitext_mine_margin",
+    oracle=f"""
+    WITH l AS (
+      SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 0),
+    r AS (
+      SELECT vec_id, embedding FROM embeddings WHERE label % 2 = 1),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS lid, b.vec_id AS rid
+      FROM l a JOIN r b ON ({_SEMDECON_ON})),
+    cands AS (
+      SELECT p.lid, p.rid, {_COS_AB} AS cos
+      FROM pairs p JOIN l a ON p.lid = a.vec_id JOIN r b ON p.rid = b.vec_id),
+    ranked AS (
+      SELECT lid, rid, cos,
+        row_number() OVER (PARTITION BY lid ORDER BY cos DESC, rid) AS rkl,
+        row_number() OVER (PARTITION BY rid ORDER BY cos DESC, lid) AS rkr
+      FROM cands),
+    al AS (
+      SELECT lid, list_reduce(list_sort(list(cos)), (x, y) -> x + y)
+               / CAST(count(*) AS DOUBLE) AS avg_l
+      FROM ranked WHERE rkl <= 4 GROUP BY lid),
+    ar AS (
+      SELECT rid, list_reduce(list_sort(list(cos)), (x, y) -> x + y)
+               / CAST(count(*) AS DOUBLE) AS avg_r
+      FROM ranked WHERE rkr <= 4 GROUP BY rid),
+    m AS (
+      SELECT k.lid, k.rid, k.cos,
+             k.cos / ((al.avg_l + ar.avg_r) / CAST(2.0 AS DOUBLE)) AS margin
+      FROM ranked k JOIN al USING (lid) JOIN ar USING (rid)),
+    best AS (
+      SELECT lid, rid, cos, margin,
+        row_number() OVER (PARTITION BY lid ORDER BY margin DESC, rid) AS b
+      FROM m)
+    SELECT lid AS src_id, rid AS tgt_id, cos, margin
+    FROM best WHERE b = 1 AND margin >= CAST(1.0 AS DOUBLE)
+    """,
+)
+def bitext_mine_margin(spark, sf_dir):
+    """Margin-based bitext mining (ml/similarity.margin_bitext_pairs —
+    the Artetxe-Schwenk/CCMatrix recipe): label parity plays the two
+    languages; each even-label item's best odd-label partner by cosine
+    RATIO to both endpoints' top-4 candidate neighborhoods, kept at
+    margin ≥ 1.0.  Absolute-cosine mining fails on hub sentences; the
+    margin normalizes hubness out.  Candidates band through the shared
+    sign-LSH generator (never L1 × L2); neighborhood means are
+    value-sorted folds, so the full score pipeline hash-matches the
+    SQL replay."""
+    from processo_etl_spark.ml import similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.margin_bitext_pairs(
+        emb.filter(F.col("label") % 2 == 0),
+        emb.filter(F.col("label") % 2 == 1),
+        "vec_id",
+        "embedding",
+        k=4,
+        bits=4,
+        probes=8,
+        margin_threshold=1.0,
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     oracle=f"""
     WITH base AS (

@@ -1249,6 +1249,41 @@ def test_semantic_contamination_planted_leak(spark):
     assert len(out) == 2  # every corpus row present (left join)
 
 
+def test_margin_bitext_mining_prefers_true_pair_over_hub(spark):
+    """The planted translation pair must mine; a hub vector close to
+    everything must not beat it (the margin normalizes hubness that an
+    absolute cosine threshold cannot)."""
+    from processo_etl_spark.ml import similarity
+
+    d = 8
+    def v(*nz):
+        out = [0.0] * d
+        for i, x in nz:
+            out[i] = x
+        return out
+
+    left = spark.createDataFrame(
+        [(1, v((0, 1.0))), (2, v((1, 1.0)))], ["vec_id", "embedding"]
+    )
+    right = spark.createDataFrame(
+        [
+            (10, v((0, 0.98), (1, 0.05))),      # true partner of 1
+            (11, v((0, 0.6), (1, 0.6), (2, 0.5))),  # hub: close to both
+            (12, v((1, 0.97), (0, 0.04))),      # true partner of 2
+        ],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        r["src_id"]: r
+        for r in similarity.margin_bitext_pairs(
+            left, right, "vec_id", "embedding",
+            k=2, bits=4, probes=2, margin_threshold=0.0,
+        ).collect()
+    }
+    assert got[1]["tgt_id"] == 10 and got[2]["tgt_id"] == 12
+    assert got[1]["margin"] > 1.0 and got[2]["margin"] > 1.0
+
+
 def test_bloom_zero_false_negatives_and_merge(spark):
     from processo_etl_spark.ml import bloom
 
