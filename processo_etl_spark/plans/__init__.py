@@ -119,7 +119,13 @@ _NEVER_GRADE = frozenset({"canary_decimal_12_2", "canary_decimal_20_6"})
 
 
 def _graded_names() -> frozenset:
-    """Query names with a row in any recorded CORRECTNESS_r*.json."""
+    """Query names with a PASSING row in any recorded CORRECTNESS_r*.json.
+
+    A row certifies its query only if it recorded no error and no
+    explicit check failure (absent check keys — the rows-only grade —
+    still certify).  A query that FAILED a past round stays in the
+    rotation pool, so it re-enters the window until it earns a green
+    row instead of being retired by the attempt."""
     import json
     from pathlib import Path
 
@@ -127,9 +133,21 @@ def _graded_names() -> frozenset:
     root = Path(__file__).resolve().parents[2]
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
-            graded.update(json.loads(p.read_text()).keys())
+            rows = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                graded.add(name)
+                continue
+            if row.get("err") is not None:
+                continue
+            if any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                continue
+            graded.add(name)
     return frozenset(graded)
 
 
