@@ -2011,8 +2011,8 @@ def quality_budget_per_source(spark, sf_dir):
     doc_id tiebreak."""
     from pyspark.sql import Window
 
-    docs = t(spark, sf_dir, "documents")
-    scored = textstats.quality_features(docs, "text")
+    docs = corpus(spark, sf_dir)
+    scored = textstats.quality_features(docs, "text", toks_col="toks")
     w = Window.partitionBy("source").orderBy(
         F.col("quality_score").desc(), "doc_id"
     )
@@ -2126,18 +2126,18 @@ def curation_pipeline(spark, sf_dir):
     """
     from processo_etl_spark.ml import decontaminate, splits
 
-    docs = t(spark, sf_dir, "documents")
+    docs = corpus(spark, sf_dir)
     winners = dedup.exact_dedup(docs, "text", "doc_id").select("doc_id")
-    flags = textstats.gopher_quality_flags(docs, "text", "doc_id").select(
-        "doc_id", "n_tokens", "keep"
-    )
-    corpus = docs.filter(F.col("doc_id") % 31 != 0)
+    flags = textstats.gopher_quality_flags(
+        docs, "text", "doc_id", toks_col="toks"
+    ).select("doc_id", "n_tokens", "keep")
+    corp = docs.filter(F.col("doc_id") % 31 != 0)
     eval_set = docs.filter(F.col("doc_id") % 31 == 0)
     cont = decontaminate.ngram_contamination(
-        corpus, eval_set, "text", "doc_id", n=5
+        corp, eval_set, "text", "doc_id", n=5, toks_col="toks"
     ).select("doc_id", "contaminated")
     kept = (
-        corpus.join(winners, "doc_id", "left_semi")
+        corp.join(winners, "doc_id", "left_semi")
         .join(flags.filter(F.col("keep")).select("doc_id", "n_tokens"), "doc_id")
         .join(cont.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi")
     )
