@@ -53,6 +53,10 @@ _PLAN_MODULES = (
     "events",
     "temporal",
     "tpch",
+    # registry TAIL (after tpch): new-module queries enter the rotation
+    # pool BEHIND every pre-r5 candidate, so adding queries here never
+    # displaces an already-verified window composition mid-round.
+    "textlm",
 )
 
 # Driver-visibility window (VERDICT r1 #1, rotated per VERDICT r4 #1): the

@@ -1,0 +1,287 @@
+"""Statistical-LM corpus analytics: Kneser-Ney continuation counts,
+log-free collocation detection, and source-concentration (Gini) — the
+n-gram-model side of the training-data pipeline (reference scope: the
+text-analysis family extends dag.py's quality checks to LM statistics;
+no reference counterpart — extension surface like ml/textstats.py).
+
+All three queries derive from the tokenize-once ``plans/common.corpus``
+relation (VERDICT r4 #7), so they share the normalize→split pass with
+the curation heads instead of re-scanning raw text.
+
+Oracle-parity design: every emitted double is a single IEEE expression
+over EXACT integer counts with identical bracketing on both engines —
+no transcendentals, no order-dependent float accumulation — so the
+driver's value hash matches bit-for-bit (the module-wide convention;
+see plans/common.dec's docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from processo_etl_spark.plans import register
+from processo_etl_spark.plans.common import corpus
+
+# DuckDB mirror of ml/textstats.tokens_ws (lower + collapsed whitespace,
+# split on ' ') — the same string the mlops oracles use.
+_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+# Distinct bigram relation over normalized whitespace tokens.  DuckDB
+# lists are 1-based, Spark arrays 0-based: tk[i]/tk[i+1] at i=1..len-1
+# pairs exactly with toks[i-1]/toks[i] over sequence(1, size-1).
+_BG_SQL = f"""
+  WITH toks AS (
+    SELECT doc_id, string_split({_NORM}, ' ') AS tk FROM documents
+  ),
+  bg_all AS (
+    SELECT tk[i] AS w1, tk[i + 1] AS w2
+    FROM toks, unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS g(i)
+    WHERE tk[i] <> '' AND tk[i + 1] <> ''
+  )
+"""
+
+
+def _bigrams(spark, sf_dir):
+    """(w1, w2) bigram rows (with multiplicity) from the shared corpus.
+
+    The pair structs are built token-local with one ``transform`` over
+    the persisted ``toks`` array — no positional self-join: a
+    posexplode + (doc, pos)=(doc, pos+1) equi-join would shuffle the
+    token table twice on a composite key, while this is a zero-shuffle
+    per-row expansion (the ExactSubstr gram generator's shape).
+    ``size >= 2`` guards Spark's descending ``sequence(1, 0)`` on
+    empty/one-token docs.
+    """
+    return (
+        corpus(spark, sf_dir)
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+
+
+@register(
+    "ngram_continuation_counts",
+    oracle=_BG_SQL
+    + """,
+  bg AS (SELECT DISTINCT w1, w2 FROM bg_all),
+  tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bg),
+  cont AS (SELECT w2 AS word, count(*) AS continuation_count
+           FROM bg GROUP BY w2),
+  ctx AS (SELECT w1 AS word, count(*) AS context_count
+          FROM bg GROUP BY w1)
+  SELECT word,
+         CAST(continuation_count AS BIGINT) AS continuation_count,
+         CAST(COALESCE(ctx.context_count, 0) AS BIGINT) AS context_count,
+         CAST(continuation_count AS DOUBLE) / CAST(tt.t AS DOUBLE)
+           AS continuation_prob
+  FROM cont LEFT JOIN ctx USING (word), tt
+  ORDER BY continuation_count DESC, word ASC LIMIT 100
+""",
+)
+def ngram_continuation_counts(spark, sf_dir):
+    """Kneser-Ney continuation statistics (Kneser & Ney, ICASSP'95): for
+    each word, the number of DISTINCT left contexts it follows
+    (continuation count — the KN lower-order numerator) and of distinct
+    right contexts it precedes, plus the continuation probability
+    cont(w)/|distinct bigrams|.  The "how many contexts, not how many
+    times" statistic is what separates KN from raw-frequency smoothing
+    — a corpus-level relation any n-gram LM build materializes.
+
+    Scale shape: bigram expansion is a zero-shuffle per-row transform;
+    the DISTINCT is one shuffle on (w1, w2); the two directional counts
+    are combinable groupBys of the already-distinct pair relation; the
+    global bigram total re-attaches as a broadcast one-row scalar
+    (documented crossJoin allow-list shape).  Top-100 with a full
+    (count, word) tie-break runs as TakeOrderedAndProject — no global
+    sort shuffle.  continuation_prob is one double division of exact
+    ints — bit-identical on both engines.
+    """
+    bg = _bigrams(spark, sf_dir).distinct()
+    total = bg.agg(F.count(F.lit(1)).alias("t"))
+    cont = bg.groupBy(F.col("w2").alias("word")).agg(
+        F.count(F.lit(1)).alias("continuation_count")
+    )
+    ctx = bg.groupBy(F.col("w1").alias("word")).agg(
+        F.count(F.lit(1)).alias("context_count")
+    )
+    return (
+        cont.join(ctx, "word", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "word",
+            "continuation_count",
+            F.coalesce("context_count", F.lit(0)).alias("context_count"),
+            (
+                F.col("continuation_count").cast("double")
+                / F.col("t").cast("double")
+            ).alias("continuation_prob"),
+        )
+        .orderBy(F.desc("continuation_count"), F.asc("word"))
+        .limit(100)
+    )
+
+
+@register(
+    "collocations_lift_topk",
+    oracle=_BG_SQL
+    + f""",
+  nab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+          FROM bg_all GROUP BY w1, w2),
+  uni AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents)
+    WHERE tok <> '' GROUP BY tok
+  ),
+  tot AS (SELECT CAST(sum(n) AS BIGINT) AS t_uni FROM uni),
+  tbg AS (SELECT CAST(sum(n_ab) AS BIGINT) AS t_bg FROM nab)
+  SELECT w1, w2, n_ab,
+         ((CAST(n_ab AS DOUBLE) * CAST(t_uni AS DOUBLE))
+            / CAST(a.n AS DOUBLE))
+           * (CAST(t_uni AS DOUBLE) / CAST(b.n AS DOUBLE))
+           / CAST(t_bg AS DOUBLE) AS lift
+  FROM nab JOIN uni a ON nab.w1 = a.tok
+           JOIN uni b ON nab.w2 = b.tok, tot, tbg
+  WHERE n_ab >= 5
+  ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 100
+""",
+)
+def collocations_lift_topk(spark, sf_dir):
+    """Collocation detection by lift (observed/expected bigram rate):
+    lift(a,b) = (n_ab/T_bg) / ((n_a/T_uni)·(n_b/T_uni)), the log-free
+    core of PMI ranking (PMI = log2 lift — monotone, so the top-K set
+    is identical while staying transcendental-free for bit parity, the
+    ccnet_perplexity_buckets precedent).  High-lift pairs are the
+    multi-word expressions a tokenizer/vocab build promotes to single
+    units; ``n_ab >= 5`` is the standard sparse-pair guard (Church &
+    Hanks, CL'90).
+
+    Scale shape: one combinable groupBy per relation (bigrams,
+    unigrams); the two totals attach as broadcast one-row scalars; the
+    unigram relation joins in twice by equi-key (vocabulary-sized —
+    broadcastable in practice, and never larger than the pair table it
+    joins).  The lift expression brackets identically on both engines
+    over exact-int operands (every count < 2^53 exactly representable),
+    so ranking and hash agree bit-for-bit.  Top-100 with full
+    tie-break = TakeOrderedAndProject.
+    """
+    nab = _bigrams(spark, sf_dir).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+    uni = (
+        corpus(spark, sf_dir)
+        .select(F.explode("toks").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t_uni = uni.agg(F.sum("n").alias("t_uni"))
+    t_bg = nab.agg(F.sum("n_ab").alias("t_bg"))
+    na = uni.select(F.col("tok").alias("w1"), F.col("n").alias("n_a"))
+    nb = uni.select(F.col("tok").alias("w2"), F.col("n").alias("n_b"))
+    return (
+        nab.filter(F.col("n_ab") >= 5)
+        .join(na, "w1")
+        .join(nb, "w2")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_bg))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            (
+                (
+                    F.col("n_ab").cast("double")
+                    * F.col("t_uni").cast("double")
+                    / F.col("n_a").cast("double")
+                )
+                * (
+                    F.col("t_uni").cast("double")
+                    / F.col("n_b").cast("double")
+                )
+                / F.col("t_bg").cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+        .limit(100)
+    )
+
+
+@register(
+    "tokens_gini_by_source",
+    oracle=f"""
+  WITH per_src AS (
+    SELECT source, CAST(sum(len(string_split({_NORM}, ' '))) AS BIGINT)
+             AS tok_count
+    FROM documents GROUP BY source
+  ),
+  ranked AS (
+    SELECT tok_count,
+           row_number() OVER (ORDER BY tok_count, source) AS i
+    FROM per_src
+  ),
+  nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(tok_count) AS BIGINT) AS total
+         FROM per_src)
+  SELECT nn.n AS n_sources, nn.total AS total_tokens,
+         CAST(sum((2 * i - nn.n - 1) * tok_count) AS DOUBLE)
+           / CAST(nn.n * nn.total AS DOUBLE) AS gini
+  FROM ranked, nn GROUP BY nn.n, nn.total
+""",
+)
+def tokens_gini_by_source(spark, sf_dir):
+    """Gini coefficient of token mass across sources — the
+    corpus-balance scalar a mixture designer watches (0 = every source
+    contributes equally, →1 = one source dominates); complements the
+    per-source quotas of ``quality_budget_per_source`` / UniMax with a
+    single concentration metric.
+
+    Gini over sorted counts x_1 ≤ … ≤ x_n:
+    Σ_i (2i − n − 1)·x_i / (n·Σx) — integer arithmetic end-to-end with
+    ONE double division, so both engines agree bit-for-bit (equal
+    counts make the index assignment ambiguous, but the coefficient sum
+    over a tie group is assignment-invariant).  The per-source rollup
+    is one combinable groupBy; the n-row fold runs as a value-sorted
+    ``aggregate`` over a collected array (n = |sources|,
+    dimension-sized — the module's scalar-fold convention, NOT an
+    unpartitioned window; the oracle's row_number is the same rank
+    statistic expressed relationally).
+    """
+    per_src = (
+        corpus(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum(F.size("toks")).alias("tok_count"))
+    )
+    return per_src.agg(
+        F.array_sort(F.collect_list("tok_count")).alias("vals")
+    ).select(
+        F.size("vals").cast("long").alias("n_sources"),
+        F.aggregate(
+            "vals", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("total_tokens"),
+        (
+            F.aggregate(
+                F.expr(
+                    "transform(vals,"
+                    " (x, j) -> (2 * CAST(j + 1 AS BIGINT)"
+                    " - size(vals) - 1) * x)"
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).cast("double")
+            / (
+                F.size("vals").cast("long")
+                * F.aggregate(
+                    "vals", F.lit(0).cast("long"), lambda a, x: a + x
+                )
+            ).cast("double")
+        ).alias("gini"),
+    )

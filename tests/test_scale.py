@@ -112,6 +112,10 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
         # contingency table — the DSIR scalar-attach shape.
         "drift_chi2_sources",
         "similarity_topk_bruteforce",
+        # one-row bigram-total / (t_uni, t_bg) aggregates attached under
+        # the vocabulary-sized stat tables — the DSIR scalar-attach shape.
+        "ngram_continuation_counts",
+        "collocations_lift_topk",
         "similarity_topk_int8",
         "similarity_topk_ivf",
         "geo_nearest_poi",

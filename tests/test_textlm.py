@@ -1,0 +1,91 @@
+"""Hand-computed checks for the statistical-LM corpus analytics
+(plans/textlm): Kneser-Ney continuation counts, lift collocations, and
+the token-mass Gini — each against a tiny corpus whose statistics are
+worked out by hand in the test body."""
+
+from __future__ import annotations
+
+from processo_etl_spark import plans
+
+
+def _docs_dir(spark, tmp_path, rows):
+    """Write a synthetic ``documents`` table and return its sf_dir."""
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_continuation_counts_hand_computed(spark, tmp_path):
+    # normalized: d1 = "a b a b", d2 = "b c", d3 = "x" (no bigrams).
+    # distinct bigrams: (a,b), (b,a), (b,c)  ->  T = 3
+    # continuation (distinct left contexts): a<-{b}, b<-{a}, c<-{b} = 1 each
+    # right contexts: a->{b} = 1, b->{a,c} = 2, c -> 0
+    sf = _docs_dir(
+        spark,
+        tmp_path,
+        [
+            (1, "  A b   a B ", "en", "s1", 12),
+            (2, "b c", "en", "s1", 3),
+            (3, "x", "en", "s2", 1),
+        ],
+    )
+    out = {
+        r["word"]: r
+        for r in plans.all_queries()["ngram_continuation_counts"](
+            spark, sf
+        ).collect()
+    }
+    assert set(out) == {"a", "b", "c"}
+    for w, ctx in [("a", 1), ("b", 2), ("c", 0)]:
+        assert out[w]["continuation_count"] == 1
+        assert out[w]["context_count"] == ctx
+        assert out[w]["continuation_prob"] == 1.0 / 3.0
+
+
+def test_collocations_lift_hand_computed(spark, tmp_path):
+    # d1 = "a b" x5 -> bigrams (a,b)=5, (b,a)=4; d2 = "c d" -> (c,d)=1
+    # unigrams: a=5, b=5, c=1, d=1 -> T_uni = 12; T_bg = 10
+    # only (a,b) survives n_ab >= 5:
+    # lift = ((5*12)/5) * (12/5) / 10, bracketed exactly as the engine.
+    sf = _docs_dir(
+        spark,
+        tmp_path,
+        [(1, " ".join(["a b"] * 5), "en", "s1", 19), (2, "c d", "en", "s1", 3)],
+    )
+    rows = plans.all_queries()["collocations_lift_topk"](spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["w1"], r["w2"], r["n_ab"]) == ("a", "b", 5)
+    assert r["lift"] == (5.0 * 12.0 / 5.0) * (12.0 / 5.0) / 10.0
+
+
+def test_tokens_gini_hand_computed(spark, tmp_path):
+    # token mass: s1 = 4 + 2 = 6, s2 = 1 -> sorted [1, 6], n=2, total=7
+    # num = (2*1-3)*1 + (2*2-3)*6 = -1 + 6 = 5 ; gini = 5 / (2*7)
+    sf = _docs_dir(
+        spark,
+        tmp_path,
+        [
+            (1, "a b a b", "en", "s1", 7),
+            (2, "b c", "en", "s1", 3),
+            (3, "x", "en", "s2", 1),
+        ],
+    )
+    r = plans.all_queries()["tokens_gini_by_source"](spark, sf).collect()[0]
+    assert r["n_sources"] == 2
+    assert r["total_tokens"] == 7
+    assert r["gini"] == 5.0 / 14.0
+
+
+def test_gini_equal_sources_is_zero(spark, tmp_path):
+    sf = _docs_dir(
+        spark,
+        tmp_path,
+        [(1, "a b c", "en", "s1", 5), (2, "d e f", "en", "s2", 5)],
+    )
+    r = plans.all_queries()["tokens_gini_by_source"](spark, sf).collect()[0]
+    assert r["gini"] == 0.0
