@@ -216,6 +216,132 @@ def collocations_lift_topk(spark, sf_dir):
 
 
 @register(
+    "heaps_vocab_growth",
+    oracle=f"""
+  WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split({_NORM}, ' '), t -> t <> '') AS tk
+    FROM documents
+  ),
+  docs AS (
+    SELECT doc_id, len(tk) AS ntoks,
+           row_number() OVER (ORDER BY doc_id) AS rn
+    FROM toks
+  ),
+  nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+  deciles AS (
+    SELECT CAST(g.k AS INTEGER) AS decile,
+           (g.k * nn.n + 9) // 10 AS target_rank
+    FROM generate_series(1, 10) AS g(k), nn
+  ),
+  bounds AS (
+    SELECT decile, CAST(target_rank AS BIGINT) AS docs_seen,
+           d.doc_id AS boundary
+    FROM deciles JOIN docs d ON d.rn = deciles.target_rank
+  ),
+  tok_first AS (
+    SELECT tok, min(doc_id) AS first_doc
+    FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+    GROUP BY tok
+  ),
+  vocab AS (
+    SELECT decile, CAST(count(*) AS BIGINT) AS vocab_size
+    FROM tok_first, bounds WHERE first_doc <= boundary GROUP BY decile
+  ),
+  seen AS (
+    SELECT decile, CAST(sum(ntoks) AS BIGINT) AS tokens_seen
+    FROM docs, bounds WHERE docs.rn <= bounds.docs_seen GROUP BY decile
+  )
+  SELECT b.decile, b.docs_seen, seen.tokens_seen, vocab.vocab_size,
+         CAST(vocab.vocab_size AS DOUBLE) / CAST(seen.tokens_seen AS DOUBLE)
+           AS type_token_ratio
+  FROM bounds b JOIN vocab USING (decile) JOIN seen USING (decile)
+  ORDER BY b.decile
+""",
+)
+def heaps_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve: distinct-type count after each
+    decile of the corpus (ingestion order = doc_id), the empirical
+    V(n) ~ K·n^β relation a tokenizer/vocab budget is sized against —
+    answers "how much NEW vocabulary does the next 10% of data buy" at
+    100 TB without ever re-scanning earlier data (a token's first
+    occurrence is append-monotone, like the first-seen-day table of
+    ``new_vs_returning_daily``).
+
+    Exact-arithmetic design: checkpoints are the doc_ids at ranks
+    ceil(k·N/10) computed with integer math ((k·N + 9) div 10); a
+    token's curve position is its min(doc_id) (one combinable groupBy);
+    each decile's vocab/token totals come from a 10-row broadcast
+    boundary table nested-loop-joined under the vocabulary-sized
+    first-occurrence relation — linear scan × 10, never quadratic (the
+    documented scalar-attach shape, build side 10 rows).  The global
+    rank is ``operators/ranking.distributed_rank`` (range partition +
+    prefix offsets — no single-partition window).  type_token_ratio is
+    one double division of exact ints — bit-identical on both engines.
+    """
+    from processo_etl_spark.operators.ranking import distributed_rank
+
+    c = corpus(spark, sf_dir)
+    docs = c.select(
+        "doc_id",
+        F.expr("size(filter(toks, t -> t != ''))").alias("ntoks"),
+    )
+    ranked = distributed_rank(docs, ["doc_id"], "rn")
+    n_df = docs.agg(F.count(F.lit(1)).alias("n"))
+    deciles = n_df.select(
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"), "n"
+    ).select(
+        "decile",
+        F.expr("(decile * n + 9) div 10").alias("target_rank"),
+    )
+    bounds = (
+        F.broadcast(deciles)
+        .join(ranked, F.col("target_rank") == F.col("rn"))
+        .select(
+            "decile",
+            F.col("target_rank").alias("docs_seen"),
+            F.col("doc_id").alias("boundary"),
+        )
+    )
+    tok_first = (
+        c.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    vocab = (
+        tok_first.join(
+            F.broadcast(bounds), F.col("first_doc") <= F.col("boundary")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    seen = (
+        ranked.join(
+            F.broadcast(bounds), F.col("rn") <= F.col("docs_seen")
+        )
+        .groupBy("decile")
+        .agg(F.sum("ntoks").alias("tokens_seen"))
+    )
+    return (
+        bounds.select("decile", "docs_seen")
+        .join(vocab, "decile")
+        .join(seen, "decile")
+        .select(
+            "decile",
+            "docs_seen",
+            "tokens_seen",
+            "vocab_size",
+            (
+                F.col("vocab_size").cast("double")
+                / F.col("tokens_seen").cast("double")
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
     "tokens_gini_by_source",
     oracle=f"""
   WITH per_src AS (

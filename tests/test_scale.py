@@ -116,6 +116,9 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
         # the vocabulary-sized stat tables — the DSIR scalar-attach shape.
         "ngram_continuation_counts",
         "collocations_lift_topk",
+        # 10-row decile-boundary table nested-loop-joined under the
+        # vocabulary-sized first-occurrence relation — linear scan x10.
+        "heaps_vocab_growth",
         "similarity_topk_int8",
         "similarity_topk_ivf",
         "geo_nearest_poi",

@@ -81,6 +81,35 @@ def test_tokens_gini_hand_computed(spark, tmp_path):
     assert r["gini"] == 5.0 / 14.0
 
 
+def test_heaps_vocab_growth_hand_computed(spark, tmp_path):
+    # d1="a b", d2="b c", d3="c d a"; first occurrence: a,b->1 c->2 d->3
+    # N=3 -> target ranks (3k+9)//10: deciles 1-3 -> doc 1, 4-6 -> doc 2,
+    # 7-10 -> doc 3.  vocab at those boundaries: 2, 3, 4; tokens: 2, 4, 7.
+    sf = _docs_dir(
+        spark,
+        tmp_path,
+        [
+            (1, "a b", "en", "s1", 3),
+            (2, "b c", "en", "s1", 3),
+            (3, "c d a", "en", "s1", 5),
+        ],
+    )
+    rows = {
+        r["decile"]: r
+        for r in plans.all_queries()["heaps_vocab_growth"](spark, sf).collect()
+    }
+    assert set(rows) == set(range(1, 11))
+    for k in range(1, 11):
+        docs_seen = (3 * k + 9) // 10
+        exp = {1: (2, 2), 2: (4, 3), 3: (7, 4)}[docs_seen]
+        r = rows[k]
+        assert (r["docs_seen"], r["tokens_seen"], r["vocab_size"]) == (
+            docs_seen,
+            *exp,
+        )
+        assert r["type_token_ratio"] == exp[1] / exp[0]
+
+
 def test_gini_equal_sources_is_zero(spark, tmp_path):
     sf = _docs_dir(
         spark,
