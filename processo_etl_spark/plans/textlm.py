@@ -215,6 +215,93 @@ def collocations_lift_topk(spark, sf_dir):
     )
 
 
+def _grams_sql(n: int) -> str:
+    """DuckDB n-gram list over the normalized tokens (1-based)."""
+    parts = ", ".join(f"tk[i + {j}]" for j in range(n))
+    return (
+        f"list_transform(generate_series(1, len(tk) - {n - 1}),"
+        f" i -> concat_ws(' ', {parts}))"
+    )
+
+
+@register(
+    "ngram_diversity_by_source",
+    oracle=f"""
+  WITH toks AS (
+    SELECT source, string_split({_NORM}, ' ') AS tk
+    FROM documents WHERE trim(text) <> ''
+  ),
+  grams AS (
+    {" UNION ALL ".join(
+        f'''SELECT source, {n} AS n, g
+    FROM (SELECT source, unnest({_grams_sql(n)}) AS g
+          FROM toks WHERE len(tk) >= {n})'''
+        for n in (1, 2, 3)
+    )}
+  )
+  SELECT source, CAST(n AS INTEGER) AS n,
+         CAST(count(*) AS BIGINT) AS total_ngrams,
+         CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+         CAST(count(DISTINCT g) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS diversity
+  FROM grams GROUP BY source, n
+  ORDER BY source, n
+""",
+)
+def ngram_diversity_by_source(spark, sf_dir):
+    """N-gram diversity per source for n = 1..3: distinct/total n-gram
+    ratio — the corpus-level distinct-n-gram statistic behind Self-BLEU
+    / distinct-N diversity reporting (Li et al., NAACL'16).  A source
+    whose diversity collapses at higher n is template/boilerplate text
+    even when its unigram vocabulary looks healthy — the corpus-level
+    complement of the per-document ``text_repetition_ratios`` flags.
+
+    Scale shape: gram construction is a zero-shuffle per-row transform
+    over the shared corpus ``toks``; the only shuffle is the
+    (source, n, gram)-keyed distinct-count expand — combinable, never
+    all-pairs.  ``trim(text) <> ''`` excludes the one array shape
+    (['']) the whitespace tokenizer gives empty docs; collapsed
+    whitespace means no interior empty tokens exist.  diversity is one
+    double division of exact ints — bit-identical on both engines.
+    """
+    base = corpus(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    grams = None
+    for n in (1, 2, 3):
+        parts = ", ".join(f"toks[i + {j}]" for j in range(n))
+        g = (
+            base.filter(F.size("toks") >= n)
+            .select(
+                "source",
+                F.lit(n).alias("n"),
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, size(toks) - {n}),"
+                        f" i -> concat_ws(' ', {parts}))"
+                    )
+                ).alias("g"),
+            )
+        )
+        grams = g if grams is None else grams.unionAll(g)
+    return (
+        grams.groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.countDistinct("g").alias("distinct_ngrams"),
+        )
+        .select(
+            "source",
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            (
+                F.col("distinct_ngrams").cast("double")
+                / F.col("total_ngrams").cast("double")
+            ).alias("diversity"),
+        )
+        .orderBy("source", "n")
+    )
+
+
 @register(
     "heaps_vocab_growth",
     oracle=f"""

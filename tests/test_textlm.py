@@ -110,6 +110,32 @@ def test_heaps_vocab_growth_hand_computed(spark, tmp_path):
         assert r["type_token_ratio"] == exp[1] / exp[0]
 
 
+def test_ngram_diversity_hand_computed(spark, tmp_path):
+    # s1 = "a b a b": uni 4/2, bi ("a b","b a","a b") 3/2, tri 2/2
+    # s2 = "x": uni 1/1 only (too short for bi/tri)
+    sf = _docs_dir(
+        spark,
+        tmp_path,
+        [(1, "a b a b", "en", "s1", 7), (2, "x", "en", "s2", 1)],
+    )
+    rows = {
+        (r["source"], r["n"]): r
+        for r in plans.all_queries()["ngram_diversity_by_source"](
+            spark, sf
+        ).collect()
+    }
+    assert set(rows) == {("s1", 1), ("s1", 2), ("s1", 3), ("s2", 1)}
+    for key, tot, dis in [
+        (("s1", 1), 4, 2),
+        (("s1", 2), 3, 2),
+        (("s1", 3), 2, 2),
+        (("s2", 1), 1, 1),
+    ]:
+        r = rows[key]
+        assert (r["total_ngrams"], r["distinct_ngrams"]) == (tot, dis)
+        assert r["diversity"] == dis / tot
+
+
 def test_gini_equal_sources_is_zero(spark, tmp_path):
     sf = _docs_dir(
         spark,
