@@ -66,6 +66,9 @@ HEADLINE = (
     # real PNG decode (vendored stdlib codec).
     "graph_pagerank_distributed",
     "multimodal_png_decode",
+    # r5 statistical-LM analytics heads (plans/textlm, shared corpus).
+    "collocations_lift_topk",
+    "heaps_vocab_growth",
 )
 
 
