@@ -215,6 +215,81 @@ def collocations_lift_topk(spark, sf_dir):
     )
 
 
+@register(
+    "cross_source_duplication",
+    oracle=f"""
+  WITH rel AS (
+    SELECT DISTINCT source, md5({_NORM}) AS fp FROM documents
+  ),
+  cnt AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n FROM rel GROUP BY source
+  )
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS shared_fingerprints,
+         ca.n AS fp_a, cb.n AS fp_b,
+         CAST(count(*) AS DOUBLE)
+           / CAST(ca.n + cb.n - count(*) AS DOUBLE) AS jaccard
+  FROM rel a
+  JOIN rel b ON a.fp = b.fp AND a.source <= b.source
+  JOIN cnt ca ON ca.source = a.source
+  JOIN cnt cb ON cb.source = b.source
+  GROUP BY a.source, b.source, ca.n, cb.n
+  ORDER BY src_a, src_b
+""",
+)
+def cross_source_duplication(spark, sf_dir):
+    """Cross-source duplication matrix: for every source pair (upper
+    triangle incl. the diagonal), how many distinct content
+    fingerprints they share, plus the fingerprint-set Jaccard — the
+    curation diagnostic that tells you WHERE the duplication in a
+    multi-source corpus comes from (mirror sites, cross-posted content)
+    before deciding which source to keep, complementing the
+    corpus-wide ``dedup_exact`` rate with pairwise provenance.
+
+    Scale shape: the joined relation is the slim DISTINCT (source,
+    fingerprint) projection — one shuffle to build; the fingerprint
+    self-join fans out only within a fingerprint's source set (bounded
+    by |sources|, a dimension), never doc×doc; per-source totals join
+    back broadcast-sized.  Jaccard = shared/(n_a + n_b − shared) is one
+    double division of exact ints — bit-identical on both engines.
+    Fingerprints reuse ``ml/dedup.fingerprint`` (md5 of normalized
+    text), the exact-dedup convention, replayed verbatim by DuckDB's
+    ``md5``.
+    """
+    from processo_etl_spark.ml.dedup import fingerprint
+
+    docs = corpus(spark, sf_dir)
+    rel = docs.select("source", fingerprint("text").alias("fp")).distinct()
+    cnt = rel.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = rel.select(F.col("source").alias("src_a"), "fp")
+    b = rel.select(F.col("source").alias("src_b"), "fp")
+    ca = cnt.select(F.col("source").alias("src_a"), F.col("n").alias("fp_a"))
+    cb = cnt.select(F.col("source").alias("src_b"), F.col("n").alias("fp_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("src_a") <= F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .join(F.broadcast(ca), "src_a")
+        .join(F.broadcast(cb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_fingerprints",
+            "fp_a",
+            "fp_b",
+            (
+                F.col("shared_fingerprints").cast("double")
+                / (
+                    F.col("fp_a") + F.col("fp_b")
+                    - F.col("shared_fingerprints")
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 def _grams_sql(n: int) -> str:
     """DuckDB n-gram list over the normalized tokens (1-based)."""
     parts = ", ".join(f"tk[i + {j}]" for j in range(n))

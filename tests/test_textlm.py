@@ -110,6 +110,39 @@ def test_heaps_vocab_growth_hand_computed(spark, tmp_path):
         assert r["type_token_ratio"] == exp[1] / exp[0]
 
 
+def test_cross_source_duplication_hand_computed(spark, tmp_path):
+    # s1 = {dup, only-a}, s2 = {dup, only-b} (the second "dup" in s2
+    # collapses in the DISTINCT (source, fp) projection).
+    # diag: (s1,s1)=2, (s2,s2)=2; cross: (s1,s2) share 1, J = 1/(2+2-1).
+    sf = _docs_dir(
+        spark,
+        tmp_path,
+        [
+            (1, "dup text", "en", "s1", 8),
+            (2, "only a", "en", "s1", 6),
+            (3, "Dup   TEXT", "en", "s2", 10),
+            (4, "only b", "en", "s2", 6),
+            (5, "dup text", "en", "s2", 8),
+        ],
+    )
+    rows = {
+        (r["src_a"], r["src_b"]): r
+        for r in plans.all_queries()["cross_source_duplication"](
+            spark, sf
+        ).collect()
+    }
+    assert set(rows) == {("s1", "s1"), ("s1", "s2"), ("s2", "s2")}
+    for key, shared, jac in [
+        (("s1", "s1"), 2, 1.0),
+        (("s1", "s2"), 1, 1.0 / 3.0),
+        (("s2", "s2"), 2, 1.0),
+    ]:
+        r = rows[key]
+        assert r["shared_fingerprints"] == shared
+        assert (r["fp_a"], r["fp_b"]) == (2, 2)
+        assert r["jaccard"] == jac
+
+
 def test_ngram_diversity_hand_computed(spark, tmp_path):
     # s1 = "a b a b": uni 4/2, bi ("a b","b a","a b") 3/2, tri 2/2
     # s2 = "x": uni 1/1 only (too short for bi/tri)
