@@ -143,6 +143,35 @@ def test_cross_source_duplication_hand_computed(spark, tmp_path):
         assert r["jaccard"] == jac
 
 
+def test_cluster_size_histogram_hand_computed(spark, tmp_path):
+    # Planted duplicate groups: one triple (docs 1-3), one pair (4-5),
+    # two singletons (no cluster rows) -> histogram {3: 1 cluster, 2: 1}.
+    tri = "alpha beta gamma delta epsilon zeta eta theta"
+    duo = "one two three four five six seven eight nine"
+    sf = _docs_dir(
+        spark,
+        tmp_path,
+        [
+            (1, tri, "en", "s1", len(tri)),
+            (2, tri, "en", "s1", len(tri)),
+            (3, tri, "en", "s2", len(tri)),
+            (4, duo, "en", "s1", len(duo)),
+            (5, duo, "en", "s2", len(duo)),
+            (6, "lonely text about nothing shared here", "en", "s1", 37),
+            (7, "completely different words appear within", "en", "s2", 40),
+        ],
+    )
+    rows = {
+        r["cluster_size"]: r
+        for r in plans.all_queries()["dedup_cluster_size_histogram"](
+            spark, sf
+        ).collect()
+    }
+    assert set(rows) == {2, 3}
+    assert (rows[2]["n_clusters"], rows[2]["n_docs"]) == (1, 2)
+    assert (rows[3]["n_clusters"], rows[3]["n_docs"]) == (1, 3)
+
+
 def test_ngram_diversity_hand_computed(spark, tmp_path):
     # s1 = "a b a b": uni 4/2, bi ("a b","b a","a b") 3/2, tri 2/2
     # s2 = "x": uni 1/1 only (too short for bi/tri)
