@@ -5,7 +5,14 @@ worked out by hand in the test body."""
 
 from __future__ import annotations
 
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
 from processo_etl_spark import plans
+
+_CTR = itertools.count()
 
 
 def _docs_dir(spark, tmp_path, rows):
@@ -196,6 +203,115 @@ def test_ngram_diversity_hand_computed(spark, tmp_path):
         r = rows[key]
         assert (r["total_ngrams"], r["distinct_ngrams"]) == (tot, dis)
         assert r["diversity"] == dis / tot
+
+
+# --- property-based: the textlm statistics match a pure-Python reference
+# on arbitrary small-vocab corpora (one parquet write + one job per
+# hypothesis example, so examples are few and corpora small).
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "eps"]
+DOCS = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(_VOCAB), max_size=10),
+        st.sampled_from(["s1", "s2", "s3"]),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _fresh_dir(spark, tmp_path, docs):
+    rows = [
+        (i + 1, " ".join(words), "en", src, len(" ".join(words)))
+        for i, (words, src) in enumerate(docs)
+    ]
+    return _docs_dir(spark, tmp_path / f"c{next(_CTR)}", rows)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    # tmp_path is deliberately shared across examples: _fresh_dir gives
+    # each example its own subdirectory (and corpus() cache key).
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(DOCS)
+def test_continuation_matches_python_reference(spark, tmp_path, docs):
+    bg = set()
+    for words, _ in docs:
+        bg.update(zip(words, words[1:]))
+    cont: dict = {}
+    ctx: dict = {}
+    for w1, w2 in bg:
+        cont[w2] = cont.get(w2, 0) + 1
+        ctx[w1] = ctx.get(w1, 0) + 1
+    sf = _fresh_dir(spark, tmp_path, docs)
+    rows = plans.all_queries()["ngram_continuation_counts"](
+        spark, sf
+    ).collect()
+    assert len(rows) == len(cont)
+    for r in rows:
+        w = r["word"]
+        assert r["continuation_count"] == cont[w]
+        assert r["context_count"] == ctx.get(w, 0)
+        assert r["continuation_prob"] == cont[w] / len(bg)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    # tmp_path is deliberately shared across examples: _fresh_dir gives
+    # each example its own subdirectory (and corpus() cache key).
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(DOCS)
+def test_gini_matches_python_reference(spark, tmp_path, docs):
+    per_src: dict = {}
+    for words, src in docs:
+        norm = " ".join(" ".join(words).split())
+        per_src[src] = per_src.get(src, 0) + len(norm.split(" "))
+    xs = sorted(per_src.values())
+    n, total = len(xs), sum(xs)
+    num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+    sf = _fresh_dir(spark, tmp_path, docs)
+    r = plans.all_queries()["tokens_gini_by_source"](spark, sf).collect()[0]
+    assert (r["n_sources"], r["total_tokens"]) == (n, total)
+    assert r["gini"] == num / (n * total)
+    assert 0.0 <= r["gini"] < 1.0
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    # tmp_path is deliberately shared across examples: _fresh_dir gives
+    # each example its own subdirectory (and corpus() cache key).
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(DOCS)
+def test_diversity_matches_python_reference(spark, tmp_path, docs):
+    ref: dict = {}
+    for words, src in docs:
+        if not words:
+            continue
+        for n in (1, 2, 3):
+            if len(words) < n:
+                continue
+            key = (src, n)
+            tot, dis = ref.get(key, (0, set()))
+            grams = [
+                " ".join(words[i : i + n])
+                for i in range(len(words) - n + 1)
+            ]
+            ref[key] = (tot + len(grams), dis | set(grams))
+    sf = _fresh_dir(spark, tmp_path, docs)
+    rows = plans.all_queries()["ngram_diversity_by_source"](
+        spark, sf
+    ).collect()
+    assert len(rows) == len(ref)
+    for r in rows:
+        tot, dis = ref[(r["source"], r["n"])]
+        assert (r["total_ngrams"], r["distinct_ngrams"]) == (tot, len(dis))
+        assert r["diversity"] == len(dis) / tot
 
 
 def test_gini_equal_sources_is_zero(spark, tmp_path):
