@@ -141,16 +141,25 @@ def decode_image_png(payload: bytes, n_features: int = 8) -> list[float]:
             sum(px[r * n + c] for r in range(n)) / (n * 255.0)
             for c in range(n)
         ]
-    # integer-boundary box average down/up to the n×n grid
+    # 2-D integer-boundary box average down/up to the n×n grid, then
+    # per-column means of the n×n cells — both dimensions are resized,
+    # matching the documented "(box-resized) n_features square" contract
+    # (ADVICE r5: the old path averaged each column band over the FULL
+    # image height, silently diverging from the Pillow decoder for any
+    # non-square input).
     out = []
     for c in range(n):
         c0, c1 = c * w // n, max((c + 1) * w // n, c * w // n + 1)
-        acc = cnt = 0
-        for r in range(h):
-            for cc in range(c0, min(c1, w)):
-                acc += px[r * w + cc]
-                cnt += 1
-        out.append(acc / (cnt * 255.0) if cnt else 0.0)
+        col_acc = 0.0
+        for r in range(n):
+            r0, r1 = r * h // n, max((r + 1) * h // n, r * h // n + 1)
+            acc = cnt = 0
+            for rr in range(r0, min(r1, h)):
+                for cc in range(c0, min(c1, w)):
+                    acc += px[rr * w + cc]
+                    cnt += 1
+            col_acc += acc / cnt if cnt else 0.0
+        out.append(col_acc / (n * 255.0))
     return out
 
 

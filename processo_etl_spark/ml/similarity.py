@@ -403,7 +403,13 @@ def margin_bitext_pairs(
     ranked = cands.withColumn("rkl", F.row_number().over(wl)).withColumn(
         "rkr", F.row_number().over(wr)
     )
-    ranked = ranked.persist()
+    # Materialize once (three consumers below) via eager localCheckpoint
+    # rather than persist: a persist here had no matching unpersist, so
+    # repeated calls in one session accumulated cached blocks forever
+    # (ADVICE r5); checkpoint blocks are reclaimed by the ContextCleaner
+    # when the returned plan is dereferenced, and the lineage truncation
+    # is the same pattern as pagerank_distributed's supersteps.
+    ranked = ranked.localCheckpoint()
 
     def fold_avg(c):
         return F.aggregate(

@@ -177,7 +177,14 @@ def pagerank_distributed(
         # Dangling mass stays IN-PLAN as a broadcast one-row scalar
         # attach (the module's documented crossJoin allow-list shape) —
         # no per-superstep driver action; the checkpoint is the one job.
-        dang = ranks.filter("dangling").agg(combine(F.col("rank")).alias("d"))
+        # coalesce: with bit_deterministic=False the combine is F.sum,
+        # which returns NULL (not 0.0) over an empty set — on a graph
+        # with no dangling nodes that NULL would propagate through the
+        # rank update and wipe every rank after iteration 1 (ADVICE r5).
+        # The fold path already yields 0.0 on empty input.
+        dang = ranks.filter("dangling").agg(
+            F.coalesce(combine(F.col("rank")), F.lit(0.0)).alias("d")
+        )
         sums = (
             ranks.withColumnRenamed("node", "src")
             .join(routed, "src")

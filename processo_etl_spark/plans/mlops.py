@@ -1123,15 +1123,16 @@ def text_scrub_pii(spark, sf_dir):
 @register(
     "multimodal_features",
     oracle="""
-    WITH media AS (SELECT doc_id AS media_id, text AS s FROM documents)
+    WITH media AS (SELECT doc_id AS media_id, text AS s FROM documents),
+         idx AS (SELECT unnest(generate_series(0, 7)) AS i)
     SELECT media_id,
            CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
-           list_transform(generate_series(0, 7), i ->
-             CAST(COALESCE(list_sum(list_transform(
-                    generate_series(i + 1, length(s), 8),
-                    p -> ord(substr(s, p, 1)))), 0) % 997 AS DOUBLE) / 997.0
-           ) AS feature
-    FROM media
+           CAST(i AS INTEGER) AS feature_idx,
+           CAST(COALESCE(list_sum(list_transform(
+                  generate_series(i + 1, length(s), 8),
+                  p -> ord(substr(s, p, 1)))), 0) % 997 AS DOUBLE) / 997.0
+             AS value
+    FROM media CROSS JOIN idx
     """,
 )
 def multimodal_features(spark, sf_dir):
@@ -1143,23 +1144,36 @@ def multimodal_features(spark, sf_dir):
     via ord/substr over the (ASCII) payload.  What the differential
     check proves is the PLUMBING — Arrow batch iteration, schema, null
     handling — not the stubbed decode math.
+
+    Output is FLATTENED to scalar rows ``(media_id, n_bytes,
+    feature_idx, value)`` via ``posexplode`` (VERDICT r5 #1): the
+    grading driver's pandas canonicalizer sorts with ``sort_values``,
+    which throws ``unhashable type: 'list'`` on any array-typed column,
+    so array outputs are banned registry-wide (check_oracles enforces
+    it next to the DecimalType ban).
     """
     from processo_etl_spark.ml import multimodal
 
     docs = t(spark, sf_dir, "documents")
     media = multimodal.synthesize_media(docs, "doc_id", "text")
-    return multimodal.extract_features(media, n_features=8)
+    feats = multimodal.extract_features(media, n_features=8)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.posexplode("feature").alias("feature_idx", "value"),
+    )
 
 
 @register(
     "multimodal_png_decode",
     oracle="""
+    WITH idx AS (SELECT unnest(generate_series(0, 7)) AS c)
     SELECT doc_id AS media_id,
-      list_transform(generate_series(0, 7), c ->
-        CAST(list_sum(list_transform(generate_series(0, 7),
-             r -> (doc_id * 31 + r * 7 + c * 13) % 256)) AS DOUBLE) / 2040.0
-      ) AS feature
-    FROM documents
+      CAST(c AS INTEGER) AS feature_idx,
+      CAST(list_sum(list_transform(generate_series(0, 7),
+           r -> (doc_id * 31 + r * 7 + c * 13) % 256)) AS DOUBLE) / 2040.0
+        AS value
+    FROM documents CROSS JOIN idx
     """,
 )
 def multimodal_png_decode(spark, sf_dir):
@@ -1171,14 +1185,20 @@ def multimodal_png_decode(spark, sf_dir):
     expected features without any image library; a decode bug (wrong
     unfilter, wrong inflate framing, row-order flip) breaks the hash.
     Scale shape: two Arrow-batched mapInPandas stages, zero shuffles.
+
+    Output is FLATTENED to scalar rows ``(media_id, feature_idx,
+    value)`` — the r5 driver ERR on this query was the pandas
+    canonicalizer choking on the ArrayType column, not a decode bug
+    (VERDICT r5 #1); arrays are now banned from every registry output.
     """
     from processo_etl_spark.ml import multimodal
 
     docs = t(spark, sf_dir, "documents")
     media = multimodal.synthesize_png_media(docs, "doc_id")
-    return multimodal.extract_features(
-        media, n_features=8, real_decode=True
-    ).select("media_id", "feature")
+    feats = multimodal.extract_features(media, n_features=8, real_decode=True)
+    return feats.select(
+        "media_id", F.posexplode("feature").alias("feature_idx", "value")
+    )
 
 
 @register(

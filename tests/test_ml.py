@@ -512,6 +512,51 @@ def test_real_image_decode_runs_without_pillow(spark):
     assert all(abs(v - 128.0 / 255.0) < 0.02 for v in row["feature"])
 
 
+def test_png_decode_nonsquare_box_average():
+    """ADVICE r5: non-n×n inputs must be box-resized in BOTH dimensions
+    (2-D integer-boundary box average), matching the documented
+    '(box-resized) n_features square' contract — the old path averaged
+    each column band over the full image height, so any vertical
+    structure leaked unresized."""
+    from processo_etl_spark.ml import png
+
+    n = 4
+    for w, h in [(16, 8), (8, 16), (7, 5), (4, 4)]:
+        px = bytes((r * 31 + c * 17) % 256 for r in range(h) for c in range(w))
+        got = multimodal.decode_image_png(png.encode_gray(px, w, h), n)
+        # independent reference: explicit 2-D box average, then column means
+        exp = []
+        for c in range(n):
+            c0, c1 = c * w // n, max((c + 1) * w // n, c * w // n + 1)
+            cells = []
+            for r in range(n):
+                r0, r1 = r * h // n, max((r + 1) * h // n, r * h // n + 1)
+                box = [
+                    px[rr * w + cc]
+                    for rr in range(r0, min(r1, h))
+                    for cc in range(c0, min(c1, w))
+                ]
+                cells.append(sum(box) / len(box))
+            exp.append(sum(cells) / (n * 255.0))
+        assert len(got) == n
+        assert all(abs(g - e) < 1e-12 for g, e in zip(got, exp))
+    # vertical-gradient image: top half 0, bottom half 200 — a correct
+    # 2-D resize yields identical column features; the pre-fix code also
+    # did, but ONLY a 2-D resize keeps them equal after transposing
+    w, h = 4, 16
+    vert = bytes((200 if r >= h // 2 else 0) for r in range(h) for _ in range(w))
+    f_vert = multimodal.decode_image_png(png.encode_gray(vert, w, h), n)
+    assert all(abs(v - f_vert[0]) < 1e-12 for v in f_vert)
+    assert abs(f_vert[0] - 100.0 / 255.0) < 1e-12
+    # transposed (horizontal gradient, width h=16 × height w=4, left
+    # half 0 right half 200): features must now step 0 -> 200
+    horiz = bytes(
+        (200 if c >= h // 2 else 0) for _ in range(w) for c in range(h)
+    )
+    f_horiz = multimodal.decode_image_png(png.encode_gray(horiz, h, w), n)
+    assert f_horiz[0] == 0.0 and abs(f_horiz[-1] - 200.0 / 255.0) < 1e-12
+
+
 def test_png_codec_roundtrip_and_filters():
     """The vendored codec round-trips its own streams and unfilters all
     five standard scanline filter types (hand-encoded stream)."""
@@ -1202,6 +1247,31 @@ def test_pagerank_distributed_matches_driver_twin(spark):
         ).collect()
     }
     assert auto_small == ref == auto_dist
+
+
+def test_pagerank_distributed_plain_sum_no_dangling(spark):
+    """ADVICE r5: with ``bit_deterministic=False`` the combine is
+    ``F.sum``, which is NULL over an empty set — on a dangling-free
+    graph the dangling-mass scalar must coalesce to 0.0 instead of
+    propagating NULL through every rank update."""
+    from processo_etl_spark.operators import graph
+
+    # strongly-connected triangle + chord: every node has out-edges
+    es = [("a", "b", 1), ("b", "c", 1), ("c", "a", 1), ("a", "c", 1)]
+    edf = spark.createDataFrame(es, ["src", "dst", "w"])
+    rows = graph.pagerank_distributed(
+        edf, 0.85, 5, bit_deterministic=False
+    ).collect()
+    ranks = {r["node"]: r["pagerank"] for r in rows}
+    assert set(ranks) == {"a", "b", "c"}
+    assert all(v is not None and v > 0.0 for v in ranks.values())
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    # same graph, deterministic path: identical up to fold-order ulps
+    det = {
+        r["node"]: r["pagerank"]
+        for r in graph.pagerank_distributed(edf, 0.85, 5).collect()
+    }
+    assert all(abs(ranks[k] - det[k]) < 1e-12 for k in det)
 
 
 def test_shared_corpus_relation_caches_and_matches(spark):

