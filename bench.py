@@ -138,19 +138,31 @@ def main() -> int:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "cold_value": round(sum(cold.values()), 3),
-                "queries_cold": cold,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "n_queries": len(HEADLINE),
+        "cold_value": round(sum(cold.values()), 3),
+        "queries_cold": cold,
+    }
+    # The driver records only the LAST ~2000 chars of stdout (VERDICT r5
+    # #2: BENCH_r05 lost the steady total because the one JSON line grew
+    # past the tail with queries_cold in front).  Keep the full artifact
+    # in a committed file, and make the one printed line compact enough
+    # to always survive the tail: totals + the steady per-query dict,
+    # WITHOUT the per-query cold dict (its total stays as cold_value).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+        "w",
+    ) as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+    line = dict(full)
+    del line["queries_cold"]
+    print(json.dumps(line))
     return 0
 
 

@@ -117,6 +117,19 @@ _ROTATION_HEADS = (
     "graph_pagerank_distributed",
     "decontaminate_semantic",
     "bitext_mine_margin",
+    # r6 heads (VERDICT r5 #1/#5): the flattened multimodal_features must
+    # earn its green row the same round as the array-output fix, and the
+    # round-5 textlm family (property-tested, never driver-graded) is the
+    # newest least-proven code — grade it before older twice-checked
+    # variants deeper in the registry.
+    "multimodal_features",
+    "ngram_continuation_counts",
+    "collocations_lift_topk",
+    "dedup_cluster_size_histogram",
+    "cross_source_duplication",
+    "ngram_diversity_by_source",
+    "heaps_vocab_growth",
+    "tokens_gini_by_source",
 )
 
 _NEVER_GRADE = frozenset({"canary_decimal_12_2", "canary_decimal_20_6"})
