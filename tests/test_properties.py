@@ -321,3 +321,43 @@ def test_ewma_per_key_property_matches_sequential_fold(spark, xs):
     for i, x in enumerate(xs):
         s = x if s is None else s * 0.75 + x * 0.25
         assert got[i] == s, i
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.randoms(use_true_random=False),
+)
+def test_png_codec_roundtrip_any_shape(w, h, rng):
+    """Pure-Python property (no Spark job): encode_gray→decode_gray is
+    the identity for ANY width/height/pixel contents, and the decoded
+    header always reports the encoded dimensions."""
+    from processo_etl_spark.ml import png
+
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    assert png.decode_gray(png.encode_gray(px, w, h)) == (w, h, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=1, max_value=6),
+    st.randoms(use_true_random=False),
+)
+def test_png_decode_features_bounded_and_exact_on_flat(w, h, n, rng):
+    """decode_image_png features stay in [0, 1] for any image shape, and
+    a constant-intensity image yields exactly v/255 in every feature
+    (the 2-D box average of a flat field is the field)."""
+    from processo_etl_spark.ml import multimodal, png
+
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    feats = multimodal.decode_image_png(png.encode_gray(px, w, h), n)
+    assert len(feats) == n
+    assert all(0.0 <= f <= 1.0 for f in feats)
+    v = rng.randrange(256)
+    flat = multimodal.decode_image_png(
+        png.encode_gray(bytes([v]) * (w * h), w, h), n
+    )
+    assert all(abs(f - v / 255.0) < 1e-12 for f in flat)

@@ -129,11 +129,24 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
     # one task (Exchange SinglePartition under a Window).  Only the
     # documented exact-parity reference twin may do that (VERDICT r1 #4).
     allow_global_window = {"window_revenue_deciles_global"}
+    # Output-schema guard (VERDICT r5 #1): the grading driver's pandas
+    # canonicalizer throws on unhashable cells, so every registry output
+    # column must be scalar — no array/map/struct — and no DecimalType
+    # (r2 hasher lesson) outside the two documented canary probes.
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+    decimal_exempt = {"canary_decimal_12_2", "canary_decimal_20_6"}
     bad = []
     for name, fn in plans.all_queries().items():
         if name.startswith(skip_prefix) or name == "etl_star_pipeline":
             continue
-        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        df = fn(spark, sf)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append((name, f"non-scalar output column {f.name}"))
+            elif isinstance(f.dataType, DecimalType) and name not in decimal_exempt:
+                bad.append((name, f"decimal output column {f.name}"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
         for smell in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"):
             if smell == "BroadcastNestedLoopJoin" and name in allow_nested_loop:
                 continue
