@@ -110,6 +110,29 @@ def nonscalar_output_cols(schema) -> list[str]:
     ]
 
 
+def driver_canon_probe(cols, rows) -> str | None:
+    """Emulate the grading driver's pandas canonicalization; return an
+    error string if it would crash.
+
+    The r5 lesson: this harness normalizes cells itself (``norm_cell``
+    tuple-izes lists), but the DRIVER canonicalizes with a raw pandas
+    ``DataFrame(...).sort_values(by=all columns)`` — which throws on
+    unhashable cells (lists/dicts) and on unorderable mixed-type object
+    columns.  Running the same operation here makes "local green ⇒
+    driver green" hold for the whole crash class, not just the types
+    the schema ban enumerates.
+    """
+    import pandas as pd
+
+    try:
+        pdf = pd.DataFrame(list(rows), columns=list(cols))
+        if len(pdf):
+            pdf.sort_values(by=sorted(pdf.columns), inplace=True, kind="mergesort")
+        return None
+    except Exception as e:  # noqa: BLE001
+        return f"{type(e).__name__}: {str(e)[:120]}"
+
+
 def table_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = {}
@@ -120,8 +143,9 @@ def table_multiset(cols, rows):
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--schema"]
+    argv = [a for a in sys.argv[1:] if a not in ("--schema", "--json")]
     schema_only = "--schema" in sys.argv[1:]
+    write_json = "--json" in sys.argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     name_filter = argv[1:]
     if schema_only:
@@ -161,6 +185,16 @@ def main() -> int:
     qs = plans.all_queries()
     oracles = plans.all_oracles()
     failures = []
+    results: dict[str, dict] = {}
+
+    def record(name: str, status: str, n_rows=None, secs=None, err=None):
+        results[name] = {
+            "status": status,  # ok | rows-only | fail
+            "rows": n_rows,
+            "secs": round(secs, 2) if secs is not None else None,
+            "err": err,
+        }
+
     for name, fn in qs.items():
         if name_filter and not any(f in name for f in name_filter):
             continue
@@ -172,20 +206,24 @@ def main() -> int:
             )
             if dec_cols:
                 failures.append(name)
+                record(name, "fail", err=f"DecimalType output columns {dec_cols}")
                 print(f"FAIL  {name}: DecimalType output columns {dec_cols}")
                 continue
             ns_cols = nonscalar_output_cols(sdf.schema)
             if ns_cols:
                 failures.append(name)
+                record(name, "fail", err=f"non-scalar output columns {ns_cols}")
                 print(f"FAIL  {name}: non-scalar output columns {ns_cols}")
                 continue
             srows = sdf.collect()
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            record(name, "fail", err=f"spark {type(e).__name__}: {str(e)[:200]}")
             print(f"FAIL  {name}: spark error {type(e).__name__}: {str(e)[:200]}")
             continue
         if name not in oracles:
+            record(name, "rows-only", len(srows), time.time() - t0)
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
@@ -194,24 +232,66 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            record(name, "fail", err=f"duckdb {str(e)[:200]}")
             print(f"FAIL  {name}: duckdb error {str(e)[:200]}")
+            continue
+        canon_err = driver_canon_probe(scols, srows) or driver_canon_probe(
+            dcols, drows
+        )
+        if canon_err:
+            failures.append(name)
+            record(name, "fail", err=f"driver-canonicalizer probe: {canon_err}")
+            print(f"FAIL  {name}: driver-canonicalizer probe would crash: {canon_err}")
             continue
         sc, sm = table_multiset(scols, srows)
         dc, dm = table_multiset(dcols, drows)
         if sc != dc:
             failures.append(name)
+            record(name, "fail", err=f"columns differ spark={sc} duck={dc}")
             print(f"FAIL  {name}: columns differ spark={sc} duck={dc}")
         elif len(srows) != len(drows):
             failures.append(name)
+            record(name, "fail", err=f"rowcount spark={len(srows)} duck={len(drows)}")
             print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(drows)}")
         elif sm != dm:
             failures.append(name)
             diff = [k for k in set(sm) ^ set(dm)][:2]
+            record(name, "fail", err=f"values differ, e.g. {str(diff)[:200]}")
             print(f"FAIL  {name}: values differ, e.g. {diff}")
         else:
+            record(name, "ok", len(srows), time.time() - t0)
             hz = decimal_cast_hazards(oracles[name])
             note = f"  [hazard: unrounded oracle decimal cast of {hz}]" if hz else ""
             print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]{note}")
+    if write_json and not name_filter:
+        # Committed evidence artifact for queries outside the driver's
+        # 50-slot graded window (VERDICT r5 "ungraded tail"): the full
+        # differential sweep result, inspectable instead of claimed.
+        import json
+        import os
+
+        sf_tag = os.path.basename(sf_dir.rstrip("/"))
+        out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            f"LOCAL_CORRECTNESS_{sf_tag}.json",
+        )
+        with open(out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(results),
+                    "n_ok": sum(r["status"] == "ok" for r in results.values()),
+                    "n_rows_only": sum(
+                        r["status"] == "rows-only" for r in results.values()
+                    ),
+                    "n_fail": len(failures),
+                    "results": results,
+                },
+                fh,
+                indent=1,
+            )
+            fh.write("\n")
+        print(f"wrote {out}")
     print(f"\n{len(failures)} failures: {failures}")
     return 1 if failures else 0
 
