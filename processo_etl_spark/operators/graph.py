@@ -128,9 +128,14 @@ def pagerank_distributed(
     VALUE-SORTED left fold (``aggregate(array_sort(collect_list(..)))``)
     — the module's oracle-parity convention, giving results identical
     bit-for-bit to the driver twin and to a DuckDB fixed-iteration
-    replay.  Fold state is one node's in-degree of doubles; for
-    celebrity nodes at 100 TB pass ``False`` to use plain ``F.sum``
-    (order-free, last-ulp nondeterministic — the standard trade-off,
+    replay.  Fold state is one node's in-degree of doubles for the
+    combine, and — the larger bound — the GLOBAL dangling-mass
+    aggregate folds one array of |dangling| ranks in a single task
+    (sequential summation is what bit-exactness requires; a partial-sum
+    tree is not the same IEEE value).  For celebrity nodes or
+    billion-node dangling sets at 100 TB pass ``False`` to use plain
+    ``F.sum`` everywhere (order-free map-side-combinable partial
+    aggregation, last-ulp nondeterministic — the standard trade-off,
     same as exact_median vs percentile_approx).
 
     Returns (node, pagerank); ranks sum to 1 every iteration.
