@@ -53,6 +53,52 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def read_binary_media(
+    spark,
+    path: str,
+    glob: str = "*.png",
+    media_type: str = "image/png",
+) -> DataFrame:
+    """REAL media ingestion: Spark's ``binaryFile`` source → MEDIA_SCHEMA.
+
+    This is the standard 100 TB shape for image/audio corpora on an
+    object store: each file becomes one row ``(path, modificationTime,
+    length, content)`` read directly by executors — no driver listing
+    of payloads, partition sizing governed by
+    ``spark.sql.files.maxPartitionBytes`` exactly like any other scan,
+    and ``pathGlobFilter``/``recursiveFileLookup`` prune at the listing
+    level.  Output matches :data:`MEDIA_SCHEMA`, so
+    :func:`extract_features` / :func:`frame_sample` consume real files
+    and the synthetic tables interchangeably.
+
+    ``media_id`` is the deterministic md5-derived long of the file
+    path (the corpus-wide key convention, ml/dedup.md5_long).  For PNG
+    payloads width/height are parsed JVM-side from the IHDR header
+    (bytes 17–24, big-endian) — no Python boundary in the scan; other
+    media types carry NULL dims for the decoder to fill.
+    """
+    from processo_etl_spark.ml.dedup import md5_long
+    from processo_etl_spark.ml.png import SIGNATURE as SIGNATURE_BYTES
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+    is_png = F.expr("substring(content, 1, 8)") == F.lit(bytes(SIGNATURE_BYTES))
+    dim = lambda off: F.conv(  # noqa: E731 - 4 big-endian bytes -> int
+        F.hex(F.expr(f"substring(content, {off}, 4)")), 16, 10
+    ).cast("int")
+    return raw.select(
+        md5_long(F.col("path")).alias("media_id"),
+        F.lit(media_type).alias("media_type"),
+        F.col("content").alias("payload"),
+        F.when(is_png, dim(17)).alias("width"),
+        F.when(is_png, dim(21)).alias("height"),
+    )
+
+
 def synthesize_media(df: DataFrame, id_col: str, seed_col: str) -> DataFrame:
     """Build a media table with binary payloads from any string column.
 

@@ -557,6 +557,53 @@ def test_png_decode_nonsquare_box_average():
     assert f_horiz[0] == 0.0 and abs(f_horiz[-1] - 200.0 / 255.0) < 1e-12
 
 
+def test_binary_file_source_to_real_decode_end_to_end(spark, tmp_path):
+    """The full multimodal loop over REAL FILES: PNGs written to disk →
+    Spark ``binaryFile`` scan (the object-store ingestion shape) →
+    MEDIA_SCHEMA → vendored real decode → per-column means matching the
+    encoded pixel pattern.  Also checks the JVM-side IHDR header parse
+    (width/height without any Python boundary) and the glob filter."""
+    from processo_etl_spark.ml import multimodal, png
+
+    w, h = 8, 8
+    expected = {}
+    for i in (3, 7, 11):
+        px = bytes((i * 31 + r * 7 + c * 13) % 256 for r in range(h) for c in range(w))
+        (tmp_path / f"img_{i}.png").write_bytes(png.encode_gray(px, w, h))
+        expected[f"img_{i}.png"] = [
+            sum((i * 31 + r * 7 + c * 13) % 256 for r in range(h)) / (h * 255.0)
+            for c in range(w)
+        ]
+    (tmp_path / "notes.txt").write_text("not an image")  # glob must skip
+
+    media = multimodal.read_binary_media(spark, str(tmp_path), glob="*.png")
+    rows = media.collect()
+    assert len(rows) == 3  # txt filtered out at the listing level
+    assert all(r["width"] == w and r["height"] == h for r in rows)
+    assert all(r["media_type"] == "image/png" for r in rows)
+    assert len({r["media_id"] for r in rows}) == 3  # deterministic, distinct
+
+    feats = multimodal.extract_features(media, n_features=8, real_decode=True)
+    got = {r["media_id"]: r["feature"] for r in feats.collect()}
+    # map media_id back to file: same md5-of-path key over a raw scan
+    from processo_etl_spark.ml.dedup import md5_long
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(str(tmp_path))
+    )
+    id_by_name = {
+        r["path"].rsplit("/", 1)[-1]: r["mid"]
+        for r in raw.select(
+            "path", md5_long(F.col("path")).alias("mid")
+        ).collect()
+    }
+    for name, exp in expected.items():
+        vec = got[id_by_name[name]]
+        assert all(abs(a - b) < 1e-12 for a, b in zip(vec, exp))
+
+
 def test_png_codec_roundtrip_and_filters():
     """The vendored codec round-trips its own streams and unfilters all
     five standard scanline filter types (hand-encoded stream)."""
