@@ -316,6 +316,57 @@ AUDIO_FEATURE_SCHEMA = StructType(
 )
 
 
+def wav_pcm16(payload: bytes | None) -> bytes | None:
+    """Extract the raw PCM16LE sample stream from a WAV container.
+
+    Minimal, fully-standard RIFF walk (stdlib ``struct`` only): accepts
+    canonical ``RIFF``/``WAVE`` files whose ``fmt `` chunk declares PCM
+    (format 1) at 16 bits, returns the ``data`` chunk bytes —
+    i.e. exactly the payload :func:`extract_audio_features` consumes.
+    Returns ``None`` for anything else (non-WAV, compressed, 8/24-bit),
+    so callers fall back explicitly, mirroring the PNG decoder's
+    ValueError contract.
+    """
+    import struct as _struct
+
+    if payload is None or len(payload) < 44:
+        return None
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt_ok = 12, False
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (size,) = _struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + size]
+        if tag == b"fmt " and size >= 16:
+            audio_fmt, _ch, _rate = _struct.unpack_from("<HHI", body, 0)
+            (bits,) = _struct.unpack_from("<H", body, 14)
+            fmt_ok = audio_fmt == 1 and bits == 16
+        elif tag == b"data":
+            return body if fmt_ok else None
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return None
+
+
+def strip_wav_headers(media: DataFrame) -> DataFrame:
+    """MEDIA_SCHEMA → MEDIA_SCHEMA with WAV payloads unwrapped to raw
+    PCM16LE (rows that are not decodable PCM16 WAV get NULL payloads —
+    the explicit-fallback convention).  Arrow-batched ``mapInPandas``
+    like every other multimodal stage; composes with
+    :func:`read_binary_media` (``glob="*.wav"``) so a real on-disk
+    audio corpus flows into :func:`extract_audio_features` unchanged.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["payload"] = pdf["payload"].map(wav_pcm16)
+            yield pdf
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def extract_audio_features(media: DataFrame) -> DataFrame:
     """REAL audio decode — not a stub: raw PCM16LE is pure byte
     interpretation (``np.frombuffer``), so unlike the image path no

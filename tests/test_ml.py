@@ -604,6 +604,60 @@ def test_binary_file_source_to_real_decode_end_to_end(spark, tmp_path):
         assert all(abs(a - b) < 1e-12 for a, b in zip(vec, exp))
 
 
+def test_wav_files_to_audio_features_end_to_end(spark, tmp_path):
+    """Real audio loop: canonical PCM16 WAV files on disk → binaryFile
+    scan → RIFF unwrap (strip_wav_headers) → extract_audio_features,
+    with rms/peak/zero-crossings matching a direct computation; non-PCM
+    and malformed payloads unwrap to NULL (the zero row downstream)."""
+    import math
+    import struct
+
+    from processo_etl_spark.ml import multimodal
+
+    def wav_bytes(samples, extra_chunk=False):
+        pcm = b"".join(struct.pack("<h", s) for s in samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        if extra_chunk:  # ancillary LIST chunk the walker must skip
+            chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+        chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    clips = {
+        "a.wav": [0, 1000, -1000, 32767, -32768, 5],
+        "b.wav": [100] * 8,
+    }
+    for name, s in clips.items():
+        (tmp_path / name).write_bytes(wav_bytes(s, extra_chunk=name == "a.wav"))
+
+    media = multimodal.strip_wav_headers(
+        multimodal.read_binary_media(
+            spark, str(tmp_path), glob="*.wav", media_type="audio/wav"
+        )
+    )
+    rows = multimodal.extract_audio_features(media).collect()
+    assert len(rows) == 2
+    got = sorted(
+        ((r["n_samples"], r["rms"], r["peak"], r["zero_crossings"]) for r in rows)
+    )
+    exp = []
+    for s in clips.values():
+        n = len(s)
+        rms = math.sqrt(sum(x * x for x in s) / n) / 32768.0
+        peak = max(abs(x) for x in s) / 32768.0
+        zc = sum((s[i] * s[i + 1]) < 0 for i in range(n - 1))
+        exp.append((n, rms, peak, zc))
+    assert got == sorted(exp)
+    # unwrap contract: non-WAV and truncated payloads -> None
+    assert multimodal.wav_pcm16(b"not audio") is None
+    assert multimodal.wav_pcm16(None) is None
+    bad_fmt = wav_bytes([1, 2, 3]).replace(
+        struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16),
+        struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16),  # float fmt
+    )
+    assert multimodal.wav_pcm16(bad_fmt) is None
+
+
 def test_png_codec_roundtrip_and_filters():
     """The vendored codec round-trips its own streams and unfilters all
     five standard scanline filter types (hand-encoded stream)."""
