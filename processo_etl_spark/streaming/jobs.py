@@ -749,3 +749,76 @@ def run_ewma_availablenow(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def read_media_stream(spark: SparkSession, media_dir: str, glob: str = "*.png") -> DataFrame:
+    """Incremental media ingestion: a ``binaryFile`` FILE STREAM over an
+    arriving directory (the auto-ingest pattern — new objects landing in
+    a bucket are picked up per micro-batch, exactly-once via the file
+    source's checkpointed listing).  Streaming sources require an
+    explicit schema; binaryFile's is fixed, so it is pinned literally.
+    """
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", glob)
+        .load(media_dir)
+    )
+
+
+def media_features_stream(raw: DataFrame, n_features: int = 8) -> DataFrame:
+    """Stream stage: binaryFile rows → MEDIA_SCHEMA → real-decode
+    features.  Stateless (two narrow Arrow maps, no watermark needed),
+    so streaming output ≡ the batch ``read_binary_media`` +
+    ``extract_features`` result over the same directory — asserted by
+    the equivalence test, the module's batch-twin convention.
+    """
+    from processo_etl_spark.ml import multimodal
+    from processo_etl_spark.ml.dedup import md5_long
+
+    media = raw.select(
+        md5_long(F.col("path")).alias("media_id"),
+        F.lit("image/png").alias("media_type"),
+        F.col("content").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+    )
+    return multimodal.extract_features(
+        media, n_features=n_features, real_decode=True
+    )
+
+
+def run_media_features_availablenow(
+    spark: SparkSession, media_dir: str, glob: str = "*.png"
+) -> DataFrame:
+    """Drain every file currently in ``media_dir`` through the decode
+    stream (availableNow — the batch-replay trigger)."""
+    name = f"stream_media_{uuid.uuid4().hex[:8]}"
+    q = (
+        media_features_stream(read_media_stream(spark, media_dir, glob))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -435,3 +435,44 @@ def test_stream_ewma_equals_batch_across_ordered_batches(spark, tmp_path):
     settled = sum(r["n_settled"] for r in final.values())
     pending = sum(r["n_pending"] for r in final.values())
     assert settled > pending
+
+
+def test_stream_media_ingest_equals_batch_twin(spark, tmp_path):
+    """Streaming binaryFile ingestion (the auto-ingest pattern) decodes
+    REAL PNGs to features identical to the batch read_binary_media +
+    extract_features path over the same directory — per-row bit parity,
+    plus the closed-form pattern check on one known file."""
+    from processo_etl_spark.ml import multimodal, png
+    from processo_etl_spark.streaming import jobs
+
+    w = h = 8
+    for i in (2, 5, 9):
+        px = bytes(
+            (i * 31 + r * 7 + c * 13) % 256 for r in range(h) for c in range(w)
+        )
+        (tmp_path / f"img_{i}.png").write_bytes(png.encode_gray(px, w, h))
+
+    streamed = {
+        r["media_id"]: (r["n_bytes"], tuple(r["feature"]))
+        for r in jobs.run_media_features_availablenow(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    batch = {
+        r["media_id"]: (r["n_bytes"], tuple(r["feature"]))
+        for r in multimodal.extract_features(
+            multimodal.read_binary_media(spark, str(tmp_path), glob="*.png"),
+            n_features=8,
+            real_decode=True,
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) == 3
+    exp5 = [
+        sum((5 * 31 + r * 7 + c * 13) % 256 for r in range(h)) / (h * 255.0)
+        for c in range(w)
+    ]
+    match = [
+        f for _, f in streamed.values()
+        if all(abs(a - b) < 1e-12 for a, b in zip(f, exp5))
+    ]
+    assert len(match) == 1  # exactly the i=5 image decodes to its pattern
