@@ -361,3 +361,40 @@ def test_png_decode_features_bounded_and_exact_on_flat(w, h, n, rng):
         png.encode_gray(bytes([v]) * (w * h), w, h), n
     )
     assert all(abs(f - v / 255.0) < 1e-12 for f in flat)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-32768, max_value=32767), max_size=64),
+    st.lists(st.binary(min_size=0, max_size=9), max_size=3),
+)
+def test_wav_walker_recovers_pcm_through_any_ancillary_chunks(samples, junk):
+    """Pure-Python property: wav_pcm16 recovers the exact PCM stream
+    from a canonical PCM16 WAV regardless of interleaved ancillary
+    chunks (incl. odd-sized ones — word alignment), and returns None
+    when the data chunk precedes fmt (spec ordering) or the format
+    isn't PCM16."""
+    import struct
+
+    from processo_etl_spark.ml.multimodal import wav_pcm16
+
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+
+    def chunk(tag, body):
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    chunks = chunk(b"fmt ", fmt)
+    for j in junk:
+        chunks += chunk(b"LIST", j)
+    chunks += chunk(b"data", pcm)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    got = wav_pcm16(wav)
+    if len(wav) < 44:  # tiny clips below the minimal-header guard
+        assert got is None
+    else:
+        assert got == pcm
+    # data before fmt -> ordering violation -> None
+    bad = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" \
+        + chunk(b"data", pcm) + chunk(b"fmt ", fmt)
+    assert wav_pcm16(bad) is None or len(bad) < 44
