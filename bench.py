@@ -154,8 +154,14 @@ def main() -> int:
     # in a committed file, and make the one printed line compact enough
     # to always survive the tail: totals + the steady per-query dict,
     # WITHOUT the per-query cold dict (its total stays as cold_value).
+    # Scale-tagged filename: a smoke run at another sf must never
+    # clobber the committed sf0.1 evidence artifact; the canonical
+    # BENCH_local.json name is reserved for the driver's bench scale.
+    artifact = (
+        "BENCH_local.json" if sf_val == 0.1 else f"BENCH_local_sf{sf_val}.json"
+    )
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), artifact),
         "w",
     ) as fh:
         json.dump(full, fh, indent=1)

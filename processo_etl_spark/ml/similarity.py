@@ -403,13 +403,16 @@ def margin_bitext_pairs(
     ranked = cands.withColumn("rkl", F.row_number().over(wl)).withColumn(
         "rkr", F.row_number().over(wr)
     )
-    # Materialize once (three consumers below) via eager localCheckpoint
-    # rather than persist: a persist here had no matching unpersist, so
-    # repeated calls in one session accumulated cached blocks forever
-    # (ADVICE r5); checkpoint blocks are reclaimed by the ContextCleaner
-    # when the returned plan is dereferenced, and the lineage truncation
-    # is the same pattern as pagerank_distributed's supersteps.
-    ranked = ranked.localCheckpoint()
+    # Persisted for the three consumers below (the two top-k
+    # neighborhood means + the margin join).  CALLERS OWN THE CLEANUP
+    # (ADVICE r5): repeated calls over the SAME inputs reuse this one
+    # cache entry (plan-keyed, no growth); batch loops over many
+    # DIFFERENT input pairs should `spark.catalog.clearCache()` between
+    # batches.  An eager localCheckpoint was tried instead and
+    # reverted: it executes the candidate join at plan-BUILD time and
+    # replaces the lineage with an opaque RDD scan, which blinds the
+    # registry-wide plan-smell audit (test_scale) for this operator.
+    ranked = ranked.persist()
 
     def fold_avg(c):
         return F.aggregate(

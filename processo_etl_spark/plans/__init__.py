@@ -132,7 +132,8 @@ _ROTATION_HEADS = (
     "tokens_gini_by_source",
 )
 
-_NEVER_GRADE = frozenset({"canary_decimal_12_2", "canary_decimal_20_6"})
+# The canary probes (shared definition — processo_etl_spark/grading.py).
+from processo_etl_spark.grading import DECIMAL_CANARIES as _NEVER_GRADE  # noqa: E402
 
 
 def _graded_names() -> frozenset:

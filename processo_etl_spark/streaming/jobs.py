@@ -779,23 +779,34 @@ def read_media_stream(spark: SparkSession, media_dir: str, glob: str = "*.png") 
         spark.readStream.format("binaryFile")
         .schema(schema)
         .option("pathGlobFilter", glob)
+        # mirror read_binary_media exactly: the batch-twin equivalence
+        # contract requires both scans to see the same nested layout
+        # (date-partitioned bucket prefixes etc).
+        .option("recursiveFileLookup", "true")
         .load(media_dir)
     )
 
 
-def media_features_stream(raw: DataFrame, n_features: int = 8) -> DataFrame:
-    """Stream stage: binaryFile rows → MEDIA_SCHEMA → real-decode
+def media_features_stream(
+    raw: DataFrame, n_features: int = 8, media_type: str = "image/png"
+) -> DataFrame:
+    """Stream stage: binaryFile rows → MEDIA_SCHEMA → real-decode IMAGE
     features.  Stateless (two narrow Arrow maps, no watermark needed),
     so streaming output ≡ the batch ``read_binary_media`` +
     ``extract_features`` result over the same directory — asserted by
     the equivalence test, the module's batch-twin convention.
+
+    This stage is the IMAGE pipeline: non-image payloads are not
+    decodable by it — audio corpora compose ``strip_wav_headers`` +
+    ``extract_audio_features`` over the same ``read_media_stream``
+    instead of reusing this stage with a ``*.wav`` glob.
     """
     from processo_etl_spark.ml import multimodal
     from processo_etl_spark.ml.dedup import md5_long
 
     media = raw.select(
         md5_long(F.col("path")).alias("media_id"),
-        F.lit("image/png").alias("media_type"),
+        F.lit(media_type).alias("media_type"),
         F.col("content").alias("payload"),
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),

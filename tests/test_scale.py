@@ -133,19 +133,23 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
     # canonicalizer throws on unhashable cells, so every registry output
     # column must be scalar — no array/map/struct — and no DecimalType
     # (r2 hasher lesson) outside the two documented canary probes.
-    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+    # Shared definitions: processo_etl_spark/grading.py (one edit point).
+    from processo_etl_spark.grading import (
+        DECIMAL_CANARIES,
+        decimal_output_cols,
+        nonscalar_output_cols,
+    )
 
-    decimal_exempt = {"canary_decimal_12_2", "canary_decimal_20_6"}
     bad = []
     for name, fn in plans.all_queries().items():
         if name.startswith(skip_prefix) or name == "etl_star_pipeline":
             continue
         df = fn(spark, sf)
-        for f in df.schema.fields:
-            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
-                bad.append((name, f"non-scalar output column {f.name}"))
-            elif isinstance(f.dataType, DecimalType) and name not in decimal_exempt:
-                bad.append((name, f"decimal output column {f.name}"))
+        bad += [(name, f"non-scalar output column {c}")
+                for c in nonscalar_output_cols(df.schema)]
+        if name not in DECIMAL_CANARIES:
+            bad += [(name, f"decimal output column {c}")
+                    for c in decimal_output_cols(df.schema)]
         plan = df._jdf.queryExecution().executedPlan().toString()
         for smell in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"):
             if smell == "BroadcastNestedLoopJoin" and name in allow_nested_loop:

@@ -446,11 +446,13 @@ def test_stream_media_ingest_equals_batch_twin(spark, tmp_path):
     from processo_etl_spark.streaming import jobs
 
     w = h = 8
+    (tmp_path / "2026-08").mkdir()  # nested (date-partitioned) layout
     for i in (2, 5, 9):
         px = bytes(
             (i * 31 + r * 7 + c * 13) % 256 for r in range(h) for c in range(w)
         )
-        (tmp_path / f"img_{i}.png").write_bytes(png.encode_gray(px, w, h))
+        where = tmp_path / "2026-08" if i == 9 else tmp_path
+        (where / f"img_{i}.png").write_bytes(png.encode_gray(px, w, h))
 
     streamed = {
         r["media_id"]: (r["n_bytes"], tuple(r["feature"]))

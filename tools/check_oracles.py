@@ -59,55 +59,15 @@ def decimal_cast_hazards(oracle_sql: str) -> list[str]:
     return sorted(set(hazards))
 
 
-# The two driver-normalization probes are the ONLY queries allowed to
-# emit DecimalType (plans/__init__ priority-tail canaries).
-DECIMAL_OUTPUT_EXEMPT = {"canary_decimal_12_2", "canary_decimal_20_6"}
-
-
-def decimal_output_cols(schema) -> list[str]:
-    """Names of output columns whose type contains a DecimalType.
-
-    Enforces the no-decimal-output rule (plans/common.dec docstring): the
-    grading driver's hasher canonicalizes Spark vs DuckDB decimals
-    differently regardless of value, so any DecimalType in a registry
-    query's output schema is an automatic hash-fail.  Recurses into
-    arrays/maps/structs.
-    """
-    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
-
-    def has_dec(dt) -> bool:
-        if isinstance(dt, DecimalType):
-            return True
-        if isinstance(dt, ArrayType):
-            return has_dec(dt.elementType)
-        if isinstance(dt, MapType):
-            return has_dec(dt.keyType) or has_dec(dt.valueType)
-        if isinstance(dt, StructType):
-            return any(has_dec(f.dataType) for f in dt.fields)
-        return False
-
-    return [f.name for f in schema.fields if has_dec(f.dataType)]
-
-
-def nonscalar_output_cols(schema) -> list[str]:
-    """Names of output columns with an unhashable (non-scalar) type.
-
-    The grading driver canonicalizes results with pandas
-    ``sort_values`` over every column, which throws ``unhashable type:
-    'list'`` on array/map/struct cells (r5: ``multimodal_png_decode``
-    ERR'd despite being engine-correct — this checker tuple-izes lists
-    in ``norm_cell`` so local green did NOT imply driver green).  Any
-    ArrayType/MapType/StructType in a registry query's OUTPUT schema is
-    therefore an automatic driver error: flatten to scalar rows
-    (``posexplode`` ⇔ ``unnest``) before registering.
-    """
-    from pyspark.sql.types import ArrayType, MapType, StructType
-
-    return [
-        f.name
-        for f in schema.fields
-        if isinstance(f.dataType, (ArrayType, MapType, StructType))
-    ]
+# Shared grading-contract definitions (single source of truth): the
+# decimal-canary exemption set and the output-schema bans live in the
+# package so this harness, the plan-audit test, and the registry can
+# never drift apart.
+from processo_etl_spark.grading import (  # noqa: E402
+    DECIMAL_CANARIES as DECIMAL_OUTPUT_EXEMPT,
+    decimal_output_cols,
+    nonscalar_output_cols,
+)
 
 
 def driver_canon_probe(cols, rows) -> str | None:
@@ -263,6 +223,11 @@ def main() -> int:
             hz = decimal_cast_hazards(oracles[name])
             note = f"  [hazard: unrounded oracle decimal cast of {hz}]" if hz else ""
             print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]{note}")
+    if write_json and name_filter:
+        print(
+            "NOTE: --json ignored — the evidence artifact records only "
+            "FULL sweeps (a name-filtered run would silently shrink it)."
+        )
     if write_json and not name_filter:
         # Committed evidence artifact for queries outside the driver's
         # 50-slot graded window (VERDICT r5 "ungraded tail"): the full
