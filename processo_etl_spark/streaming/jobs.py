@@ -820,7 +820,10 @@ def run_media_features_availablenow(
     spark: SparkSession, media_dir: str, glob: str = "*.png"
 ) -> DataFrame:
     """Drain every file currently in ``media_dir`` through the decode
-    stream (availableNow — the batch-replay trigger)."""
+    stream (availableNow — the batch-replay trigger; ephemeral
+    checkpoint + memory sink, so every call re-decodes the full
+    directory).  For the incremental exactly-once pattern use
+    :func:`run_media_features_incremental`."""
     name = f"stream_media_{uuid.uuid4().hex[:8]}"
     q = (
         media_features_stream(read_media_stream(spark, media_dir, glob))
@@ -833,3 +836,35 @@ def run_media_features_availablenow(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_media_features_incremental(
+    spark: SparkSession,
+    media_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    glob: str = "*.png",
+) -> DataFrame:
+    """INCREMENTAL auto-ingest drain: decode only media files that
+    arrived since the last call and APPEND their features to a parquet
+    feature table.
+
+    The exactly-once contract lives in the checkpoint: the file
+    source's checkpointed listing remembers processed objects (so
+    nothing is re-decoded) and the file sink's transaction log dedups
+    replayed micro-batches (so a crash between decode and commit cannot
+    double-append).  The memory sink cannot recover from a checkpoint —
+    durable incremental drains require a durable sink, hence parquet
+    here.  Returns the accumulated feature table.
+    """
+    q = (
+        media_features_stream(read_media_stream(spark, media_dir, glob))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -478,3 +478,38 @@ def test_stream_media_ingest_equals_batch_twin(spark, tmp_path):
         if all(abs(a - b) < 1e-12 for a, b in zip(f, exp5))
     ]
     assert len(match) == 1  # exactly the i=5 image decodes to its pattern
+
+
+def test_stream_media_ingest_incremental_across_drains(spark, tmp_path):
+    """Exactly-once auto-ingest: with a persistent checkpoint + durable
+    parquet sink, a second availableNow drain decodes ONLY files that
+    arrived since the first (a re-decode would append duplicates — the
+    accumulated table would show 5 rows, not 3).  The checkpointed file
+    listing is the dedup state, surviving query restarts."""
+    from processo_etl_spark.ml import png
+    from processo_etl_spark.streaming import jobs
+
+    media, out, ck = tmp_path / "media", tmp_path / "feat", tmp_path / "ck"
+    media.mkdir()
+
+    def drop(i):
+        px = bytes((i * 31 + r * 7 + c * 13) % 256 for r in range(8) for c in range(8))
+        (media / f"img_{i}.png").write_bytes(png.encode_gray(px, 8, 8))
+
+    drop(1); drop(2)
+    first = jobs.run_media_features_incremental(
+        spark, str(media), str(out), str(ck)
+    ).collect()
+    assert len(first) == 2
+
+    drop(3)  # arrives between drains
+    acc = jobs.run_media_features_incremental(
+        spark, str(media), str(out), str(ck)
+    ).collect()
+    # 3 accumulated rows, distinct ids: img_1/img_2 were NOT re-decoded
+    # (a full re-drain would have appended them again -> 5 rows).
+    assert len(acc) == 3
+    assert len({r["media_id"] for r in acc}) == 3
+    # fresh ephemeral drain still sees the whole directory
+    full = jobs.run_media_features_availablenow(spark, str(media)).collect()
+    assert len(full) == 3
