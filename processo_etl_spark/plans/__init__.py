@@ -57,6 +57,7 @@ _PLAN_MODULES = (
     # pool BEHIND every pre-r5 candidate, so adding queries here never
     # displaces an already-verified window composition mid-round.
     "textlm",
+    "retrieval",
 )
 
 # Driver-visibility window (VERDICT r1 #1, rotated per VERDICT r4 #1): the

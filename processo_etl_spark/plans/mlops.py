@@ -646,16 +646,85 @@ def dedup_semantic_cells(spark, sf_dir):
     )
 
 
-@register("dedup_semantic_kmeans")  # rows-only: iterative k-means has no SQL twin
+@register(
+    "dedup_semantic_kmeans",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_in,
+           TRUE AS kept_nonempty,
+           TRUE AS prune_exact
+    FROM embeddings
+    """,
+)
 def dedup_semantic_kmeans(spark, sf_dir):
     """The paper's quantizer: k-means cells (shared with the IVF ANN
-    index) + the same keep-lowest-id prune.  Rows-only by design —
-    k-means training is iterative; semantics are pinned by
-    tests/test_ml.py (planted near-dup collapses to one survivor) and
-    by the oracle-checked ``dedup_semantic_cells`` twin."""
-    return semdedup.semantic_dedup_kmeans(
-        t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        threshold=0.4, nlist=8,
+    index) + the same keep-lowest-id prune.
+
+    Partial certificate oracle (VERDICT r5 #6 — the last non-streaming
+    rows-only entry, upgraded on the text_compression_ratio precedent):
+    iterative k-means has no SQL twin, so the graded projection emits
+    what IS externally assertable — the exact input count plus two
+    guarantee booleans the oracle pins unconditionally:
+    ``kept_nonempty`` (a prune may never empty the corpus) and
+    ``prune_exact``, which re-derives each row's lower-id near-twin
+    WITNESS from the assignment through a different evaluation path
+    (per-id groupBy-max over the blocked pair join, vs the prune's
+    distinct + anti-join) and checks ``kept(id) ⇔ no witness(id)`` for
+    EVERY row — a broken anti-join, a lost partition, or a
+    non-deterministic assignment between the two passes lands False
+    and breaks the hash.  The survivor ROWS stay available via
+    ``ml/semdedup.semantic_dedup_kmeans``; planted-group semantics are
+    pinned by tests/test_ml.py and the oracle-checked
+    ``dedup_semantic_cells`` twin grades the same prune row-for-row.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    centers = similarity.train_ivf_centroids(
+        emb, nlist=8, vec_col="embedding", seed=42
+    )
+    assigned = similarity.ivf_assign(emb, centers, "embedding").select(
+        "vec_id", F.col("embedding").alias("v"), "cell"
+    )
+    kept = semdedup._prune_cells(assigned, "vec_id", 0.4)
+    normed = assigned.withColumn("nrm", similarity.l2_norm(F.col("v")))
+    a = normed.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        "cell",
+    )
+    b = normed.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        "cell",
+    )
+    witness = (
+        a.join(b, on="cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_b")
+        .agg(
+            F.max(
+                (
+                    similarity.dot(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb"))
+                    >= F.lit(0.4)
+                ).cast("int")
+            ).alias("w")
+        )
+        .withColumnRenamed("id_b", "vec_id")
+    )
+    flags = (
+        assigned.select("vec_id")
+        .join(kept.select("vec_id", F.lit(1).alias("k")), "vec_id", "left")
+        .join(witness, "vec_id", "left")
+        .select(
+            F.coalesce("k", F.lit(0)).alias("k"),
+            F.coalesce("w", F.lit(0)).alias("w"),
+        )
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_in"),
+        (F.sum("k") > 0).alias("kept_nonempty"),
+        F.bool_and(F.col("k") == 1 - F.col("w")).alias("prune_exact"),
     )
 
 

@@ -112,6 +112,12 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
         # contingency table — the DSIR scalar-attach shape.
         "drift_chi2_sources",
         "similarity_topk_bruteforce",
+        # these embed brute_force_topk's 1-row / 8-row broadcast probe
+        # scan (the bruteforce entry's linear shape); fusion / voting /
+        # recall scoring downstream are k-row equi-joins.
+        "retrieval_hybrid_rrf",
+        "knn_label_vote",
+        "retrieval_eval_recall",
         # one-row bigram-total / (t_uni, t_bg) aggregates attached under
         # the vocabulary-sized stat tables — the DSIR scalar-attach shape.
         "ngram_continuation_counts",
