@@ -58,6 +58,7 @@ _PLAN_MODULES = (
     # displaces an already-verified window composition mid-round.
     "textlm",
     "retrieval",
+    "incremental",
 )
 
 # Driver-visibility window (VERDICT r1 #1, rotated per VERDICT r4 #1): the

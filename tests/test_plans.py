@@ -119,3 +119,35 @@ def test_registry_integrity_and_priority_window():
         )
     # Oracle keys are always a subset of query keys.
     assert set(oracles) <= set(queries)
+
+
+def test_rollup_merge_is_order_insensitive_and_matches_direct(spark):
+    """merge(partial(A), partial(B), partial(C)) equals the direct
+    one-pass rollup row-for-row, in every batch order — the algebraic
+    mergeability contract rollup_incremental_merge certifies against
+    the driver oracle (here: three-way split + permutation)."""
+    from processo_etl_spark.plans.common import t
+    from processo_etl_spark.plans.incremental import (
+        _partial_rollup,
+        merge_rollup_partials,
+    )
+    from pyspark.sql import functions as F
+
+    orders = t(spark, "/root/testdata/sf0.001", "orders")
+    a = orders.filter(F.year("o_orderdate") <= 1993)
+    b = orders.filter(F.year("o_orderdate").between(1994, 1995))
+    c = orders.filter(F.year("o_orderdate") >= 1996)
+    direct = {
+        r["o_orderpriority"]: (r["n_orders"], str(r["s"]), str(r["mn"]), str(r["mx"]))
+        for r in merge_rollup_partials(_partial_rollup(orders)).collect()
+    }
+    for perm in ((a, b, c), (c, a, b), (b, c, a)):
+        merged = {
+            r["o_orderpriority"]: (
+                r["n_orders"], str(r["s"]), str(r["mn"]), str(r["mx"])
+            )
+            for r in merge_rollup_partials(
+                *[_partial_rollup(x) for x in perm]
+            ).collect()
+        }
+        assert merged == direct
