@@ -132,6 +132,10 @@ _ROTATION_HEADS = (
     "ngram_diversity_by_source",
     "heaps_vocab_growth",
     "tokens_gini_by_source",
+    # r7: promote the late-r6 capability heads here AT ROUND-7 START
+    # (retrieval_hybrid_rrf, knn_label_vote, retrieval_eval_recall,
+    # rollup_incremental_merge) — adding them mid-r6 would displace
+    # four already-pre-verified r6 window slots.
 )
 
 # The canary probes (shared definition — processo_etl_spark/grading.py).
