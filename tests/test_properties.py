@@ -398,3 +398,43 @@ def test_wav_walker_recovers_pcm_through_any_ancillary_chunks(samples, junk):
     bad = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" \
         + chunk(b"data", pcm) + chunk(b"fmt ", fmt)
     assert wav_pcm16(bad) is None or len(bad) < 44
+
+
+# Ranked lists: per ranker, a permutation of distinct doc ids (rank =
+# 1-based position).  Drawn as a dict of ranker name -> id list.
+RANKED = st.dictionaries(
+    keys=st.sampled_from(["a", "b", "c"]),
+    values=st.lists(
+        st.integers(min_value=0, max_value=30), unique=True, min_size=1, max_size=12
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(RANKED)
+def test_rrf_fuse_matches_python_reference(spark, ranked_ids):
+    """rrf_fuse over arbitrary ranked lists equals the pure-Python RRF:
+    score(d) = Σ_r 1/(k0 + rank_r(d)), union of all ids, NULL rank where
+    a ranker missed the id."""
+    from processo_etl_spark.ml import fusion
+
+    k0 = 60
+    dfs = {
+        name: spark.createDataFrame(
+            [(d, i + 1) for i, d in enumerate(ids)], "doc long, rank int"
+        )
+        for name, ids in ranked_ids.items()
+    }
+    got = {
+        r["doc"]: r["rrf_score"]
+        for r in fusion.rrf_fuse(dfs, k0=k0).collect()
+    }
+    expect = {}
+    for name, ids in ranked_ids.items():
+        for i, d in enumerate(ids):
+            expect[d] = expect.get(d, 0.0) + 1.0 / (k0 + i + 1)
+    assert set(got) == set(expect)
+    for d, s in expect.items():
+        assert got[d] == round(s, 10)
