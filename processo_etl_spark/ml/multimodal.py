@@ -58,6 +58,7 @@ def read_binary_media(
     path: str,
     glob: str = "*.png",
     media_type: str = "image/png",
+    id_from_path=None,
 ) -> DataFrame:
     """REAL media ingestion: Spark's ``binaryFile`` source → MEDIA_SCHEMA.
 
@@ -72,13 +73,19 @@ def read_binary_media(
     and the synthetic tables interchangeably.
 
     ``media_id`` is the deterministic md5-derived long of the file
-    path (the corpus-wide key convention, ml/dedup.md5_long).  For PNG
-    payloads width/height are parsed JVM-side from the IHDR header
+    path (the corpus-wide key convention, ml/dedup.md5_long) unless
+    ``id_from_path`` is given — a ``Column -> Column`` applied to the
+    path column instead, for corpora whose filenames already encode a
+    stable external key (e.g. ``img_000042.png`` shard layouts).  For
+    PNG payloads width/height are parsed JVM-side from the IHDR header
     (bytes 17–24, big-endian) — no Python boundary in the scan; other
     media types carry NULL dims for the decoder to fill.
     """
     from processo_etl_spark.ml.dedup import md5_long
     from processo_etl_spark.ml.png import SIGNATURE as SIGNATURE_BYTES
+
+    if id_from_path is None:
+        id_from_path = md5_long
 
     raw = (
         spark.read.format("binaryFile")
@@ -86,12 +93,18 @@ def read_binary_media(
         .option("recursiveFileLookup", "true")
         .load(path)
     )
-    is_png = F.expr("substring(content, 1, 8)") == F.lit(bytes(SIGNATURE_BYTES))
+    # Length guard (ADVICE r6): a signature-valid file truncated to 9–23
+    # bytes would make substring() return 1–3 bytes and conv(hex(...))
+    # yield a garbage small integer instead of NULL — require the full
+    # 8-byte signature + IHDR length/type/width/height (bytes 9–24).
+    is_png = (F.length(F.col("content")) >= 24) & (
+        F.expr("substring(content, 1, 8)") == F.lit(bytes(SIGNATURE_BYTES))
+    )
     dim = lambda off: F.conv(  # noqa: E731 - 4 big-endian bytes -> int
         F.hex(F.expr(f"substring(content, {off}, 4)")), 16, 10
     ).cast("int")
     return raw.select(
-        md5_long(F.col("path")).alias("media_id"),
+        id_from_path(F.col("path")).cast("long").alias("media_id"),
         F.lit(media_type).alias("media_type"),
         F.col("content").alias("payload"),
         F.when(is_png, dim(17)).alias("width"),
@@ -282,6 +295,46 @@ def synthesize_png_media(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
         batches, schema=MEDIA_SCHEMA
     )
+
+
+def write_png_corpus(directory: str, n: int = 64, size: int = 8) -> str:
+    """Materialize the deterministic PNG fixture corpus as REAL files.
+
+    One ``size``×``size`` grayscale PNG per id in ``[0, n)``, named
+    ``img_{id:05d}.png``, pixel(r, c) = (id·31 + r·7 + c·13) mod 256 —
+    the same closed-form pattern as :func:`synthesize_png_media`, so the
+    same SQL oracle grades a ``binaryFile`` scan of this directory.
+    Idempotent and race-safe: bytes are deterministic, each file is
+    written to a temp name then ``os.replace``d (atomic on POSIX), and
+    existing files with the right length are left alone.  Returns
+    ``directory``.
+    """
+    import os
+
+    from processo_etl_spark.ml import png
+
+    os.makedirs(directory, exist_ok=True)
+    for mid in range(n):
+        data = png.encode_gray(
+            bytes(
+                (mid * 31 + r * 7 + c * 13) % 256
+                for r in range(size)
+                for c in range(size)
+            ),
+            size,
+            size,
+        )
+        dest = os.path.join(directory, f"img_{mid:05d}.png")
+        try:
+            if os.path.getsize(dest) == len(data):
+                continue
+        except OSError:
+            pass
+        tmp = f"{dest}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, dest)
+    return directory
 
 
 def extract_features(

@@ -132,10 +132,19 @@ _ROTATION_HEADS = (
     "ngram_diversity_by_source",
     "heaps_vocab_growth",
     "tokens_gini_by_source",
-    # r7: promote the late-r6 capability heads here AT ROUND-7 START
-    # (retrieval_hybrid_rrf, knn_label_vote, retrieval_eval_recall,
-    # rollup_incremental_merge) — adding them mid-r6 would displace
-    # four already-pre-verified r6 window slots.
+    # r7 heads (VERDICT r6 #1): the four late-r6 capability heads,
+    # promoted at round-7 start exactly as committed above — they are the
+    # newest least-proven code (local oracle + property tests only).
+    "retrieval_hybrid_rrf",
+    "knn_label_vote",
+    "retrieval_eval_recall",
+    "rollup_incremental_merge",
+    # r7 head (VERDICT r6 #5): real-file media ingestion graded under the
+    # driver — binaryFile scan of a deterministic PNG corpus written at
+    # plan time, decoded by the vendored codec, against the closed-form
+    # pixel oracle.  Proves the scan + IHDR parse + keying, not just the
+    # synthesized-media twins.
+    "multimodal_binary_ingest",
 )
 
 # The canary probes (shared definition — processo_etl_spark/grading.py).

@@ -1337,6 +1337,64 @@ def multimodal_audio_features(spark, sf_dir):
 
 
 @register(
+    "multimodal_binary_ingest",
+    oracle="""
+    WITH ids AS (SELECT unnest(generate_series(0, 63)) AS media_id),
+         idx AS (SELECT unnest(generate_series(0, 7)) AS c)
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+      CAST(8 AS INTEGER) AS width,
+      CAST(8 AS INTEGER) AS height,
+      CAST(c AS INTEGER) AS feature_idx,
+      CAST(list_sum(list_transform(generate_series(0, 7),
+           r -> (media_id * 31 + r * 7 + c * 13) % 256)) AS DOUBLE) / 2040.0
+        AS value
+    FROM ids CROSS JOIN idx
+    """,
+)
+def multimodal_binary_ingest(spark, sf_dir):
+    """REAL-FILE media ingestion, end-to-end and hash-graded (VERDICT r6
+    #5): a deterministic 64-file PNG corpus is materialized on local
+    disk at plan time (ml/multimodal.write_png_corpus — idempotent,
+    atomic renames), scanned with Spark's ``binaryFile`` source via
+    :func:`read_binary_media`, keyed by the id embedded in the filename
+    (``id_from_path`` regex — deterministic across hosts, unlike the
+    md5-of-absolute-path default), IHDR-parsed for dims JVM-side, and
+    decoded by the vendored stdlib codec.  The pixel pattern is the same
+    closed form as ``multimodal_png_decode``'s, so the oracle states the
+    expected dims and per-column means with no image library; what THIS
+    query proves beyond the synthesized-media twin is the ``binaryFile``
+    scan itself (listing, glob pruning, content bytes) + IHDR parse +
+    filename keying.  Scale shape: listing-level pruning, executor-side
+    reads, two Arrow stages, zero shuffles; SCALE.md documents the
+    small-file hazard and the compacted-parquet steady state.
+    """
+    import os
+    import tempfile
+
+    from processo_etl_spark.ml import multimodal
+
+    corpus = multimodal.write_png_corpus(
+        os.path.join(tempfile.gettempdir(), "processo_etl_png_corpus_v1")
+    )
+    media = multimodal.read_binary_media(
+        spark,
+        corpus,
+        id_from_path=lambda p: F.regexp_extract(p, r"img_(\d+)\.png$", 1),
+    )
+    feats = multimodal.extract_features(media, n_features=8, real_decode=True)
+    dims = media.select("media_id", "width", "height")
+    return (
+        feats.join(F.broadcast(dims), "media_id")
+        .select(
+            "media_id",
+            "width",
+            "height",
+            F.posexplode("feature").alias("feature_idx", "value"),
+        )
+    )
+
+
+@register(
     "similarity_topk_ivf",
     oracle="""
     SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok

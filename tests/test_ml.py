@@ -604,6 +604,69 @@ def test_binary_file_source_to_real_decode_end_to_end(spark, tmp_path):
         assert all(abs(a - b) < 1e-12 for a, b in zip(vec, exp))
 
 
+def test_binary_media_truncated_png_null_dims(spark, tmp_path):
+    """ADVICE r6 guard: a signature-valid PNG truncated to 9–23 bytes
+    must yield NULL width/height (the pre-fix parse ran substring() over
+    1–3 bytes and conv(hex(...)) produced a garbage small integer)."""
+    from processo_etl_spark.ml import multimodal, png
+
+    full = png.encode_gray(bytes(range(64)), 8, 8)
+    (tmp_path / "trunc9.png").write_bytes(full[:9])
+    (tmp_path / "trunc23.png").write_bytes(full[:23])
+    (tmp_path / "exact24.png").write_bytes(full[:24])  # boundary: parses
+    (tmp_path / "ok.png").write_bytes(full)
+
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.read_binary_media(
+            spark,
+            str(tmp_path),
+            id_from_path=lambda p: F.regexp_extract(p, r"([a-z0-9]+)\.png$", 1)
+            .isin("ok", "exact24")
+            .cast("int"),
+        ).collect()
+    }
+    # keyed 1 = ok/exact24 (full header present), 0 = truncated
+    dims = {(r["width"], r["height"]) for mid, r in rows.items() if mid == 0}
+    assert dims == {(None, None)}
+    assert all(
+        (r["width"], r["height"]) == (8, 8)
+        for mid, r in rows.items()
+        if mid == 1
+    )
+
+
+def test_write_png_corpus_idempotent_scan_keyed_by_filename(spark, tmp_path):
+    """The multimodal_binary_ingest fixture path: write_png_corpus is
+    idempotent, and read_binary_media(id_from_path=regex) keys rows by
+    the filename-embedded id with IHDR dims parsed JVM-side."""
+    from processo_etl_spark.ml import multimodal
+
+    d = str(tmp_path / "corpus")
+    multimodal.write_png_corpus(d, n=5, size=8)
+    before = {p.name: p.read_bytes() for p in (tmp_path / "corpus").iterdir()}
+    multimodal.write_png_corpus(d, n=5, size=8)  # no-op second pass
+    after = {p.name: p.read_bytes() for p in (tmp_path / "corpus").iterdir()}
+    assert before == after and len(before) == 5
+
+    media = multimodal.read_binary_media(
+        spark,
+        d,
+        id_from_path=lambda p: F.regexp_extract(p, r"img_(\d+)\.png$", 1),
+    )
+    rows = media.collect()
+    assert sorted(r["media_id"] for r in rows) == [0, 1, 2, 3, 4]
+    assert all((r["width"], r["height"]) == (8, 8) for r in rows)
+    feats = multimodal.extract_features(media, n_features=8, real_decode=True)
+    got = {r["media_id"]: r["feature"] for r in feats.collect()}
+    for i in range(5):
+        exp = [
+            sum((i * 31 + r * 7 + c * 13) % 256 for r in range(8)) / (8 * 255.0)
+            for c in range(8)
+        ]
+        assert all(abs(a - b) < 1e-12 for a, b in zip(got[i], exp))
+
+
 def test_wav_files_to_audio_features_end_to_end(spark, tmp_path):
     """Real audio loop: canonical PCM16 WAV files on disk → binaryFile
     scan → RIFF unwrap (strip_wav_headers) → extract_audio_features,

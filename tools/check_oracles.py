@@ -128,11 +128,11 @@ def main() -> int:
                 print(f"FAIL  {name}: plan error {type(e).__name__}: {str(e)[:160]}")
                 continue
             if cols:
-                bad.append(name)
                 print(f"FAIL  {name}: DecimalType output columns {cols}")
             if ns_cols:
-                bad.append(name)
                 print(f"FAIL  {name}: non-scalar output columns {ns_cols}")
+            if cols or ns_cols:  # one bad entry per query (ADVICE r7)
+                bad.append(name)
         print(f"\n{len(bad)} schema failures: {bad}")
         return 1 if bad else 0
     spark = session.get_spark(cpus=16)
