@@ -72,6 +72,93 @@ HEADLINE = (
 )
 
 
+# Bench-only plan overrides (VERDICT r6 #3): the graded registry row
+# keeps oracle-parity semantics; the benched variant drops parity-only
+# costs that a production run would not pay.  One entry today:
+# graph_pagerank_distributed benches with plain map-side-combinable
+# F.sum (bit_deterministic=False — the documented 100 TB posture,
+# tested on dangling graphs) instead of the value-sorted fold the
+# DuckDB bit-exact oracle requires.
+def _pagerank_plain(spark, sf_dir):
+    from processo_etl_spark.operators import graph
+    from processo_etl_spark.plans.events import pagerank_order_graph_edges
+
+    return graph.pagerank_distributed(
+        pagerank_order_graph_edges(spark, sf_dir),
+        damping=0.85,
+        iterations=3,
+        bit_deterministic=False,
+    )
+
+
+BENCH_OVERRIDES = {"graph_pagerank_distributed": _pagerank_plain}
+
+
+def _env_fingerprint() -> dict:
+    """Machine-state snapshot (VERDICT r6 #2): makes a uniform
+    round-over-round drift attributable to host load / memory pressure /
+    competing JVMs in one read, instead of inferred from variance bands."""
+    import os
+
+    fp: dict = {
+        "loadavg_1m_5m_15m": [round(x, 2) for x in os.getloadavg()],
+        "cpus_granted": len(os.sched_getaffinity(0)),
+        "cpu_count": os.cpu_count(),
+    }
+    try:
+        with open("/proc/meminfo") as fh:
+            mem = {
+                line.split(":")[0]: int(line.split()[1])
+                for line in fh
+                if ":" in line
+            }
+        fp["mem_available_gb"] = round(mem.get("MemAvailable", 0) / 1048576, 2)
+        fp["mem_total_gb"] = round(mem.get("MemTotal", 0) / 1048576, 2)
+    except OSError:
+        pass
+    try:
+        n_java = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as fh:
+                    if fh.read().strip() == "java":
+                        n_java += 1
+            except OSError:
+                continue
+        fp["java_procs"] = n_java
+    except OSError:
+        pass
+    return fp
+
+
+def _calibrate(spark) -> dict:
+    """Two fixed-cost microbenchmarks, run with the suite's own session:
+    scheduler latency (median of 7 empty-stage jobs over a cached 1-row
+    DataFrame) and raw CPU throughput (median of 3 sum-of-squares folds
+    over range(2M)).  Round-over-round these move ONLY with machine/JVM
+    state — a suite drift that the calibration also shows is
+    environment, one it doesn't show is a plan change."""
+    one = spark.range(1).persist()
+    one.count()  # materialize outside the timed loop
+    sched = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        one.count()
+        sched.append(time.perf_counter() - t0)
+    cpu = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(2_000_000).selectExpr("sum(id * id)").collect()
+        cpu.append(time.perf_counter() - t0)
+    one.unpersist()
+    return {
+        "calib_sched_job_ms": round(sorted(sched)[len(sched) // 2] * 1000, 2),
+        "calib_cpu_2m_ms": round(sorted(cpu)[len(cpu) // 2] * 1000, 2),
+    }
+
+
 def _force(df) -> None:
     """Fully execute a plan without collecting to the driver."""
     df.write.format("noop").mode("overwrite").save()
@@ -87,7 +174,8 @@ def _run(spark, queries, name, sf_dir) -> None:
     pipeline over the same corpus — the VERDICT r4 #7 sharing model.
     Measured at sf0.1: per-query isolation via clearCache costs the
     suite ~19% (37.5 s vs 31.5 s steady)."""
-    _force(queries[name](spark, sf_dir))
+    fn = BENCH_OVERRIDES.get(name) or queries[name]
+    _force(fn(spark, sf_dir))
 
 
 def main() -> int:
@@ -98,6 +186,7 @@ def main() -> int:
     except ValueError:
         sf_val = sf
     spark = session.get_spark(app_name="bench")
+    env = _env_fingerprint()
 
     queries = plans.all_queries()
     # Methodology (r5, after the dedup_minhash_lsh regression audit):
@@ -124,6 +213,7 @@ def main() -> int:
     # manager matches plans per path) — free them so the timed passes
     # don't measure block-manager pressure from warm-up leftovers.
     spark.catalog.clearCache()
+    env.update(_calibrate(spark))  # post-warm-up: measures the hot JVM
 
     cold: dict[str, float] = {}
     for name in HEADLINE:
@@ -137,6 +227,7 @@ def main() -> int:
         _run(spark, queries, name, sf_dir)
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    env["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_total_wall",
@@ -146,22 +237,26 @@ def main() -> int:
         "sf": sf_val,
         "n_queries": len(HEADLINE),
         "cold_value": round(sum(cold.values()), 3),
+        "env": env,
         "queries_cold": cold,
     }
     # The driver records only the LAST ~2000 chars of stdout (VERDICT r5
     # #2: BENCH_r05 lost the steady total because the one JSON line grew
     # past the tail with queries_cold in front).  Keep the full artifact
-    # in a committed file, and make the one printed line compact enough
-    # to always survive the tail: totals + the steady per-query dict,
-    # WITHOUT the per-query cold dict (its total stays as cold_value).
-    # Scale-tagged filename: a smoke run at another sf must never
-    # clobber the committed sf0.1 evidence artifact; the canonical
-    # BENCH_local.json name is reserved for the driver's bench scale.
-    artifact = (
-        "BENCH_local.json" if sf_val == 0.1 else f"BENCH_local_sf{sf_val}.json"
-    )
+    # in a file, and make the one printed line compact enough to always
+    # survive the tail: totals + env fingerprint + the steady per-query
+    # dict, WITHOUT the per-query cold dict (its total stays as
+    # cold_value).
+    # Hygiene (VERDICT r6 #6): every run writes the GITIGNORED
+    # BENCH_last_run.json — a driver or smoke run never dirties the
+    # committed evidence artifact.  The committed BENCH_local.json is a
+    # deliberately blessed copy (cp BENCH_last_run.json BENCH_local.json
+    # on a clean-host run), so the committed file always matches the
+    # round that committed it.
     with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), artifact),
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_last_run.json"
+        ),
         "w",
     ) as fh:
         json.dump(full, fh, indent=1)

@@ -963,6 +963,15 @@ def graph_pagerank_distributed(spark, sf_dir):
     algorithm is exactly graded, not rows-only."""
     from processo_etl_spark.operators import graph
 
+    return graph.pagerank_distributed(
+        pagerank_order_graph_edges(spark, sf_dir), damping=0.85, iterations=3
+    )
+
+
+def pagerank_order_graph_edges(spark, sf_dir):
+    """The customer→order→part edge list behind the graded PageRank
+    query (and bench.py's plain-sum benched variant — one shared
+    definition so the two can never drift)."""
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
     e1 = orders.select(
@@ -979,9 +988,7 @@ def graph_pagerank_distributed(spark, sf_dir):
             F.col("w"),
         )
     )
-    return graph.pagerank_distributed(
-        e1.unionAll(e2), damping=0.85, iterations=3
-    )
+    return e1.unionAll(e2)
 
 
 @register("stream_bloom_filter")  # rows-only: streaming drains execute

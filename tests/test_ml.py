@@ -1491,6 +1491,25 @@ def test_pagerank_distributed_plain_sum_no_dangling(spark):
         for r in graph.pagerank_distributed(edf, 0.85, 5).collect()
     }
     assert all(abs(ranks[k] - det[k]) < 1e-12 for k in det)
+    # and WITH dangling nodes (bench.py runs the plain-sum variant on
+    # the customer→order→part graph, where every part is dangling):
+    # plain F.sum must redistribute the dangling mass like the fold,
+    # not NULL it away — ranks match the fold path up to ulps.
+    es_d = [("a", "b", 1), ("b", "c", 1), ("a", "d", 2), ("d", "a", 1)]
+    edf_d = spark.createDataFrame(es_d, ["src", "dst", "w"])
+    plain_d = {
+        r["node"]: r["pagerank"]
+        for r in graph.pagerank_distributed(
+            edf_d, 0.85, 5, bit_deterministic=False
+        ).collect()
+    }
+    det_d = {
+        r["node"]: r["pagerank"]
+        for r in graph.pagerank_distributed(edf_d, 0.85, 5).collect()
+    }
+    assert set(plain_d) == set(det_d) == {"a", "b", "c", "d"}
+    assert abs(sum(plain_d.values()) - 1.0) < 1e-9
+    assert all(abs(plain_d[k] - det_d[k]) < 1e-12 for k in det_d)
 
 
 def test_shared_corpus_relation_caches_and_matches(spark):
