@@ -667,6 +667,60 @@ def test_write_png_corpus_idempotent_scan_keyed_by_filename(spark, tmp_path):
         assert all(abs(a - b) < 1e-12 for a, b in zip(got[i], exp))
 
 
+def test_wav_pcm16_differential_vs_stdlib_wave():
+    """Cross-decoder differential (VERDICT r6 #7, the WAV analogue of
+    the Pillow PNG differential): files written by the INDEPENDENT
+    stdlib ``wave`` writer must unwrap to exactly the samples written,
+    and our walker must agree with ``wave``'s own reader on params and
+    payload; non-PCM16 variants produced via ``wave`` (8-bit) must be
+    rejected with None."""
+    import io
+    import struct
+    import wave
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from processo_etl_spark.ml import multimodal
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=0,
+            max_size=200,
+        ),
+        st.sampled_from([1, 2]),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    def check(samples, nchannels, rate):
+        pcm = b"".join(struct.pack("<h", s) for s in samples)
+        if nchannels == 2 and len(samples) % 2:
+            pcm += struct.pack("<h", 0)  # wave requires whole frames
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nchannels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm)
+        payload = buf.getvalue()
+        got = multimodal.wav_pcm16(payload)
+        assert got == pcm  # byte-exact: stdlib writer → our walker
+        with wave.open(io.BytesIO(payload), "rb") as r:
+            assert got == r.readframes(r.getnframes())
+
+    check()
+
+    # 8-bit file from the stdlib writer → rejected (PCM16-only contract)
+    buf8 = io.BytesIO()
+    with wave.open(buf8, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([0, 128, 255]))
+    assert multimodal.wav_pcm16(buf8.getvalue()) is None
+
+
 def test_wav_files_to_audio_features_end_to_end(spark, tmp_path):
     """Real audio loop: canonical PCM16 WAV files on disk → binaryFile
     scan → RIFF unwrap (strip_wav_headers) → extract_audio_features,
