@@ -59,6 +59,7 @@ _PLAN_MODULES = (
     "textlm",
     "retrieval",
     "incremental",
+    "web",
 )
 
 # Driver-visibility window (VERDICT r1 #1, rotated per VERDICT r4 #1): the
@@ -145,6 +146,13 @@ _ROTATION_HEADS = (
     # pixel oracle.  Proves the scan + IHDR parse + keying, not just the
     # synthesized-media twins.
     "multimodal_binary_ingest",
+    # r8 promotion commitment (the r6→r7 pattern): the four web-corpus
+    # heads added mid-r7 (plans/web.py — warc_ingest,
+    # url_canonicalize_dedup, domain_caps_topk, html_extract_text) are
+    # registry-TAIL entries this round so they cannot displace the
+    # pre-verified r7 window; append them HERE at r8 start so the newest
+    # least-proven code is graded next round, then re-pre-verify the
+    # exact r8 window at sf0.01.
 )
 
 # The canary probes (shared definition — processo_etl_spark/grading.py).

@@ -1,0 +1,271 @@
+"""Web-corpus ingestion + URL curation queries (WARC, canonicalize,
+per-domain caps) — the Common Crawl edge of the training-data pipeline.
+
+Extension surface beyond the reference (its extract stage ingests HTTP
+zip → CSV, dag.py:61-113; web-scale corpora start one step earlier, at
+WARC archives keyed by URL).  Three graded heads:
+
+- ``warc_ingest`` — REAL-FILE WARC ingestion, hash-graded end-to-end
+  like ``multimodal_binary_ingest``: a deterministic archive corpus is
+  materialized at plan time, scanned via ``binaryFile``, split into
+  records by the Arrow-batched ISO 28500 walker, and every graded
+  column (type, host, exact Content-Length, payload fill count) is a
+  closed form the oracle states without parsing WARC.
+- ``url_canonicalize_dedup`` — tracker-strip + case/port/param-order
+  normalization collapsing dirty URL variants to one identity, then a
+  group-count (the dedup key step).  The oracle RE-IMPLEMENTS the spec
+  with DuckDB regexp/list functions — an independent implementation,
+  not a restatement of the Spark expression tree.
+- ``domain_caps_topk`` — per-registered-domain document cap via the
+  salted two-stage ``grouped_topk`` (bounded task state; no celebrity
+  domain stalls a task), graded against a plain windowed row_number.
+
+String-only transforms → no float parity risk anywhere in this module.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from processo_etl_spark.functions import urls
+from processo_etl_spark.operators import ranking
+from processo_etl_spark.plans import register
+from processo_etl_spark.plans.common import t
+from processo_etl_spark.sources import warc
+
+_WARC_CORPUS = os.path.join(tempfile.gettempdir(), "processo_etl_warc_corpus_v1")
+
+
+@register(
+    "warc_ingest",
+    oracle="""
+    WITH g AS (SELECT unnest(generate_series(0, 63)) AS gid)
+    SELECT CAST(gid AS BIGINT) AS rec_id,
+      CASE WHEN gid % 8 = 0 THEN 'metadata' ELSE 'response' END AS warc_type,
+      'site' || CAST(gid % 5 AS VARCHAR) || '.example.com' AS host,
+      CAST(length('doc-' || CAST(gid AS VARCHAR) || ':') + (gid % 97)
+           AS BIGINT) AS content_length,
+      CAST(gid % 97 AS BIGINT) AS n_fill
+    FROM g
+    """,
+)
+def warc_ingest(spark, sf_dir):
+    """WARC ingestion end-to-end: 4 deterministic ``.warc`` archives ×
+    16 records (sources/warc.write_warc_corpus — idempotent, atomic) →
+    ``binaryFile`` scan → record split (exact Content-Length framing,
+    one Arrow pass per archive) → header/host/payload projections.
+
+    What the hash grades: the listing + scan, the splitter's framing
+    (a mis-advance shifts every subsequent record's payload), header
+    parsing, ``parse_url`` host extraction, and the payload byte
+    round-trip (``n_fill`` counts the ``x`` fill chars, so a corrupted
+    or truncated payload changes a graded value, not just a length).
+    Scale shape: file-per-task parallelism (the public Spark WARC
+    posture — Common Crawl ships ~1 GB archives), zero shuffles.
+    """
+    recs = warc.read_warc(spark, warc.write_warc_corpus(_WARC_CORPUS))
+    body = F.decode(F.col("payload"), "UTF-8")
+    return recs.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("rec_id"),
+        "warc_type",
+        urls.url_host("target_uri").alias("host"),
+        "content_length",
+        F.length(F.regexp_replace(body, "[^x]", "")).cast("long").alias("n_fill"),
+    )
+
+
+@register(
+    "url_canonicalize_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT 'HTTPS://WWW.' || source || '.Example.COM:443/Art/'
+          || CAST(doc_id % 50 AS VARCHAR)
+          || '?utm_source=feed&b=' || CAST(doc_id % 3 AS VARCHAR)
+          || '&a=' || CAST(doc_id % 25 AS VARCHAR)
+          || '#sec-' || CAST(doc_id % 7 AS VARCHAR) AS u
+      FROM documents
+    ),
+    nf AS (SELECT regexp_replace(u, '#.*$', '') AS u FROM d),
+    parts AS (
+      SELECT
+        regexp_replace(regexp_replace(
+            lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)),
+            '^(https://[^/:]+):443$', '\\1'), '^(http://[^/:]+):80$', '\\1')
+          AS prefix,
+        regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+          AS path,
+        regexp_extract(u, '\\?([^#]*)', 1) AS query
+      FROM nf
+    ),
+    canon AS (
+      SELECT prefix || path
+          || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
+      FROM (
+        SELECT prefix, path,
+          array_to_string(list_sort(list_filter(string_split(query, '&'),
+            x -> x <> '' AND NOT regexp_matches(x,
+              '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))), '&') AS qs
+        FROM parts)
+    )
+    SELECT canonical_url,
+      regexp_extract(canonical_url, '^[a-z+.-]+://([^/:?#]+)', 1) AS host,
+      CAST(count(*) AS BIGINT) AS n_docs
+    FROM canon GROUP BY 1, 2
+    """,
+)
+def url_canonicalize_dedup(spark, sf_dir):
+    """URL-identity dedup key: deterministic DIRTY urls (upper-cased
+    scheme/host, explicit :443, utm tracker, unsorted params, fragment)
+    are derived per document, canonicalized by the RFC-3986-subset spec
+    in functions/urls.py (pure JVM expressions — no UDF), and counted
+    per canonical identity.  The oracle re-implements the spec with
+    DuckDB's regexp/list pipeline, so every normalization step is
+    independently cross-checked byte-for-byte.  At 100 TB this column
+    IS the dedup/grouping key for web snapshots — exact dedup on
+    canonical_url composes with the dedup family unchanged.
+    """
+    docs = t(spark, sf_dir, "documents")
+    m = lambda k: (F.col("doc_id") % k).cast("string")  # noqa: E731
+    dirty = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM:443/Art/"),
+        m(50),
+        F.lit("?utm_source=feed&b="),
+        m(3),
+        F.lit("&a="),
+        m(25),
+        F.lit("#sec-"),
+        m(7),
+    )
+    canon = docs.select(urls.url_canonicalize(dirty).alias("canonical_url"))
+    return (
+        canon.withColumn("host", urls.url_host("canonical_url"))
+        .groupBy("canonical_url", "host")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "domain_caps_topk",
+    oracle="""
+    SELECT domain, doc_id, n_chars, CAST(rn AS INTEGER) AS rk
+    FROM (
+      SELECT lang || '-site.org' AS domain, doc_id, n_chars,
+        row_number() OVER (PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 25
+    """,
+)
+def domain_caps_topk(spark, sf_dir):
+    """Per-domain document budget — the CCNet/Gopher "cap each domain"
+    curation step over URL-keyed corpora: hosts are derived per doc
+    (``{source}.{lang}-site.org``), collapsed to registered domains
+    (functions/urls.url_registered_domain), and each domain keeps its
+    top-25 docs by (n_chars DESC, doc_id) via the salted two-stage
+    ``grouped_topk`` — bounded per-task sort state, so one celebrity
+    domain (at web scale: blogspot.com-class hosts with 10⁸ pages)
+    cannot stall a task the way a plain partitioned window would.  The
+    oracle is the single-window row_number the two-stage plan provably
+    equals."""
+    docs = t(spark, sf_dir, "documents")
+    dom = docs.select(
+        "doc_id",
+        "n_chars",
+        urls.url_registered_domain(
+            F.concat("source", F.lit("."), "lang", F.lit("-site.org"))
+        ).alias("domain"),
+    )
+    return ranking.grouped_topk(
+        dom,
+        ["domain"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=25,
+        salt_key="doc_id",
+    ).select("domain", "doc_id", "n_chars", "rk")
+
+
+@register(
+    "html_extract_text",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+        '<html><head><script type="text/javascript">var x = 1 < 2;'
+        || '</script><style>p { color: red; }</style><title>Doc '
+        || CAST(doc_id AS VARCHAR) || '</title></head><body><!-- id '
+        || CAST(doc_id AS VARCHAR) || ' --><h1>Doc '
+        || CAST(doc_id AS VARCHAR) || '</h1><p>'
+        || regexp_replace(text, '[<>&]', ' ', 'g')
+        || '</p><p>lang &amp; source: ' || lang || ' &#39;' || source
+        || '&#39;</p></body></html>' AS html
+      FROM documents
+    ),
+    x AS (
+      SELECT doc_id,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              html,
+              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+              '<[^>]+>', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+            '&nbsp;', ' '), '&amp;', '&'),
+          '\\s+', ' ', 'g')) AS txt
+      FROM h
+    )
+    SELECT doc_id, CAST(length(txt) AS BIGINT) AS n_chars_txt,
+      CAST(len(string_split(txt, ' ')) AS BIGINT) AS n_tokens,
+      substring(txt, 1, 20) AS prefix
+    FROM x
+    """,
+)
+def html_extract_text(spark, sf_dir):
+    """WARC→WET derivation: deterministic HTML is wrapped around each
+    document's (angle/amp-sanitized) text — script + style blocks, a
+    comment, entities, nested tags — and functions/html.html_to_text
+    extracts the visible text as a pure regexp/replace expression
+    pipeline.  The oracle re-implements the extraction spec with
+    DuckDB's regexp engine (both are RE2-compatible patterns — no
+    backreferences), so block-stripping, tag removal, entity decode
+    ORDER (&amp; last) and whitespace collapse are each independently
+    cross-checked.  At 100 TB this is the map stage between the WARC
+    scan and the curation families — no shuffle, codegen-able, and the
+    regexp work stays JVM-side where a Python-UDF extractor would pay
+    the serialization tax on every crawled byte."""
+    from processo_etl_spark.functions.html import html_to_text
+
+    docs = t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit(
+            '<html><head><script type="text/javascript">var x = 1 < 2;'
+            "</script><style>p { color: red; }</style><title>Doc "
+        ),
+        i,
+        F.lit("</title></head><body><!-- id "),
+        i,
+        F.lit(" --><h1>Doc "),
+        i,
+        F.lit("</h1><p>"),
+        F.regexp_replace(F.col("text"), "[<>&]", " "),
+        F.lit("</p><p>lang &amp; source: "),
+        F.col("lang"),
+        F.lit(" &#39;"),
+        F.col("source"),
+        F.lit("&#39;</p></body></html>"),
+    )
+    txt = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        F.length(txt).cast("long").alias("n_chars_txt"),
+        F.size(F.split(txt, " ")).cast("long").alias("n_tokens"),
+        F.substring(txt, 1, 20).alias("prefix"),
+    )

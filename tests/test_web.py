@@ -1,0 +1,198 @@
+"""WARC ingestion + URL curation tests (sources/warc, functions/urls,
+plans/web)."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from processo_etl_spark.functions import urls
+from processo_etl_spark.sources import warc
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- WARC
+
+
+def _record(g: int, payload: bytes | None = None) -> bytes:
+    if payload is None:
+        payload = (f"doc-{g}:" + "x" * (g % 97)).encode()
+    return warc.encode_warc_record(
+        "metadata" if g % 8 == 0 else "response",
+        f"<urn:uuid:{g:032x}>",
+        "2026-01-01T00:00:00Z",
+        f"https://site{g % 5}.example.com/doc/{g}",
+        payload,
+    )
+
+
+def test_iter_warc_records_roundtrip_and_framing():
+    """encode → split round-trips; framing advances by Content-Length,
+    so a payload CONTAINING 'WARC/1.0\\r\\n' is not treated as a record
+    boundary (the classic naive-splitter bug)."""
+    tricky = b"inner WARC/1.0\r\nWARC-Type: fake\r\n\r\nnot a record"
+    blob = _record(0) + _record(1, tricky) + _record(2)
+    got = list(warc.iter_warc_records(blob))
+    assert len(got) == 3
+    assert [h["warc-type"] for _, h, _ in got] == [
+        "metadata",
+        "response",
+        "response",
+    ]
+    assert got[1][2] == tricky
+    assert int(got[1][1]["content-length"]) == len(tricky)
+    assert got[2][1]["warc-target-uri"] == "https://site2.example.com/doc/2"
+
+
+def test_iter_warc_records_truncated_tail_dropped():
+    """A record whose payload is cut short is dropped, not half-yielded."""
+    blob = _record(1) + _record(2)
+    assert len(list(warc.iter_warc_records(blob[:-10]))) == 1
+    # truncation inside the HEADER block also stops cleanly
+    assert len(list(warc.iter_warc_records(blob[: len(_record(1)) + 20]))) == 1
+    assert list(warc.iter_warc_records(b"")) == []
+
+
+def test_read_warc_plain_and_gzip_agree(spark, tmp_path):
+    """binaryFile scan end-to-end: the .warc and member-per-record
+    .warc.gz corpora parse to identical records."""
+    plain = warc.write_warc_corpus(str(tmp_path / "plain"), gz=False)
+    gzdir = warc.write_warc_corpus(str(tmp_path / "gz"), gz=True)
+
+    def rows(d, g):
+        return {
+            (r["target_uri"], r["warc_type"], r["content_length"], bytes(r["payload"]))
+            for r in warc.read_warc(spark, d, glob=g).collect()
+        }
+
+    a, b = rows(plain, "*.warc"), rows(gzdir, "*.warc.gz")
+    assert len(a) == 64 and a == b
+    one = warc.read_warc(spark, gzdir).filter(
+        F.col("target_uri").endswith("/doc/13")
+    ).collect()
+    assert len(one) == 1
+    assert bytes(one[0]["payload"]) == b"doc-13:" + b"x" * 13
+
+
+def test_write_warc_corpus_idempotent(tmp_path):
+    import os
+
+    d = warc.write_warc_corpus(str(tmp_path / "c"))
+    sizes = {f: os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)}
+    warc.write_warc_corpus(d)  # second call: length-matched, untouched
+    assert sizes == {
+        f: os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+    }
+    assert len(sizes) == 4
+
+
+def test_gzip_multi_member_read():
+    """GzipFile reads ALL concatenated members (the .warc.gz framing
+    assumption _maybe_gunzip relies on)."""
+    blob = gzip.compress(_record(3), mtime=0) + gzip.compress(
+        _record(4), mtime=0
+    )
+    data = warc._maybe_gunzip("f.warc.gz", blob)
+    assert len(list(warc.iter_warc_records(data))) == 2
+
+
+# ----------------------------------------------------------------- URLs
+
+
+def _canon(spark, *us: str) -> list[str]:
+    df = spark.createDataFrame([(u,) for u in us], ["u"])
+    return [
+        r["c"] for r in df.select(urls.url_canonicalize("u").alias("c")).collect()
+    ]
+
+
+def test_url_canonicalize_cases(spark):
+    got = _canon(
+        spark,
+        # case + default port + tracker + param order + fragment
+        "HTTPS://WWW.Example.COM:443/Art/7?utm_source=feed&b=2&a=13#sec",
+        # http default port; non-tracking params survive sorted
+        "http://Host.ORG:80/p?z=1&a=2",
+        # non-default port kept; path case preserved
+        "https://host.org:8443/CasePath",
+        # no query, no fragment — unchanged but lowered
+        "HTTP://EXAMPLE.com/x",
+        # all params stripped -> no '?'
+        "https://h.io/p?utm_campaign=c&gclid=g&ref=r&fbclid=f",
+    )
+    assert got == [
+        "https://www.example.com/Art/7?a=13&b=2",
+        "http://host.org/p?a=2&z=1",
+        "https://host.org:8443/CasePath",
+        "http://example.com/x",
+        "https://h.io/p",
+    ]
+
+
+def test_url_host_and_registered_domain(spark):
+    df = spark.createDataFrame(
+        [("https://a.b.example.com:8443/x?q=1",), ("https://example.com/",)],
+        ["u"],
+    )
+    rows = df.select(
+        urls.url_host("u").alias("h"),
+        urls.url_registered_domain(urls.url_host("u")).alias("d"),
+    ).collect()
+    assert [(r["h"], r["d"]) for r in rows] == [
+        ("a.b.example.com", "example.com"),
+        ("example.com", "example.com"),
+    ]
+
+
+def test_html_to_text_cases(spark):
+    from processo_etl_spark.functions.html import html_to_text
+
+    cases = [
+        # script/style/comment blocks die wholesale, incl. a '<' inside JS
+        (
+            "<html><script>if (1 < 2) alert('x');</script>"
+            "<style>p{a:b}</style><!-- note --><p>Hi  there</p></html>",
+            "Hi there",
+        ),
+        # multiline lazy blocks; nested tags; attribute-laden tags
+        (
+            "<script>\nline1();\n</script><div class='a'><b>bold</b> text</div>"
+            "<SCRIPT>upper();</SCRIPT>",
+            "bold text",
+        ),
+        # entity decode order: &amp;lt; is a LITERAL '&lt;' once-decoded
+        ("a &amp;lt; b &lt; c &nbsp;&#39;q&#39; &quot;w&quot;", "a &lt; b < c 'q' \"w\""),
+        # two lazy script blocks don't merge into one greedy span
+        ("<script>a</script>KEEP<script>b</script>", "KEEP"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], ["h"])
+    got = [r["t"] for r in df.select(html_to_text("h").alias("t")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_domain_caps_topk_matches_plain_window(spark):
+    """The salted two-stage grouped_topk equals the single-window
+    row_number it provably dominates (plans/web.domain_caps_topk)."""
+    from pyspark.sql import Window
+
+    from processo_etl_spark.plans import web
+
+    got = {
+        (r["domain"], r["doc_id"], r["rk"])
+        for r in web.domain_caps_topk(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    exp = {
+        (r["lang"] + "-site.org", r["doc_id"], r["rk"])
+        for r in docs.withColumn(
+            "rk", F.row_number().over(w).cast("int")
+        )
+        .filter(F.col("rk") <= 25)
+        .collect()
+    }
+    assert got == exp and len(got) == 125
