@@ -192,6 +192,202 @@ def domain_caps_topk(spark, sf_dir):
 
 
 @register(
+    "url_filter_rules",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 11 = 0 THEN 'ftp'
+              WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END)
+        || '://www.' || source || CAST(doc_id % 200 AS VARCHAR)
+        || (CASE WHEN doc_id % 13 = 0 THEN '.bad-ads.example'
+                 ELSE '.example.org' END)
+        || repeat('/seg', CAST(doc_id % 9 AS INT))
+        || (CASE WHEN doc_id % 17 = 0 THEN '/spam-offer' ELSE '/page' END)
+        || (CASE WHEN doc_id % 19 = 0
+                 THEN '?pad=' || repeat('x', 150) ELSE '' END) AS url
+      FROM documents),
+    ruled AS (
+      SELECT CASE
+        WHEN NOT regexp_matches(url, '^https?://') THEN 'scheme_not_http'
+        WHEN regexp_extract(regexp_extract(url,
+               '^[a-z]+://([^/:?#]+)', 1), '([^.]+\\.[^.]+)$', 1)
+             IN ('bad-ads.example', 'tracker.example')
+          THEN 'domain_blocklist'
+        WHEN regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1)
+             LIKE '%spam%' THEN 'banned_keyword'
+        WHEN length(regexp_extract(url, '^[a-z]+://[^/?#]*([^?#]*)', 1))
+             - length(replace(regexp_extract(url,
+                 '^[a-z]+://[^/?#]*([^?#]*)', 1), '/', '')) > 6
+          THEN 'path_too_deep'
+        WHEN length(url) > 120 THEN 'url_too_long'
+        ELSE 'kept' END AS rule
+      FROM u)
+    SELECT rule, CAST(count(*) AS BIGINT) AS n_urls
+    FROM ruled GROUP BY rule
+    """,
+)
+def url_filter_rules(spark, sf_dir):
+    """URL filtering-rule cascade — the curation stage every public
+    web-corpus recipe applies before content ever downloads (RefinedWeb
+    §3.1 / FineWeb URL filtering): scheme allowlist, registered-domain
+    blocklist (a broadcast join against the curated list — at real scale
+    the UT1-class blocklists are ~4 M domains, far under the broadcast
+    threshold), banned path keyword, path-depth cap, and URL-length cap,
+    applied FIRST-MATCH-WINS so every URL is attributed to exactly one
+    verdict and the output is a per-rule audit (the numbers a curation
+    run reports).  URLs are synthesized deterministically from doc_id so
+    every rule fires on a known subset; the oracle re-derives the
+    cascade with DuckDB regexp/CASE — independent implementation, same
+    spec.  Scale shape: pure map stage (regexp + one broadcast hash
+    join, no shuffle) until the final |rules|-row aggregate.
+    """
+    docs = t(spark, sf_dir, "documents")
+    m = lambda k: (F.col("doc_id") % k).cast("string")  # noqa: E731
+    url = F.concat(
+        F.when(F.col("doc_id") % 11 == 0, F.lit("ftp"))
+        .when(F.col("doc_id") % 3 == 0, F.lit("http"))
+        .otherwise(F.lit("https")),
+        F.lit("://www."),
+        F.col("source"),
+        m(200),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit(".bad-ads.example")
+        ).otherwise(F.lit(".example.org")),
+        F.repeat(F.lit("/seg"), (F.col("doc_id") % 9).cast("int")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("/spam-offer")).otherwise(
+            F.lit("/page")
+        ),
+        F.when(
+            F.col("doc_id") % 19 == 0,
+            F.concat(F.lit("?pad="), F.repeat(F.lit("x"), 150)),
+        ).otherwise(F.lit("")),
+    )
+    blocklist = F.broadcast(
+        spark.createDataFrame(
+            [("bad-ads.example",), ("tracker.example",)], ["blocked_domain"]
+        )
+    )
+    path = F.regexp_extract("url", r"^[a-z]+://[^/?#]*([^?#]*)", 1)
+    ruled = (
+        docs.select(url.alias("url"))
+        .withColumn(
+            "reg_domain",
+            urls.url_registered_domain(
+                F.regexp_extract("url", r"^[a-z]+://([^/:?#]+)", 1)
+            ),
+        )
+        .join(
+            blocklist,
+            F.col("reg_domain") == F.col("blocked_domain"),
+            "left",
+        )
+        .select(
+            F.when(
+                ~F.col("url").rlike(r"^https?://"), F.lit("scheme_not_http")
+            )
+            .when(F.col("blocked_domain").isNotNull(), F.lit("domain_blocklist"))
+            .when(path.contains("spam"), F.lit("banned_keyword"))
+            .when(
+                F.length(path) - F.length(F.regexp_replace(path, "/", ""))
+                > 6,
+                F.lit("path_too_deep"),
+            )
+            .when(F.length("url") > 120, F.lit("url_too_long"))
+            .otherwise(F.lit("kept"))
+            .alias("rule")
+        )
+    )
+    return ruled.groupBy("rule").agg(F.count(F.lit(1)).alias("n_urls"))
+
+
+@register(
+    "web_link_graph",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, lang,
+        '<html><body><p>Doc ' || CAST(doc_id AS VARCHAR)
+        || '</p><a class="nav" href="/local/' || CAST(doc_id % 5 AS VARCHAR)
+        || '">rel</a><a href="https://site'
+        || CAST((doc_id * 7 + 0) % 40 AS VARCHAR) || '.example.org/p/'
+        || CAST(doc_id % 97 AS VARCHAR) || '">a</a><img src="https://cdn'
+        || CAST(doc_id % 3 AS VARCHAR) || '.example.net/i.png"><a href="https://site'
+        || CAST((doc_id * 7 + 13) % 40 AS VARCHAR) || '.example.org/p/'
+        || CAST(doc_id % 97 AS VARCHAR) || '">b</a><a href="mailto:x@example.com">m</a>'
+        || '<a rel="x" href="https://site'
+        || CAST((doc_id * 7 + 26) % 40 AS VARCHAR) || '.example.org/p/'
+        || CAST(doc_id % 97 AS VARCHAR) || '">c</a></body></html>' AS html
+      FROM documents),
+    links AS (
+      SELECT source || '.' || lang || '-site.org' AS src_host,
+        unnest(regexp_extract_all(html, '<a [^>]*href="([^"]+)"', 1)) AS href
+      FROM h),
+    abs_links AS (
+      SELECT src_host,
+        regexp_extract(href, '^https?://([^/:?#]+)', 1) AS dst_host
+      FROM links WHERE regexp_matches(href, '^https?://'))
+    SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+    FROM abs_links GROUP BY src_host, dst_host
+    """,
+)
+def web_link_graph(spark, sf_dir):
+    """WARC→link-graph derivation — the step between HTML extraction and
+    host-level PageRank (the public Common Crawl host ranking recipe):
+    anchors are pulled from (deterministically synthesized) HTML with
+    the same ``<a href>`` regexp on both engines, relative/mailto links
+    are dropped (absolute http(s) only — the ``<img src>`` and
+    ``href="/local/…"`` decoys prove the matcher's selectivity), hosts
+    are extracted, and edges aggregate to ``(src_host, dst_host,
+    n_links)`` — the weighted adjacency list
+    ``operators/graph.pagerank_distributed`` consumes directly.  Scale
+    shape: regexp explode is a JVM map stage; the only shuffle is the
+    final edge-key aggregate, partial-agg'd map-side because duplicate
+    (src, dst) pairs collapse before the exchange."""
+    docs = t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    m = lambda k: (F.col("doc_id") % k).cast("string")  # noqa: E731
+    site = lambda off: F.concat(  # noqa: E731
+        F.lit("https://site"),
+        ((F.col("doc_id") * 7 + off) % 40).cast("string"),
+        F.lit(".example.org/p/"),
+        m(97),
+    )
+    html = F.concat(
+        F.lit("<html><body><p>Doc "),
+        i,
+        F.lit('</p><a class="nav" href="/local/'),
+        m(5),
+        F.lit('">rel</a><a href="'),
+        site(0),
+        F.lit('">a</a><img src="https://cdn'),
+        m(3),
+        F.lit('.example.net/i.png"><a href="'),
+        site(13),
+        F.lit('">b</a><a href="mailto:x@example.com">m</a><a rel="x" href="'),
+        site(26),
+        F.lit('">c</a></body></html>'),
+    )
+    links = docs.select(
+        F.concat(
+            F.col("source"), F.lit("."), F.col("lang"), F.lit("-site.org")
+        ).alias("src_host"),
+        F.explode(
+            F.regexp_extract_all(html, F.lit('<a [^>]*href="([^"]+)"'), 1)
+        ).alias("href"),
+    )
+    return (
+        links.filter(F.col("href").rlike(r"^https?://"))
+        .select(
+            "src_host",
+            F.regexp_extract("href", r"^https?://([^/:?#]+)", 1).alias(
+                "dst_host"
+            ),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+@register(
     "html_extract_text",
     oracle="""
     WITH h AS (

@@ -196,3 +196,75 @@ def test_domain_caps_topk_matches_plain_window(spark):
         .collect()
     }
     assert got == exp and len(got) == 125
+
+
+def test_url_filter_rules_cascade(spark):
+    """Every rule fires on its known doc_id subset, first-match-wins:
+    a pure-Python re-derivation of the cascade over the fixture docs
+    must match the engine's per-rule counts exactly."""
+    import re
+
+    from processo_etl_spark.plans import web
+
+    got = {
+        r["rule"]: r["n_urls"]
+        for r in web.url_filter_rules(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source"
+    ).collect()
+    exp: dict[str, int] = {}
+    for row in docs:
+        d, src = row["doc_id"], row["source"]
+        scheme = "ftp" if d % 11 == 0 else ("http" if d % 3 == 0 else "https")
+        dom = ".bad-ads.example" if d % 13 == 0 else ".example.org"
+        path = "/seg" * (d % 9) + ("/spam-offer" if d % 17 == 0 else "/page")
+        url = (
+            f"{scheme}://www.{src}{d % 200}{dom}{path}"
+            + ("?pad=" + "x" * 150 if d % 19 == 0 else "")
+        )
+        host = re.match(r"^[a-z]+://([^/:?#]+)", url).group(1)
+        reg = re.search(r"([^.]+\.[^.]+)$", host).group(1)
+        if scheme == "ftp":
+            rule = "scheme_not_http"
+        elif reg in ("bad-ads.example", "tracker.example"):
+            rule = "domain_blocklist"
+        elif "spam" in path:
+            rule = "banned_keyword"
+        elif path.count("/") > 6:
+            rule = "path_too_deep"
+        elif len(url) > 120:
+            rule = "url_too_long"
+        else:
+            rule = "kept"
+        exp[rule] = exp.get(rule, 0) + 1
+    assert got == exp
+    assert set(exp) == {
+        "scheme_not_http", "domain_blocklist", "banned_keyword",
+        "path_too_deep", "url_too_long", "kept",
+    }  # every rule genuinely exercised by the fixture
+
+
+def test_web_link_graph_edges(spark):
+    """Anchor extraction keeps exactly the three absolute http(s) links
+    per doc (relative, mailto and <img src> decoys dropped) and edge
+    weights equal the Python re-derivation."""
+    from processo_etl_spark.plans import web
+
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in web.web_link_graph(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "lang"
+    ).collect()
+    exp: dict[tuple[str, str], int] = {}
+    n_links = 0
+    for row in docs:
+        src = f"{row['source']}.{row['lang']}-site.org"
+        for off in (0, 13, 26):
+            dst = f"site{(row['doc_id'] * 7 + off) % 40}.example.org"
+            exp[(src, dst)] = exp.get((src, dst), 0) + 1
+            n_links += 1
+    assert got == exp
+    assert sum(got.values()) == n_links == 3 * len(docs)
