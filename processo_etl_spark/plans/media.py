@@ -1,0 +1,78 @@
+"""Media near-duplicate queries — registry-TAIL module (added late r7).
+
+Extension surface beyond the reference (its data is tabular CSV;
+multimodal training corpora need content-level near-dup detection for
+images and audio, not just key-level dedup).  The image twin
+(``multimodal_phash_dedup``) registers in plans/mlops next to the other
+multimodal heads; THIS module exists so queries added after the r7
+window was pre-verified enter the rotation pool behind every existing
+candidate and cannot displace a verified slot (see the registry-tail
+note on ``_PLAN_MODULES``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from processo_etl_spark.plans import register
+
+
+@register(
+    "multimodal_audio_dedup",
+    oracle="""
+    WITH ids AS (SELECT unnest(generate_series(0, 95)) AS id),
+    ssq AS (
+      SELECT id,
+        list_transform(generate_series(0, 56), f ->
+          list_sum(list_transform(
+            list_transform(generate_series(0, 31), j ->
+              CAST(((id // 3) * 1103
+                + (f * 32 + j) * (f * 32 + j) * (7 + (id // 3) % 11)
+                + (f * 32 + j) * 31
+                + (CASE WHEN (f * 32 + j) % 13 = 0
+                        THEN (id % 3) * 800 ELSE 0 END)) % 65536 - 32768
+                AS BIGINT)),
+            s -> s * s))) AS e
+      FROM ids),
+    sigs AS (
+      SELECT id,
+        COALESCE(list_sum(list_transform(generate_series(0, 55), i ->
+          CASE WHEN e[i + 2] > e[i + 1]
+               THEN CAST(1 AS BIGINT) << i
+               ELSE CAST(0 AS BIGINT) END)), 0) AS sig
+      FROM ssq)
+    SELECT a.id AS id_a, b.id AS id_b,
+      CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.id < b.id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 5
+    """,
+)
+def multimodal_audio_dedup(spark, sf_dir):
+    """AUDIO near-duplicate detection, hash-graded end-to-end — the
+    acoustic twin of ``multimodal_phash_dedup``: a real PCM16LE
+    near-dup corpus (32 base clips × 3 perturbed variants,
+    ml/multimodal.synthesize_pcm_variants) is decoded by genuine byte
+    interpretation (``np.frombuffer``), fingerprinted by exact-integer
+    frame-energy deltas (``audio_fingerprint`` — 56 bits, the
+    Haitsma–Kalker shape), and paired by the shared exact-recall
+    pigeonhole banding (``ml/dedup.banded_hamming_pairs``, 6 bands for
+    Hamming ≤ 5).  The sample stream is closed-form and the signature
+    math all-integer, so the oracle re-derives every frame energy and
+    brute-forces all pairs in SQL — the decode, the framing, the bit
+    order, and the banding recall are each hash-graded.  By
+    construction the corpus separates (within-group Hamming ≤ 4,
+    cross-group ≥ 11), so the output is exactly the 96 true variant
+    pairs.  Scale shape: decode+fingerprint is one Arrow map stage;
+    candidates come from the banded equi-join — never all-pairs; at
+    100 TB compose with a coarse pre-key (duration bucket, sample
+    rate) exactly like the text and image paths.
+    """
+    from processo_etl_spark.ml import dedup, multimodal
+
+    media = multimodal.synthesize_pcm_variants(spark, n_groups=32, variants=3)
+    sig = (
+        multimodal.audio_fingerprint(media)
+        .select(F.col("media_id").alias("doc"), F.col("afp").alias("sig"))
+        .persist()
+    )
+    return dedup.banded_hamming_pairs(sig, sig_bits=56, max_hamming=5)

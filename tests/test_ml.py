@@ -2163,3 +2163,76 @@ def test_phash_variant_corpus_separation(spark):
         if bin(sigs[a] ^ sigs[b]).count("1") <= 4
     }
     assert got == truth and len(got) == 8 * 3
+
+
+def test_audio_fingerprint_spec(spark):
+    """Fingerprint bits match the documented integer frame-energy-delta
+    spec; NULL payloads yield NULL; short payloads zero-fill the frame
+    grid (trailing zero-energy frames compare deterministically)."""
+    import struct
+
+    frames, flen = 5, 4
+    samples = [100, -200, 3, 4, 5000, -5000, 1, 2, 7, 7, 7, 7]  # 3 of 5 frames
+    payload = struct.pack(f"<{len(samples)}h", *samples)
+    media = spark.createDataFrame(
+        [
+            (1, "audio/pcm16", bytearray(payload), None, None),
+            (2, "audio/pcm16", None, None, None),
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_id"]: r["afp"]
+        for r in multimodal.audio_fingerprint(
+            media, frames=frames, frame_len=flen
+        ).collect()
+    }
+    padded = samples + [0] * (frames * flen - len(samples))
+    e = [
+        sum(s * s for s in padded[i * flen : (i + 1) * flen])
+        for i in range(frames)
+    ]
+    exp = 0
+    for i in range(frames - 1):
+        if e[i + 1] > e[i]:
+            exp |= 1 << i
+    assert rows[1] == exp
+    assert rows[2] is None
+
+
+def test_pcm_variant_corpus_separation(spark):
+    """The synthesized PCM near-dup corpus separates as documented
+    (within-group Hamming <= 4, cross-group >= 11) and the Hamming-5
+    banded cut returns exactly the all-pairs truth."""
+    import itertools
+
+    media = multimodal.synthesize_pcm_variants(spark, n_groups=8, variants=3)
+    sigs = {
+        r["media_id"]: r["afp"]
+        for r in multimodal.audio_fingerprint(media).collect()
+    }
+    assert len(sigs) == 24 and all(v is not None for v in sigs.values())
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        h = bin(sigs[a] ^ sigs[b]).count("1")
+        if a // 3 == b // 3:
+            assert h <= 4, (a, b, h)
+        else:
+            assert h >= 11, (a, b, h)
+    sig_df = (
+        multimodal.audio_fingerprint(media)
+        .select(F.col("media_id").alias("doc"), F.col("afp").alias("sig"))
+        .persist()
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.banded_hamming_pairs(
+            sig_df, sig_bits=56, max_hamming=5
+        ).collect()
+    }
+    sig_df.unpersist()
+    truth = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 5
+    }
+    assert got == truth and len(got) == 8 * 3
