@@ -438,3 +438,53 @@ def test_rrf_fuse_matches_python_reference(spark, ranked_ids):
     assert set(got) == set(expect)
     for d, s in expect.items():
         assert got[d] == round(s, 10)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.randoms(use_true_random=False),
+)
+def test_pixel_grid_box_average_any_shape(w, h, rng):
+    """Pure-Python property (no Spark job): ``_pixel_grid`` round-trips
+    real PNG bytes for ANY image shape — the exact path returns the raw
+    pixels at 8x8, and every other shape matches an independent naive
+    integer-boundary box average (the same contract decode_image_png
+    documents, here verified cell-wise rather than per-column)."""
+    from processo_etl_spark.ml import multimodal, png
+
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    grid = multimodal._pixel_grid(png.encode_gray(px, w, h), 8)
+    assert len(grid) == 8 and all(len(row) == 8 for row in grid)
+    if (w, h) == (8, 8):
+        assert grid == [
+            [float(px[r * 8 + c]) for c in range(8)] for r in range(8)
+        ]
+        return
+    for r in range(8):
+        r0, r1 = r * h // 8, max((r + 1) * h // 8, r * h // 8 + 1)
+        for c in range(8):
+            c0, c1 = c * w // 8, max((c + 1) * w // 8, c * w // 8 + 1)
+            cells = [
+                px[rr * w + cc]
+                for rr in range(r0, min(r1, h))
+                for cc in range(c0, min(c1, w))
+            ]
+            exp = sum(cells) / len(cells) if cells else 0.0
+            assert grid[r][c] == exp, (w, h, r, c)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=64))
+def test_pixel_grid_total_on_arbitrary_bytes(payload):
+    """``_pixel_grid`` is total: None only for empty payloads, the
+    deterministic stub grid for any non-PNG bytes (including truncated
+    or corrupted PNG signatures), never an exception."""
+    from processo_etl_spark.ml import multimodal
+
+    grid = multimodal._pixel_grid(payload, 8)
+    if len(payload) == 0:
+        assert grid is None
+    else:
+        assert len(grid) == 8 and all(len(row) == 8 for row in grid)
