@@ -388,6 +388,116 @@ def web_link_graph(spark, sf_dir):
 
 
 @register(
+    "robots_rules_filter",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id, source || '.' || lang || '-site.org' AS host,
+        '/cat' || CAST(doc_id % 7 AS VARCHAR)
+        || '/item' || CAST(doc_id % 50 AS VARCHAR) AS path,
+        source, lang
+      FROM documents),
+    hosts AS (SELECT DISTINCT source, lang FROM documents),
+    rules AS (
+      SELECT source || '.' || lang || '-site.org' AS host,
+        '/cat' || CAST(length(source) % 7 AS VARCHAR) AS prefix,
+        false AS allow
+      FROM hosts
+      UNION ALL
+      SELECT source || '.' || lang || '-site.org',
+        '/cat' || CAST(length(source) % 7 AS VARCHAR)
+          || '/item' || CAST(length(lang) * 7 % 50 AS VARCHAR),
+        true
+      FROM hosts
+      UNION ALL
+      SELECT source || '.' || lang || '-site.org', '', true FROM hosts),
+    matched AS (
+      SELECT u.doc_id, u.host, r.allow,
+        row_number() OVER (PARTITION BY u.doc_id
+          ORDER BY length(r.prefix) DESC, r.allow DESC) AS rn
+      FROM urls u JOIN rules r
+        ON u.host = r.host AND u.path LIKE r.prefix || '%')
+    SELECT host, allow AS allowed, CAST(count(*) AS BIGINT) AS n_urls
+    FROM matched WHERE rn = 1
+    GROUP BY host, allow
+    """,
+)
+def robots_rules_filter(spark, sf_dir):
+    """robots.txt compliance filtering — longest-prefix-match rule
+    resolution (the Google REP tie-break: longest rule wins, Allow
+    beats Disallow on equal length), the gate between the URL frontier
+    and the fetcher in every public crawl pipeline.  Per-host rules are
+    synthesized deterministically (each host disallows one category
+    with one allowed item-level exception plus the root allow-all
+    fallback), URLs join their host's rules (BROADCAST — real robots
+    rule sets are tiny next to the frontier), prefix-match filters,
+    and the winner per URL is a lexicographic ``max(struct(length,
+    allow))`` — a plain combinable aggregate, no window over the
+    frontier.  The oracle resolves the same rules with a row_number
+    ordered (length DESC, allow DESC), an independent formulation of
+    the same tie-break.  Scale shape: frontier-side work is one
+    broadcast join + one groupBy(doc) partial-agg'd max; nothing
+    scales with |rules| × |frontier| beyond the per-host match.
+    """
+    docs = t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.col("source"), F.lit("."), F.col("lang"), F.lit("-site.org")
+    )
+    urls_df = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.concat(
+            F.lit("/cat"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("/item"),
+            (F.col("doc_id") % 50).cast("string"),
+        ).alias("path"),
+    )
+    cat = (F.length("source") % 7).cast("string")
+    item = (F.length("lang") * 7 % 50).cast("string")
+    rules = (
+        docs.select("source", "lang")
+        .distinct()
+        .select(
+            host.alias("host"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("/cat"), cat).alias("prefix"),
+                        F.lit(False).alias("allow"),
+                    ),
+                    F.struct(
+                        F.concat(
+                            F.lit("/cat"), cat, F.lit("/item"), item
+                        ).alias("prefix"),
+                        F.lit(True).alias("allow"),
+                    ),
+                    F.struct(F.lit("").alias("prefix"), F.lit(True).alias("allow")),
+                )
+            ).alias("rule"),
+        )
+        .select("host", F.col("rule.prefix"), F.col("rule.allow"))
+    )
+    winners = (
+        urls_df.join(F.broadcast(rules), "host")
+        .filter(F.col("path").startswith(F.col("prefix")))
+        .groupBy("doc_id", "host")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("prefix").alias("l"),
+                    F.col("allow").alias("a"),
+                )
+            ).alias("w")
+        )
+    )
+    return (
+        winners.select("host", F.col("w.a").alias("allowed"))
+        .groupBy("host", "allowed")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+
+
+@register(
     "html_extract_text",
     oracle="""
     WITH h AS (

@@ -268,3 +268,35 @@ def test_web_link_graph_edges(spark):
             n_links += 1
     assert got == exp
     assert sum(got.values()) == n_links == 3 * len(docs)
+
+
+def test_robots_rules_longest_prefix_tiebreak(spark):
+    """Longest-prefix-match semantics (Allow beats Disallow on equal
+    length): a Python re-derivation of the per-URL winner over the
+    fixture matches the engine's per-host verdict counts, and both
+    verdicts genuinely occur (the blocked category minus its allowed
+    item-level exception)."""
+    from processo_etl_spark.plans import web
+
+    got = {
+        (r["host"], r["allowed"]): r["n_urls"]
+        for r in web.robots_rules_filter(spark, SF).collect()
+    }
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "lang"
+    ).collect()
+    exp: dict[tuple[str, bool], int] = {}
+    for row in docs:
+        d, src, lang = row["doc_id"], row["source"], row["lang"]
+        host = f"{src}.{lang}-site.org"
+        path = f"/cat{d % 7}/item{d % 50}"
+        rules = [
+            (f"/cat{len(src) % 7}", False),
+            (f"/cat{len(src) % 7}/item{len(lang) * 7 % 50}", True),
+            ("", True),
+        ]
+        matches = [(len(p), a) for p, a in rules if path.startswith(p)]
+        allowed = max(matches)[1]  # (length, allow) lexicographic
+        exp[(host, allowed)] = exp.get((host, allowed), 0) + 1
+    assert got == exp
+    assert {a for (_, a) in got} == {True, False}
