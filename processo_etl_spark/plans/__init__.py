@@ -150,8 +150,9 @@ _ROTATION_HEADS = (
     # r8 promotion commitment (the r6→r7 pattern): the web-corpus heads
     # added mid-r7 (plans/web.py — warc_ingest, url_canonicalize_dedup,
     # domain_caps_topk, html_extract_text, url_filter_rules,
-    # web_link_graph, robots_rules_filter) and the audio near-dup head (plans/media.py —
-    # multimodal_audio_dedup) are registry-TAIL entries this round so
+    # web_link_graph, robots_rules_filter) and the media heads
+    # (plans/media.py — multimodal_audio_dedup, multimodal_resize, multimodal_keyframes)
+    # are registry-TAIL entries this round so
     # they cannot displace the pre-verified r7 window; append them HERE at r8
     # start so the newest least-proven code is graded next round, then
     # re-pre-verify the exact r8 window at sf0.01.  (The image near-dup

@@ -2295,3 +2295,37 @@ def test_decode_pixels_roundtrip_and_skip(spark):
     for r in range(3):
         for c in range(4):
             assert got[(r, c)] == px[r * 4 + c]
+
+
+def test_keyframe_detect_spec(spark):
+    """Keyframe rules: frame 0 is always a keyframe with NULL energy,
+    energies are exact |delta| sums vs the previous frame, a trailing
+    partial frame is ignored, and NULL/short payloads emit nothing."""
+    fb = 4
+    frames = [
+        [10, 20, 30, 40],
+        [10, 20, 30, 41],   # diff 1
+        [200, 20, 30, 41],  # diff 190
+        [0, 0, 0, 0],       # diff 200+20+30+41 = 291
+    ]
+    payload = bytes(b for f in frames for b in f) + b"\x07\x07"  # partial tail
+    media = spark.createDataFrame(
+        [
+            (1, "video/raw", bytearray(payload), None, None),
+            (2, "video/raw", None, None, None),
+            (3, "video/raw", bytearray(b"\x01"), None, None),  # < one frame
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rows = {
+        r["frame_index"]: r
+        for r in multimodal.keyframe_detect(
+            media, frame_bytes=fb, threshold=100
+        ).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3}
+    assert all(r["media_id"] == 1 for r in rows.values())
+    assert rows[0]["diff_energy"] is None and rows[0]["is_key"] is True
+    assert rows[1]["diff_energy"] == 1 and rows[1]["is_key"] is False
+    assert rows[2]["diff_energy"] == 190 and rows[2]["is_key"] is True
+    assert rows[3]["diff_energy"] == 291 and rows[3]["is_key"] is True
