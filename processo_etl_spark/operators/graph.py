@@ -252,6 +252,78 @@ def pagerank_auto(
     return pagerank_distributed(edges, damping, iterations)
 
 
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS weighted label propagation
+    (Raghavan et al. 2007), made fully deterministic: every node starts
+    labeled with itself; each round every node adopts the label with
+    the highest total incident edge weight among its neighbors' current
+    labels, ties broken by the SMALLEST label.  Fixed iteration count —
+    like the PageRank replay, determinism comes from pinning the
+    schedule (synchronous, k rounds), not from convergence detection,
+    so a SQL oracle can replay every round exactly.
+
+    Scale shape (the ``connected_components`` loop template): the
+    undirected neighbor view is built once, weight-combined and
+    persisted; each round is ONE equi-join (labels onto the neighbor
+    side) + TWO combinable groupBys (vote sum per (node, label), then
+    argmax per node as ``min(struct(-votes, label))`` — no windows, no
+    driver collect, all-integer arithmetic).  ``localCheckpoint``
+    truncates lineage per round.  Votes are exact int64 sums, so any
+    engine agrees bit-for-bit.
+
+    Returns (node, community) — community = the converged label.
+    """
+    nb = (
+        edges.select(
+            F.col(src).alias("node"),
+            F.col(dst).alias("nbr"),
+            F.col(w).cast("long").alias("wt"),
+        )
+        .unionAll(
+            edges.select(
+                F.col(dst).alias("node"),
+                F.col(src).alias("nbr"),
+                F.col(w).cast("long").alias("wt"),
+            )
+        )
+        .groupBy("node", "nbr")
+        .agg(F.sum("wt").alias("wt"))
+        .repartition("nbr")
+        .persist()
+    )
+    labels = (
+        nb.select("node").distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(iterations):
+        votes = (
+            nb.join(
+                labels.withColumnRenamed("node", "nbr"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.sum("wt").alias("v"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("v")).alias("nv"), F.col("label").alias("l")
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.l").alias("label"))
+            .localCheckpoint()
+        )
+    nb.unpersist()
+    return labels.select("node", F.col("label").alias("community"))
+
+
 def cooccurrence_edges(
     df: DataFrame, group_col: str, item_col: str
 ) -> DataFrame:

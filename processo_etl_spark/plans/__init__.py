@@ -61,6 +61,7 @@ _PLAN_MODULES = (
     "incremental",
     "web",
     "media",
+    "privacy",
 )
 
 # Driver-visibility window (VERDICT r1 #1, rotated per VERDICT r4 #1): the
@@ -150,8 +151,11 @@ _ROTATION_HEADS = (
     # r8 promotion commitment (the r6→r7 pattern): the web-corpus heads
     # added mid-r7 (plans/web.py — warc_ingest, url_canonicalize_dedup,
     # domain_caps_topk, html_extract_text, url_filter_rules,
-    # web_link_graph, robots_rules_filter) and the media heads
+    # web_link_graph, robots_rules_filter, anchor_text_topk,
+    # domain_quality_stats, graph_communities_lpa), the media heads
     # (plans/media.py — multimodal_audio_dedup, multimodal_resize, multimodal_keyframes)
+    # and the privacy heads (plans/privacy.py — k_anonymity_audit,
+    # l_diversity_audit, k_suppress_small_groups)
     # are registry-TAIL entries this round so
     # they cannot displace the pre-verified r7 window; append them HERE at r8
     # start so the newest least-proven code is graded next round, then

@@ -575,3 +575,220 @@ def html_extract_text(spark, sf_dir):
         F.size(F.split(txt, " ")).cast("long").alias("n_tokens"),
         F.substring(txt, 1, 20).alias("prefix"),
     )
+
+
+@register(
+    "anchor_text_topk",
+    oracle="""
+    WITH h AS (
+      SELECT
+        '<a href="https://site' || CAST((doc_id * 7) % 40 AS VARCHAR)
+        || '.example.org/p">'
+        || (['alpha','beta','gamma','delta','epsilon'])[doc_id % 5 + 1]
+        || ' guide</a><a href="https://site'
+        || CAST((doc_id * 13 + 5) % 40 AS VARCHAR) || '.example.org/q">'
+        || (['alpha','beta','gamma'])[doc_id % 3 + 1]
+        || ' docs</a>' AS html
+      FROM documents),
+    el AS (
+      SELECT unnest(regexp_extract_all(
+        html, '<a href="[^"]+">[^<]*</a>')) AS e
+      FROM h),
+    agg AS (
+      SELECT regexp_extract(e, 'https?://([^/"]+)', 1) AS dst_host,
+        regexp_extract(e, '>([^<]*)<', 1) AS anchor_text,
+        CAST(count(*) AS BIGINT) AS n
+      FROM el GROUP BY 1, 2)
+    SELECT dst_host, anchor_text, n, CAST(rn AS INTEGER) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY dst_host
+        ORDER BY n DESC, anchor_text) AS rn
+      FROM agg)
+    WHERE rn <= 2
+    """,
+)
+def anchor_text_topk(spark, sf_dir):
+    """Anchor-text aggregation — the classic off-page description
+    signal (anchor words pointing AT a page describe it better than
+    the page itself; the public web-search/WebText recipe for titling
+    and quality-weighting crawl targets): ``<a href>text</a>`` elements
+    are pulled from deterministically synthesized HTML, (target host,
+    anchor text) pairs aggregate, and each host keeps its top-2 anchor
+    texts by (count DESC, text) via the salted two-stage
+    ``grouped_topk`` — a celebrity target (every page links to it)
+    never serializes into one task.  The oracle is the single-window
+    row_number the two-stage plan provably equals, over an independent
+    DuckDB re-extraction of the same elements.  Scale shape: regexp
+    explode is a JVM map stage; one combinable pair aggregate; the
+    top-k never shuffles the corpus, only the |hosts × texts| pair
+    table."""
+    docs = t(spark, sf_dir, "documents")
+    words5 = F.array(*[F.lit(x) for x in
+                       ("alpha", "beta", "gamma", "delta", "epsilon")])
+    words3 = F.array(*[F.lit(x) for x in ("alpha", "beta", "gamma")])
+    html = F.concat(
+        F.lit('<a href="https://site'),
+        ((F.col("doc_id") * 7) % 40).cast("string"),
+        F.lit('.example.org/p">'),
+        F.element_at(words5, (F.col("doc_id") % 5 + 1).cast("int")),
+        F.lit(' guide</a><a href="https://site'),
+        ((F.col("doc_id") * 13 + 5) % 40).cast("string"),
+        F.lit('.example.org/q">'),
+        F.element_at(words3, (F.col("doc_id") % 3 + 1).cast("int")),
+        F.lit(" docs</a>"),
+    )
+    el = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                html, F.lit('(<a href="[^"]+">[^<]*</a>)'), 1
+            )
+        ).alias("e")
+    )
+    agg = (
+        el.select(
+            F.regexp_extract("e", r'https?://([^/"]+)', 1).alias("dst_host"),
+            F.regexp_extract("e", r">([^<]*)<", 1).alias("anchor_text"),
+        )
+        .groupBy("dst_host", "anchor_text")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return ranking.grouped_topk(
+        agg,
+        ["dst_host"],
+        [F.col("n").desc(), F.col("anchor_text").asc()],
+        k=2,
+        salt_key="anchor_text",
+    ).select("dst_host", "anchor_text", "n", "rk")
+
+
+@register(
+    "domain_quality_stats",
+    oracle="""
+    SELECT source || '.' || lang || '-site.org' AS domain,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+      CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) AS dup_share,
+      CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars,
+      CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) AS short_share
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def domain_quality_stats(spark, sf_dir):
+    """Domain-level curation signals — the FineWeb/CCNet move of
+    deciding keep/drop/cap at the REGISTERED-DOMAIN grain before
+    paying per-document costs: per domain, document count, exact
+    content-fingerprint (md5) distinct count, duplicate share,
+    mean length, and short-doc share.  Every ratio is a double
+    division of exact int64 counts, so both engines agree
+    bit-for-bit.  Scale shape: ONE combinable groupBy over the
+    corpus (count-distinct of a 128-bit fingerprint is the only
+    shuffle-heavy aggregate — at 100 TB swap in the HLL sketch
+    column of ``hll_daily_merge_distinct`` for an approximate
+    twin); output is |domains| rows — the curation table a human
+    reviews."""
+    docs = t(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    u = F.countDistinct(F.md5("text"))
+    return (
+        docs.groupBy(
+            F.concat(
+                F.col("source"), F.lit("."), F.col("lang"), F.lit("-site.org")
+            ).alias("domain")
+        )
+        .agg(
+            n.alias("n_docs"),
+            u.alias("n_unique"),
+            ((n - u).cast("double") / n.cast("double")).alias("dup_share"),
+            (F.sum("n_chars").cast("double") / n.cast("double")).alias(
+                "avg_chars"
+            ),
+            (
+                F.sum(
+                    F.when(F.col("n_chars") < 200, F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                / n.cast("double")
+            ).alias("short_share"),
+        )
+    )
+
+
+def _lpa_oracle(iterations: int) -> str:
+    """Replay oracle for ``graph_communities_lpa``: the planted-cluster
+    edge synthesis plus one CTE per synchronous LPA round (vote sum →
+    row_number argmax with (votes DESC, label) — the same winner as the
+    Spark side's ``min(struct(-v, label))``)."""
+    its = []
+    for k in range(1, iterations + 1):
+        its.append(f"""
+    it{k} AS (
+      SELECT node, label FROM (
+        SELECT nb.node, l.label, sum(nb.wt) AS v,
+          row_number() OVER (PARTITION BY nb.node
+            ORDER BY sum(nb.wt) DESC, l.label) AS rn
+        FROM nb JOIN it{k - 1} l ON nb.nbr = l.node
+        GROUP BY nb.node, l.label) t
+      WHERE rn = 1)""")
+    return f"""
+    WITH e0 AS (
+      SELECT (doc_id % 6) * 10 + (doc_id * 7 + 1) % 10 AS src,
+             (doc_id % 6) * 10 + (doc_id * 11 + 3) % 10 AS dst
+      FROM documents
+      WHERE (doc_id * 7 + 1) % 10 <> (doc_id * 11 + 3) % 10
+      UNION ALL
+      SELECT (doc_id % 6) * 10 + (doc_id * 7 + 1) % 10,
+             (((doc_id % 6) + 1) % 6) * 10 + (doc_id * 11 + 3) % 10
+      FROM documents WHERE doc_id % 101 = 0),
+    eg AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+      FROM e0 GROUP BY 1, 2),
+    nb AS (
+      SELECT node, nbr, CAST(sum(w) AS BIGINT) AS wt FROM (
+        SELECT src AS node, dst AS nbr, w FROM eg
+        UNION ALL SELECT dst, src, w FROM eg) u
+      GROUP BY 1, 2),
+    it0 AS (SELECT DISTINCT node, node AS label FROM nb),{",".join(its)}
+    SELECT node, label AS community FROM it{iterations}
+    """
+
+
+@register("graph_communities_lpa", oracle=_lpa_oracle(3))
+def graph_communities_lpa(spark, sf_dir):
+    """Community detection over a host graph by deterministic weighted
+    label propagation (operators/graph.label_propagation — Raghavan et
+    al. 2007, synchronized + min-label tie-break so a SQL oracle can
+    replay every round): a planted-cluster graph is synthesized from
+    ``documents`` (6 clusters × 10 nodes; dense intra-cluster edges
+    from every doc, sparse doc_id%101 cross-cluster bridges), edges
+    weight-aggregate, and 3 LPA rounds run as join+groupBy supersteps.
+    The oracle re-derives the synthesis and replays the 3 rounds with
+    window-argmax CTEs, so the undirected weight combine, the vote
+    sums, and the (votes DESC, label ASC) tie-break are each graded
+    exactly.  Scale shape: per round ONE equi-join on the (persisted,
+    pre-partitioned) neighbor view + two combinable groupBys — the
+    ``connected_components``/PageRank superstep template; nothing
+    collects to the driver, so the plan holds on billion-node host
+    graphs where LPA is the standard cheap community pass."""
+    from processo_etl_spark.operators import graph
+
+    docs = t(spark, sf_dir, "documents")
+    c = F.col("doc_id") % 6
+    i = (F.col("doc_id") * 7 + 1) % 10
+    j = (F.col("doc_id") * 11 + 3) % 10
+    intra = docs.filter(i != j).select(
+        (c * 10 + i).alias("src"), (c * 10 + j).alias("dst")
+    )
+    cross = docs.filter(F.col("doc_id") % 101 == 0).select(
+        (c * 10 + i).alias("src"),
+        (((c + 1) % 6) * 10 + j).alias("dst"),
+    )
+    edges = (
+        intra.unionAll(cross)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return graph.label_propagation(edges, iterations=3)

@@ -1,0 +1,98 @@
+"""Privacy-risk auditing for training corpora: k-anonymity and
+l-diversity over quasi-identifier projections, plus small-group
+suppression — the release-side complement of ``text_scrub_pii``
+(which removes inline identifiers; these measure and enforce
+JOINT re-identifiability of the remaining attribute combinations).
+
+Public basis: Sweeney 2002 (k-anonymity — a row is k-anonymous when
+its quasi-identifier tuple is shared by ≥ k rows) and Machanavajjhala
+et al. 2007 (l-diversity — each QI group must carry ≥ l distinct
+sensitive values, or the group's sensitive attribute leaks even at
+high k).  Both audits are a single combinable groupBy over the QI
+tuple followed by a |distinct-k|-row histogram — no windows, no
+driver loops; the shape is identical at 100 TB.
+
+Extension surface beyond the reference (dag.py keeps raw customer
+attributes through the star build with no release audit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+
+def _k_bucket(k: Column) -> Column:
+    """Re-identifiability bands: '1' is a unique (directly linkable)
+    row; the open '10+' band is conventionally releasable."""
+    return (
+        F.when(k == 1, F.lit("1"))
+        .when(k <= 4, F.lit("2-4"))
+        .when(k <= 9, F.lit("5-9"))
+        .otherwise(F.lit("10+"))
+    )
+
+
+def k_anonymity_histogram(df: DataFrame, qi_cols: list[str]) -> DataFrame:
+    """(k_bucket, n_groups, n_rows): distribution of QI-group sizes.
+
+    ``n_rows`` in bucket '1' counts rows that are UNIQUE on the QI
+    tuple — each is re-identifiable by anyone holding the same
+    attributes (Sweeney's linkage attack).  Two shuffles total: the
+    QI groupBy (map-side partial agg) and a histogram over the group
+    table, which is ≤ |distinct QI| rows — bounded by the attribute
+    domain product, not the corpus."""
+    sizes = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("k"))
+    return (
+        sizes.groupBy(_k_bucket(F.col("k")).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("k").alias("n_rows"),
+        )
+    )
+
+
+def l_diversity_histogram(
+    df: DataFrame, qi_cols: list[str], sensitive_col: str
+) -> DataFrame:
+    """(l_distinct, n_groups, n_rows): how many distinct SENSITIVE
+    values each QI group carries.  ``l_distinct = 1`` groups leak the
+    sensitive attribute outright no matter how large k is (the
+    homogeneity attack l-diversity was introduced against)."""
+    sizes = df.groupBy(*qi_cols).agg(
+        F.countDistinct(sensitive_col).alias("l"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return sizes.groupBy(F.col("l").cast("int").alias("l_distinct")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n").alias("n_rows"),
+    )
+
+
+def suppress_small_groups(
+    df: DataFrame, qi_cols: list[str], k: int
+) -> DataFrame:
+    """Enforcement: NULL every quasi-identifier on rows whose QI group
+    has fewer than ``k`` members, so no released tuple is shared by
+    fewer than k rows; adds a ``suppressed`` flag.  Non-QI columns
+    pass through untouched.
+
+    Scale shape: group sizes are one combinable groupBy; re-attaching
+    them is a plain equi-join on the QI tuple (NOT a partitioned
+    window — a celebrity QI group would serialize into one task's
+    sort).  AQE broadcasts the size table when the QI domain is
+    dimension-sized."""
+    sizes = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("_qi_n"))
+    small = F.col("_qi_n") < k
+    out_cols = [
+        (
+            F.when(small, F.lit(None)).otherwise(F.col(c)).alias(c)
+            if c in qi_cols
+            else F.col(c)
+        )
+        for c in df.columns
+    ]
+    return (
+        df.join(sizes, qi_cols)
+        .select(*out_cols, small.alias("suppressed"))
+    )

@@ -300,3 +300,48 @@ def test_robots_rules_longest_prefix_tiebreak(spark):
         exp[(host, allowed)] = exp.get((host, allowed), 0) + 1
     assert got == exp
     assert {a for (_, a) in got} == {True, False}
+
+
+# ------------------------------------------------- label propagation
+
+
+def test_label_propagation_planted_communities(spark):
+    """Two triangles bridged by one weak edge: LPA keeps them as two
+    communities labeled by each triangle's min node."""
+    from processo_etl_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [
+            # triangle A: 1-2-3 (heavy)
+            (1, 2, 5), (2, 3, 5), (1, 3, 5),
+            # triangle B: 10-11-12 (heavy)
+            (10, 11, 5), (11, 12, 5), (10, 12, 5),
+            # weak bridge
+            (3, 10, 1),
+        ],
+        ["src", "dst", "w"],
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in graph.label_propagation(edges, iterations=4).collect()
+    }
+    assert {got[1], got[2], got[3]} == {1}
+    assert {got[10], got[11], got[12]} == {10}
+
+
+def test_label_propagation_tiebreak_smallest_label(spark):
+    """Equal vote weight → the SMALLEST label wins (the determinism
+    contract the replay oracle depends on)."""
+    from processo_etl_spark.operators import graph
+
+    # node 5 sees labels 1 and 9 with equal weight after round 1
+    edges = spark.createDataFrame(
+        [(1, 5, 3), (9, 5, 3)], ["src", "dst", "w"]
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in graph.label_propagation(edges, iterations=1).collect()
+    }
+    assert got[5] == 1
+    # endpoints adopt 5's initial label in the same synchronous round
+    assert got[1] == 5 and got[9] == 5
