@@ -978,3 +978,180 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 32) -> DataFrame:
             )
         ).alias("frame_index"),
     )
+
+
+def synthesize_pcm_padded(
+    spark,
+    n: int = 96,
+    frames: int = 32,
+    frame_len: int = 32,
+) -> DataFrame:
+    """Deterministic PCM16LE clips with silence padding: clip ``id``
+    carries ``id % 7`` leading and ``id % 5`` trailing silent frames
+    (low-level noise, amplitude ≤ 2 — real silence is never exactly
+    zero) around a voiced region whose samples are
+    ``((id*31 + k*17) % 4096) + 512`` — every term closed-form so a
+    SQL oracle re-derives each frame's energy exactly."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        total = frames * frame_len
+
+        def make(mid: int) -> bytes:
+            k = np.arange(total, dtype=np.int64)
+            f = k // frame_len
+            voiced = (f >= mid % 7) & (f < frames - mid % 5)
+            s = np.where(voiced, (mid * 31 + k * 17) % 4096 + 512, k % 3)
+            return s.astype("<i2").tobytes()
+
+        for pdf in it:
+            ids = pdf["id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "audio/pcm16",
+                    "payload": ids.map(make),
+                    "width": pd.Series([None] * len(ids), dtype="Int32"),
+                    "height": pd.Series([None] * len(ids), dtype="Int32"),
+                }
+            )
+
+    return spark.range(n).mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+SILENCE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames_voiced", IntegerType(), True),
+        StructField("trim_start_samples", LongType(), True),
+        StructField("kept_samples", LongType(), True),
+    ]
+)
+
+
+def audio_silence_trim(
+    media: DataFrame,
+    frames: int = 32,
+    frame_len: int = 32,
+    threshold: int = 1000,
+) -> DataFrame:
+    """Energy-gated silence trimming — the VAD-lite preprocessing pass
+    every speech corpus runs before feature extraction (keep the voiced
+    span, drop lead/tail silence so downstream decode cost tracks
+    speech seconds, not recording seconds).  The PCM16LE payload is
+    framed, per-frame energy is the EXACT integer Σ|s| (no float), a
+    frame is voiced iff energy > ``threshold``, and the output states
+    the voiced span: first-voiced-frame offset and kept sample count
+    (first→last voiced inclusive — interior pauses are context, not
+    trimmable).  All-silent or NULL payloads yield NULL span columns
+    with ``n_frames_voiced = 0`` / NULL.
+
+    Scale shape: one Arrow ``mapInPandas`` stage, zero shuffles —
+    composable in the same pass as ``audio_fingerprint``.
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        total = frames * frame_len
+
+        def trim(p: bytes | None):
+            if p is None:
+                return None, None, None
+            s = np.zeros(total, dtype=np.int64)
+            raw = np.frombuffer(
+                p[: min(len(p) // 2 * 2, total * 2)], dtype="<i2"
+            ).astype(np.int64)
+            s[: raw.size] = raw
+            e = np.abs(s).reshape(frames, frame_len).sum(axis=1)
+            idx = np.nonzero(e > threshold)[0]
+            if idx.size == 0:
+                return 0, None, None
+            f0, f1 = int(idx[0]), int(idx[-1])
+            return (
+                int(idx.size),
+                f0 * frame_len,
+                (f1 - f0 + 1) * frame_len,
+            )
+
+        for pdf in it:
+            res = [trim(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames_voiced": pd.Series(
+                        [r[0] for r in res], dtype="Int32"
+                    ),
+                    "trim_start_samples": pd.Series(
+                        [r[1] for r in res], dtype="Int64"
+                    ),
+                    "kept_samples": pd.Series(
+                        [r[2] for r in res], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=SILENCE_SCHEMA)
+
+
+PNG_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("key", StringType(), True),
+        StructField("value", StringType(), True),
+    ]
+)
+
+
+def png_text_metadata(media: DataFrame) -> DataFrame:
+    """Typed-metadata extraction from the PNG container itself: walk the
+    chunk stream (CRC-verified, ml/png.text_chunks) and emit one row per
+    ``tEXt`` (keyword, value) pair plus the IHDR dimensions — the PNG
+    native equivalent of EXIF sidecar extraction, the step that turns an
+    opaque ``binary`` column into queryable metadata columns.  Non-PNG
+    or chunk-corrupt payloads yield a single row with NULL key/value —
+    quarantine-visible, never dropped silently.  One Arrow map stage,
+    zero shuffles."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct as _struct
+
+        import pandas as pd
+
+        from processo_etl_spark.ml import png
+
+        def rows(mid: int, p: bytes | None):
+            try:
+                if p is None:
+                    raise ValueError("null payload")
+                w, h = _struct.unpack_from(">II", p, 16)
+                pairs = png.text_chunks(p)
+            except (ValueError, _struct.error):
+                return [(mid, None, None, None, None)]
+            if not pairs:
+                return [(mid, w, h, None, None)]
+            return [(mid, w, h, k, v) for k, v in pairs]
+
+        for pdf in it:
+            out = [
+                r
+                for mid, p in zip(pdf["media_id"], pdf["payload"])
+                for r in rows(int(mid), p)
+            ]
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "key", "value"],
+            ).astype(
+                {
+                    "media_id": "int64",
+                    "width": "Int32",
+                    "height": "Int32",
+                }
+            )
+
+    return media.mapInPandas(batches, schema=PNG_META_SCHEMA)

@@ -31,11 +31,19 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_gray(pixels: bytes, width: int, height: int) -> bytes:
+def encode_gray(
+    pixels: bytes,
+    width: int,
+    height: int,
+    text: dict[str, str] | None = None,
+) -> bytes:
     """Encode ``width*height`` grayscale bytes (row-major) as a PNG.
 
     Filter type 0 (None) per scanline — the simplest valid stream; any
     spec-conforming decoder (including :func:`decode_gray`) reads it.
+    ``text`` adds standard ``tEXt`` metadata chunks (PNG spec §11.3.4:
+    latin-1 ``keyword\\0value``) between IHDR and IDAT, emitted in
+    sorted-key order so the byte stream is deterministic.
     """
     if len(pixels) != width * height:
         raise ValueError(
@@ -45,12 +53,45 @@ def encode_gray(pixels: bytes, width: int, height: int) -> bytes:
     raw = b"".join(
         b"\x00" + pixels[r * width : (r + 1) * width] for r in range(height)
     )
+    texts = b"".join(
+        _chunk(b"tEXt", k.encode("latin-1") + b"\x00" + v.encode("latin-1"))
+        for k, v in sorted((text or {}).items())
+    )
     return (
         SIGNATURE
         + _chunk(b"IHDR", ihdr)
+        + texts
         + _chunk(b"IDAT", zlib.compress(raw, 6))
         + _chunk(b"IEND", b"")
     )
+
+
+def text_chunks(payload: bytes) -> list[tuple[str, str]]:
+    """Extract ``tEXt`` metadata (keyword, value) pairs, in stream
+    order, CRC-verified — the metadata sidecar every image pipeline
+    carries (EXIF's role, in PNG's native chunk form).  Raises
+    ``ValueError`` on a non-PNG signature, a truncated chunk, or a CRC
+    mismatch; a PNG without tEXt chunks returns ``[]``."""
+    if not payload.startswith(SIGNATURE):
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(SIGNATURE)
+    out: list[tuple[str, str]] = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r}")
+        if tag == b"tEXt":
+            key, _, val = body.partition(b"\x00")
+            out.append((key.decode("latin-1"), val.decode("latin-1")))
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    return out
 
 
 def _paeth(a: int, b: int, c: int) -> int:

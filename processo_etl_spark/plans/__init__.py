@@ -153,7 +153,8 @@ _ROTATION_HEADS = (
     # domain_caps_topk, html_extract_text, url_filter_rules,
     # web_link_graph, robots_rules_filter, anchor_text_topk,
     # domain_quality_stats, graph_communities_lpa), the media heads
-    # (plans/media.py — multimodal_audio_dedup, multimodal_resize, multimodal_keyframes)
+    # (plans/media.py — multimodal_audio_dedup, multimodal_resize,
+    # multimodal_keyframes, multimodal_audio_silence, multimodal_png_meta)
     # and the privacy heads (plans/privacy.py — k_anonymity_audit,
     # l_diversity_audit, k_suppress_small_groups)
     # are registry-TAIL entries this round so

@@ -239,3 +239,122 @@ def multimodal_audio_dedup(spark, sf_dir):
         .persist()
     )
     return dedup.banded_hamming_pairs(sig, sig_bits=56, max_hamming=5)
+
+
+@register(
+    "multimodal_audio_silence",
+    oracle="""
+    WITH ids AS (SELECT unnest(generate_series(0, 95)) AS id),
+         fr AS (SELECT unnest(generate_series(0, 31)) AS f),
+    en AS (
+      SELECT id, f,
+        list_sum(list_transform(generate_series(0, 31), j ->
+          abs(CASE WHEN f >= id % 7 AND f < 32 - id % 5
+              THEN (id * 31 + (f * 32 + j) * 17) % 4096 + 512
+              ELSE (f * 32 + j) % 3 END))) AS e
+      FROM ids CROSS JOIN fr),
+    v AS (SELECT id, f FROM en WHERE e > 1000)
+    SELECT CAST(id AS BIGINT) AS media_id,
+      CAST(count(*) AS INTEGER) AS n_frames_voiced,
+      CAST(min(f) * 32 AS BIGINT) AS trim_start_samples,
+      CAST((max(f) - min(f) + 1) * 32 AS BIGINT) AS kept_samples
+    FROM v GROUP BY id
+    """,
+)
+def multimodal_audio_silence(spark, sf_dir):
+    """Energy-gated silence trimming (VAD-lite), hash-graded span-for-
+    span: 96 deterministic PCM16LE clips with ``id%7`` leading and
+    ``id%5`` trailing silent frames (amplitude ≤ 2 noise, never exact
+    zero) around a closed-form voiced region are decoded by genuine
+    byte interpretation and framed; per-frame energy is the exact
+    integer Σ|s|; a frame is voiced iff energy > 1000 (noise frames
+    ≤ 64, voiced frames ≥ 16384 — separated by construction), and the
+    graded output is the voiced span (first-voiced offset, kept sample
+    count, voiced-frame count).  The oracle re-derives every frame
+    energy from the sample formula, so the PCM decode, the framing,
+    the |s| fold, and the threshold gate are each graded on 96 spans.
+    Scale shape: one Arrow map stage, zero shuffles — the speech-corpus
+    preprocessing pass that makes downstream cost track speech seconds,
+    not recording seconds.
+    """
+    from processo_etl_spark.ml import multimodal
+
+    media = multimodal.synthesize_pcm_padded(spark, n=96)
+    return multimodal.audio_silence_trim(media)
+
+
+@register(
+    "multimodal_png_meta",
+    oracle="""
+    WITH ids AS (SELECT unnest(generate_series(0, 63)) AS id),
+         ks AS (SELECT unnest(['lang', 'title']) AS key)
+    SELECT CAST(id AS BIGINT) AS media_id,
+      CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+      key,
+      CASE WHEN key = 'title' THEN 'doc-' || CAST(id AS VARCHAR)
+           ELSE (['en', 'pt', 'es'])[id % 3 + 1] END AS value
+    FROM ids CROSS JOIN ks
+    """,
+)
+def multimodal_png_meta(spark, sf_dir):
+    """PNG tEXt metadata extraction, hash-graded pair-for-pair: 64
+    deterministic 8×8 grayscale PNGs are ENCODED with two standard
+    ``tEXt`` chunks each (title=doc-<id>, lang∈{en,pt,es} — written
+    between IHDR and IDAT in sorted-key order by the vendored codec),
+    then ``ml/multimodal.png_text_metadata`` walks the chunk stream
+    CRC-verified and emits one row per (keyword, value) pair plus the
+    IHDR dimensions.  The oracle states every pair closed-form, so the
+    chunk framing, the latin-1 keyword\\0value split, the CRC check,
+    and the IHDR parse are each graded on 128 rows — the EXIF-role
+    step that turns an opaque binary column into queryable metadata.
+    Scale shape: one Arrow map stage, zero shuffles.
+    """
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from processo_etl_spark.ml import multimodal
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("media_type", StringType(), True),
+            StructField("payload", BinaryType(), True),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+        ]
+    )
+
+    def synth(it):
+        import pandas as pd
+
+        from processo_etl_spark.ml import png
+
+        langs = ("en", "pt", "es")
+
+        def make(mid: int) -> bytes:
+            px = bytes((mid * 37 + k * 11) % 256 for k in range(64))
+            return png.encode_gray(
+                px, 8, 8,
+                text={"title": f"doc-{mid}", "lang": langs[mid % 3]},
+            )
+
+        for pdf in it:
+            ids = pdf["id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "image/png",
+                    "payload": ids.map(make),
+                    "width": 8,
+                    "height": 8,
+                }
+            )
+
+    media = spark.range(64).mapInPandas(synth, schema=schema)
+    return multimodal.png_text_metadata(media)

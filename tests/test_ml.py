@@ -2329,3 +2329,66 @@ def test_keyframe_detect_spec(spark):
     assert rows[1]["diff_energy"] == 1 and rows[1]["is_key"] is False
     assert rows[2]["diff_energy"] == 190 and rows[2]["is_key"] is True
     assert rows[3]["diff_energy"] == 291 and rows[3]["is_key"] is True
+
+
+def test_png_text_chunks_roundtrip_and_decode_interop():
+    """tEXt chunks round-trip; a metadata-carrying PNG still decodes
+    pixel-identically (decoder skips ancillary chunks); CRC corruption
+    is caught."""
+    import pytest
+
+    from processo_etl_spark.ml import png
+
+    px = bytes(range(64))
+    p = png.encode_gray(px, 8, 8, text={"b": "2", "a": "1"})
+    assert png.text_chunks(p) == [("a", "1"), ("b", "2")]  # sorted-key order
+    assert png.decode_gray(p) == (8, 8, px)
+    assert png.text_chunks(png.encode_gray(px, 8, 8)) == []
+    # flip a byte inside the first tEXt body -> CRC mismatch
+    i = p.index(b"tEXt") + 4
+    bad = p[:i] + bytes([p[i] ^ 0xFF]) + p[i + 1 :]
+    with pytest.raises(ValueError, match="CRC"):
+        png.text_chunks(bad)
+
+
+def test_audio_silence_trim_edge_cases(spark):
+    """All-silent -> voiced count 0 with NULL span; NULL payload ->
+    all-NULL; short payload zero-fills the frame grid."""
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from processo_etl_spark.ml import multimodal
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("media_type", StringType(), True),
+            StructField("payload", BinaryType(), True),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+        ]
+    )
+    loud_frame = (b"\x00\x40" * 32)  # 32 samples of 16384
+    rows = [
+        (0, "audio/pcm16", bytes(2048), None, None),  # all zeros
+        (1, "audio/pcm16", None, None, None),  # null payload
+        (2, "audio/pcm16", loud_frame, None, None),  # 1 frame, then pad
+    ]
+    media = spark.createDataFrame(rows, schema)
+    got = {
+        r["media_id"]: r
+        for r in multimodal.audio_silence_trim(media).collect()
+    }
+    assert got[0]["n_frames_voiced"] == 0
+    assert got[0]["trim_start_samples"] is None
+    assert got[1]["n_frames_voiced"] is None
+    assert got[1]["kept_samples"] is None
+    assert got[2]["n_frames_voiced"] == 1
+    assert got[2]["trim_start_samples"] == 0
+    assert got[2]["kept_samples"] == 32
