@@ -1046,7 +1046,9 @@ def audio_silence_trim(
     the voiced span: first-voiced-frame offset and kept sample count
     (first→last voiced inclusive — interior pauses are context, not
     trimmable).  All-silent or NULL payloads yield NULL span columns
-    with ``n_frames_voiced = 0`` / NULL.
+    with ``n_frames_voiced = 0`` / NULL.  ``frames`` is a MINIMUM grid:
+    short clips zero-fill up to it, longer clips extend it, so a voiced
+    tail past ``frames*frame_len`` is never silently cut.
 
     Scale shape: one Arrow ``mapInPandas`` stage, zero shuffles —
     composable in the same pass as ``audio_fingerprint``.
@@ -1056,17 +1058,19 @@ def audio_silence_trim(
         import numpy as np
         import pandas as pd
 
-        total = frames * frame_len
-
         def trim(p: bytes | None):
             if p is None:
                 return None, None, None
-            s = np.zeros(total, dtype=np.int64)
+            # the frame grid is a MINIMUM (short clips zero-fill up to
+            # it); longer clips extend the grid so a voiced tail past
+            # frames*frame_len is trimmed correctly, never silently cut
             raw = np.frombuffer(
-                p[: min(len(p) // 2 * 2, total * 2)], dtype="<i2"
+                p[: len(p) // 2 * 2], dtype="<i2"
             ).astype(np.int64)
+            n_frames = max(frames, -(-raw.size // frame_len))
+            s = np.zeros(n_frames * frame_len, dtype=np.int64)
             s[: raw.size] = raw
-            e = np.abs(s).reshape(frames, frame_len).sum(axis=1)
+            e = np.abs(s).reshape(n_frames, frame_len).sum(axis=1)
             idx = np.nonzero(e > threshold)[0]
             if idx.size == 0:
                 return 0, None, None
@@ -1119,8 +1123,6 @@ def png_text_metadata(media: DataFrame) -> DataFrame:
     zero shuffles."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import struct as _struct
-
         import pandas as pd
 
         from processo_etl_spark.ml import png
@@ -1129,9 +1131,13 @@ def png_text_metadata(media: DataFrame) -> DataFrame:
             try:
                 if p is None:
                     raise ValueError("null payload")
-                w, h = _struct.unpack_from(">II", p, 16)
+                # dims come from the validated FIRST-chunk IHDR (spec
+                # order), never a fixed byte offset — a signature-valid
+                # stream opening with some other chunk quarantines
+                # instead of mis-reading metadata bytes as dimensions.
+                w, h = png.ihdr_dims(p)
                 pairs = png.text_chunks(p)
-            except (ValueError, _struct.error):
+            except ValueError:
                 return [(mid, None, None, None, None)]
             if not pairs:
                 return [(mid, w, h, None, None)]

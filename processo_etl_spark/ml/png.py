@@ -31,6 +31,16 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
+def _text_chunk(key: str, value: str) -> bytes:
+    """One spec-valid ``tEXt`` chunk (PNG spec §11.3.4): keyword is
+    1–79 latin-1 bytes with no NUL (the NUL is the separator — a NUL
+    in the keyword would silently shift the split on read)."""
+    kb = key.encode("latin-1")
+    if not 1 <= len(kb) <= 79 or b"\x00" in kb:
+        raise ValueError(f"invalid tEXt keyword {key!r}")
+    return _chunk(b"tEXt", kb + b"\x00" + value.encode("latin-1"))
+
+
 def encode_gray(
     pixels: bytes,
     width: int,
@@ -42,8 +52,9 @@ def encode_gray(
     Filter type 0 (None) per scanline — the simplest valid stream; any
     spec-conforming decoder (including :func:`decode_gray`) reads it.
     ``text`` adds standard ``tEXt`` metadata chunks (PNG spec §11.3.4:
-    latin-1 ``keyword\\0value``) between IHDR and IDAT, emitted in
-    sorted-key order so the byte stream is deterministic.
+    latin-1 ``keyword\\0value``; keywords validated) between IHDR and
+    IDAT, emitted in sorted-key order so the byte stream is
+    deterministic.
     """
     if len(pixels) != width * height:
         raise ValueError(
@@ -54,8 +65,7 @@ def encode_gray(
         b"\x00" + pixels[r * width : (r + 1) * width] for r in range(height)
     )
     texts = b"".join(
-        _chunk(b"tEXt", k.encode("latin-1") + b"\x00" + v.encode("latin-1"))
-        for k, v in sorted((text or {}).items())
+        _text_chunk(k, v) for k, v in sorted((text or {}).items())
     )
     return (
         SIGNATURE
@@ -66,31 +76,57 @@ def encode_gray(
     )
 
 
+def iter_chunks(payload: bytes):
+    """CRC-verified chunk walk — THE single framing implementation
+    (``decode_gray``, ``text_chunks`` and ``ihdr_dims`` all consume
+    it, so validation behavior cannot fork).  Yields ``(tag, body)``
+    up to and including IEND.  Raises ``ValueError`` on a bad
+    signature, a CRC mismatch, or ANY truncation — inside a chunk
+    header, a body, or the CRC trailer — so a cut stream never
+    half-parses."""
+    if not payload.startswith(SIGNATURE):
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(SIGNATURE)
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated chunk")
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r}")
+        yield tag, body
+        if tag == b"IEND":
+            return
+        pos += 12 + length
+
+
+def ihdr_dims(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the IHDR chunk, which the spec requires to
+    be FIRST — a signature-valid stream whose first chunk is anything
+    else raises instead of mis-reading metadata bytes as dimensions."""
+    for tag, body in iter_chunks(payload):
+        if tag != b"IHDR" or len(body) != 13:
+            raise ValueError("first chunk is not a valid IHDR")
+        w, h = struct.unpack_from(">II", body, 0)
+        return w, h
+    raise ValueError("empty chunk stream")
+
+
 def text_chunks(payload: bytes) -> list[tuple[str, str]]:
     """Extract ``tEXt`` metadata (keyword, value) pairs, in stream
     order, CRC-verified — the metadata sidecar every image pipeline
     carries (EXIF's role, in PNG's native chunk form).  Raises
-    ``ValueError`` on a non-PNG signature, a truncated chunk, or a CRC
+    ``ValueError`` on a non-PNG signature, any truncation, or a CRC
     mismatch; a PNG without tEXt chunks returns ``[]``."""
-    if not payload.startswith(SIGNATURE):
-        raise ValueError("not a PNG (bad signature)")
-    pos = len(SIGNATURE)
     out: list[tuple[str, str]] = []
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + length]
-        if len(body) != length:
-            raise ValueError("truncated chunk")
-        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
-        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"bad CRC in {tag!r}")
+    for tag, body in iter_chunks(payload):
         if tag == b"tEXt":
             key, _, val = body.partition(b"\x00")
             out.append((key.decode("latin-1"), val.decode("latin-1")))
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
     return out
 
 
@@ -109,21 +145,12 @@ def decode_gray(payload: bytes) -> tuple[int, int, bytes]:
     verified.  Raises ``ValueError`` on any unsupported shape (color,
     16-bit, interlaced, truncated) — callers choose the fallback.
     """
-    if not payload.startswith(SIGNATURE):
-        raise ValueError("not a PNG (bad signature)")
-    pos = len(SIGNATURE)
     width = height = -1
     idat = bytearray()
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + length]
-        if len(body) != length:
-            raise ValueError("truncated chunk")
-        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
-        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"bad CRC in {tag!r}")
+    for tag, body in iter_chunks(payload):
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("bad IHDR length")
             width, height, depth, color, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
@@ -136,7 +163,6 @@ def decode_gray(payload: bytes) -> tuple[int, int, bytes]:
             idat += body
         elif tag == b"IEND":
             break
-        pos += 12 + length
     if width < 0:
         raise ValueError("missing IHDR")
     raw = zlib.decompress(bytes(idat))

@@ -278,6 +278,9 @@ def label_propagation(
     engine agrees bit-for-bit.
 
     Returns (node, community) — community = the converged label.
+    Self-loop edges are ignored (the standard LPA convention); a node
+    whose ONLY edges are self-loops is isolated and absent from the
+    output, like a node absent from the edge list.
     """
     nb = (
         edges.select(
@@ -292,6 +295,11 @@ def label_propagation(
                 F.col(w).cast("long").alias("wt"),
             )
         )
+        # standard LPA ignores self-loops: a kept (a, a) edge would
+        # appear in BOTH union branches (doubled weight) and let the
+        # node vote for its own label, freezing it out of its true
+        # community whenever the loop outweighs its strongest neighbor
+        .filter(F.col("node") != F.col("nbr"))
         .groupBy("node", "nbr")
         .agg(F.sum("wt").alias("wt"))
         .repartition("nbr")

@@ -50,26 +50,7 @@ def multimodal_resize(spark, sf_dir):
     pipeline runs before feature extraction, and the pixel dump points
     at thumbnails (w×h rows per image), never originals.
     """
-    from pyspark.sql.types import (
-        BinaryType,
-        IntegerType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
     from processo_etl_spark.ml import multimodal
-
-    schema = StructType(
-        [
-            StructField("media_id", LongType(), False),
-            StructField("media_type", StringType(), True),
-            StructField("payload", BinaryType(), True),
-            StructField("width", IntegerType(), True),
-            StructField("height", IntegerType(), True),
-        ]
-    )
 
     def synth(it):
         import pandas as pd
@@ -92,7 +73,7 @@ def multimodal_resize(spark, sf_dir):
                 }
             )
 
-    media = spark.range(64).mapInPandas(synth, schema=schema)
+    media = spark.range(64).mapInPandas(synth, schema=multimodal.MEDIA_SCHEMA)
     small = multimodal.resize_images(media, 8, 8)
     return multimodal.decode_pixels(small)
 
@@ -133,26 +114,7 @@ def multimodal_keyframes(spark, sf_dir):
     sampling, cutting decoded-frame volume to ~one per scene before
     the (expensive) per-frame decode stage.
     """
-    from pyspark.sql.types import (
-        BinaryType,
-        IntegerType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
     from processo_etl_spark.ml import multimodal
-
-    schema = StructType(
-        [
-            StructField("media_id", LongType(), False),
-            StructField("media_type", StringType(), True),
-            StructField("payload", BinaryType(), True),
-            StructField("width", IntegerType(), True),
-            StructField("height", IntegerType(), True),
-        ]
-    )
 
     def synth(it):
         import pandas as pd
@@ -176,7 +138,7 @@ def multimodal_keyframes(spark, sf_dir):
                 }
             )
 
-    media = spark.range(64).mapInPandas(synth, schema=schema)
+    media = spark.range(64).mapInPandas(synth, schema=multimodal.MEDIA_SCHEMA)
     return multimodal.keyframe_detect(media, frame_bytes=64, threshold=4000)
 
 
@@ -309,26 +271,7 @@ def multimodal_png_meta(spark, sf_dir):
     step that turns an opaque binary column into queryable metadata.
     Scale shape: one Arrow map stage, zero shuffles.
     """
-    from pyspark.sql.types import (
-        BinaryType,
-        IntegerType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
     from processo_etl_spark.ml import multimodal
-
-    schema = StructType(
-        [
-            StructField("media_id", LongType(), False),
-            StructField("media_type", StringType(), True),
-            StructField("payload", BinaryType(), True),
-            StructField("width", IntegerType(), True),
-            StructField("height", IntegerType(), True),
-        ]
-    )
 
     def synth(it):
         import pandas as pd
@@ -356,5 +299,5 @@ def multimodal_png_meta(spark, sf_dir):
                 }
             )
 
-    media = spark.range(64).mapInPandas(synth, schema=schema)
+    media = spark.range(64).mapInPandas(synth, schema=multimodal.MEDIA_SCHEMA)
     return multimodal.png_text_metadata(media)

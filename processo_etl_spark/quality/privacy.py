@@ -81,8 +81,21 @@ def suppress_small_groups(
     them is a plain equi-join on the QI tuple (NOT a partitioned
     window — a celebrity QI group would serialize into one task's
     sort).  AQE broadcasts the size table when the QI domain is
-    dimension-sized."""
-    sizes = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("_qi_n"))
+    dimension-sized.
+
+    The join is NULL-SAFE per QI column (``eqNullSafe``): groupBy
+    already treats NULL QI values as one group, and a plain equi-join
+    would silently DROP every row carrying a NULL quasi-identifier —
+    the exact rows a privacy release must still account for."""
+    sizes = (
+        df.groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).alias("_qi_n"))
+        .select(*[F.col(c).alias(f"_qi_{c}") for c in qi_cols], "_qi_n")
+    )
+    cond = None
+    for c in qi_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"_qi_{c}"))
+        cond = eq if cond is None else cond & eq
     small = F.col("_qi_n") < k
     out_cols = [
         (
@@ -92,7 +105,4 @@ def suppress_small_groups(
         )
         for c in df.columns
     ]
-    return (
-        df.join(sizes, qi_cols)
-        .select(*out_cols, small.alias("suppressed"))
-    )
+    return df.join(sizes, cond).select(*out_cols, small.alias("suppressed"))

@@ -2354,26 +2354,9 @@ def test_png_text_chunks_roundtrip_and_decode_interop():
 def test_audio_silence_trim_edge_cases(spark):
     """All-silent -> voiced count 0 with NULL span; NULL payload ->
     all-NULL; short payload zero-fills the frame grid."""
-    from pyspark.sql.types import (
-        BinaryType,
-        IntegerType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
     from processo_etl_spark.ml import multimodal
 
-    schema = StructType(
-        [
-            StructField("media_id", LongType(), False),
-            StructField("media_type", StringType(), True),
-            StructField("payload", BinaryType(), True),
-            StructField("width", IntegerType(), True),
-            StructField("height", IntegerType(), True),
-        ]
-    )
+    schema = multimodal.MEDIA_SCHEMA
     loud_frame = (b"\x00\x40" * 32)  # 32 samples of 16384
     rows = [
         (0, "audio/pcm16", bytes(2048), None, None),  # all zeros
@@ -2392,3 +2375,78 @@ def test_audio_silence_trim_edge_cases(spark):
     assert got[2]["n_frames_voiced"] == 1
     assert got[2]["trim_start_samples"] == 0
     assert got[2]["kept_samples"] == 32
+
+
+def test_png_chunk_walk_truncation_always_valueerror():
+    """Any truncation — mid-header, mid-body, or inside the CRC
+    trailer — raises ValueError (never struct.error, never a silent
+    partial parse)."""
+    import pytest
+
+    from processo_etl_spark.ml import png
+
+    p = png.encode_gray(bytes(range(64)), 8, 8, text={"k": "v"})
+    for cut in (len(p) - 2, len(p) - 6, 13, 10):
+        with pytest.raises(ValueError):
+            list(png.iter_chunks(p[:cut]))
+    # cutting ALL trailing chunks off cleanly still errors on the
+    # missing IEND framing only if bytes remain; an exact chunk
+    # boundary with nothing after parses what it has
+    with pytest.raises(ValueError):
+        png.text_chunks(p[: len(p) - 1])
+
+
+def test_png_encode_rejects_invalid_text_keywords():
+    import pytest
+
+    from processo_etl_spark.ml import png
+
+    px = bytes(64)
+    for bad in ("", "a" * 80, "a\x00b"):
+        with pytest.raises(ValueError, match="keyword"):
+            png.encode_gray(px, 8, 8, text={bad: "v"})
+
+
+def test_png_ihdr_dims_requires_first_chunk_ihdr():
+    """A signature-valid stream whose FIRST chunk is tEXt must not
+    mis-read metadata bytes as dimensions."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from processo_etl_spark.ml import png
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    rogue = (
+        png.SIGNATURE
+        + chunk(b"tEXt", b"k\x00v")
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IHDR"):
+        png.ihdr_dims(rogue)
+    ok = png.encode_gray(bytes(64), 8, 8, text={"k": "v"})
+    assert png.ihdr_dims(ok) == (8, 8)
+
+
+def test_audio_silence_trim_voiced_tail_past_grid(spark):
+    """A clip longer than the minimum frame grid with voiced audio in
+    the tail reports the tail instead of silently cutting it."""
+    from processo_etl_spark.ml import multimodal
+
+    # 40 frames of 32 samples: frames 0-38 silent, frame 39 loud
+    payload = bytes(39 * 32 * 2) + b"\x00\x40" * 32
+    media = spark.createDataFrame(
+        [(0, "audio/pcm16", payload, None, None)], multimodal.MEDIA_SCHEMA
+    )
+    r = multimodal.audio_silence_trim(media).collect()[0]
+    assert r["n_frames_voiced"] == 1
+    assert r["trim_start_samples"] == 39 * 32
+    assert r["kept_samples"] == 32

@@ -59,3 +59,24 @@ def test_suppress_small_groups_nulls_qi_only_below_k(spark):
         r = by_id[i]
         assert r["suppressed"] is False
         assert r["region"] == "s" and r["band"] == 1
+
+
+def test_suppress_small_groups_keeps_null_qi_rows(spark):
+    """Rows with NULL quasi-identifiers survive the size re-attach
+    (null-safe join): groupBy treats NULL QI as one group, so the
+    release must account for those rows, not drop them."""
+    rows = [
+        (1, None, 0, "a"),
+        (2, None, 0, "a"),
+        (3, None, 0, "b"),
+        (4, None, 0, "b"),
+        (5, "s", None, "a"),  # its own NULL-band group, size 1
+    ]
+    df = spark.createDataFrame(rows, ["id", "region", "band", "seg"])
+    out = privacy.suppress_small_groups(df, ["region", "band"], k=3)
+    by_id = {r["id"]: r for r in out.collect()}
+    assert len(by_id) == 5  # nothing dropped
+    for i in (1, 2, 3, 4):  # (NULL, 0) group has 4 members >= k
+        assert by_id[i]["suppressed"] is False
+    assert by_id[5]["suppressed"] is True
+    assert by_id[5]["region"] is None and by_id[5]["band"] is None

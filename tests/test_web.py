@@ -345,3 +345,19 @@ def test_label_propagation_tiebreak_smallest_label(spark):
     assert got[5] == 1
     # endpoints adopt 5's initial label in the same synchronous round
     assert got[1] == 5 and got[9] == 5
+
+
+def test_label_propagation_ignores_self_loops(spark):
+    """A heavy self-loop must not freeze a node's initial label: node 2
+    still joins triangle-mate community despite (2,2,100)."""
+    from processo_etl_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (1, 3, 5), (2, 2, 100)],
+        ["src", "dst", "w"],
+    )
+    got = {
+        r["node"]: r["community"]
+        for r in graph.label_propagation(edges, iterations=4).collect()
+    }
+    assert {got[1], got[2], got[3]} == {1}
