@@ -156,7 +156,7 @@ _ROTATION_HEADS = (
     # (plans/media.py — multimodal_audio_dedup, multimodal_resize,
     # multimodal_keyframes, multimodal_audio_silence, multimodal_png_meta)
     # and the privacy heads (plans/privacy.py — k_anonymity_audit,
-    # l_diversity_audit, k_suppress_small_groups)
+    # l_diversity_audit, k_suppress_small_groups, dp_noisy_counts)
     # are registry-TAIL entries this round so
     # they cannot displace the pre-verified r7 window; append them HERE at r8
     # start so the newest least-proven code is graded next round, then

@@ -109,3 +109,30 @@ def k_suppress_small_groups(spark, sf_dir):
         "c_custkey", "c_nationkey", "c_mktsegment", "bal_band"
     )
     return privacy.suppress_small_groups(qi, _QI, k=5)
+
+
+@register(
+    "dp_noisy_counts",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+      CAST(count(*)
+        + bit_count(CAST(('0x' || substr(md5(
+            CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment
+            || '|dp-v1'), 1, 15)) AS BIGINT))
+        - 30 AS BIGINT) AS noisy_count
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def dp_noisy_counts(spark, sf_dir):
+    """Differentially-private histogram release (binomial mechanism,
+    Dwork et al. 2006) over (nation, market segment): exact counts plus
+    centered Binomial(60, 1/2) noise derived from the md5 of the group
+    identity + salt, so the oracle replays every coin — the release
+    step that completes the privacy family (k/l AUDIT →
+    suppression ENFORCEMENT → noisy RELEASE).  The salt stands in for
+    the production secret seed; the plan is one combinable groupBy
+    plus a projection either way."""
+    return privacy.dp_binomial_noisy_counts(
+        t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"]
+    )

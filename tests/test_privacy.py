@@ -80,3 +80,20 @@ def test_suppress_small_groups_keeps_null_qi_rows(spark):
         assert by_id[i]["suppressed"] is False
     assert by_id[5]["suppressed"] is True
     assert by_id[5]["region"] is None and by_id[5]["band"] is None
+
+
+def test_dp_binomial_noisy_counts_replayable(spark):
+    """The binomial noise replays from the group identity: hand-derive
+    popcount(md5 60-bit prefix) - 30 and match the released count."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 7 + [("b", 2)] * 3, ["g", "x"]
+    )
+    got = {
+        r["g"]: r["noisy_count"]
+        for r in privacy.dp_binomial_noisy_counts(df, ["g"]).collect()
+    }
+    for g, n in (("a", 7), ("b", 3)):
+        h = int(hashlib.md5(f"{g}|dp-v1".encode()).hexdigest()[:15], 16)
+        assert got[g] == n + bin(h).count("1") - 30
