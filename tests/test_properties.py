@@ -488,3 +488,106 @@ def test_pixel_grid_total_on_arbitrary_bytes(payload):
         assert grid is None
     else:
         assert len(grid) == 8 and all(len(row) == 8 for row in grid)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_label_propagation_matches_pure_python(spark, edge_list, iters):
+    """Distributed LPA ≡ a pure-Python synchronous replay on arbitrary
+    small weighted graphs (self-loops dropped on both sides): vote
+    sums, the (max votes, min label) tie-break, and the round schedule
+    agree exactly."""
+    from processo_etl_spark.operators import graph
+
+    edges = [(a, b, w) for a, b, w in edge_list if a != b]
+    if not edges:
+        return
+    # pure-Python reference
+    nb: dict[int, dict[int, int]] = {}
+    for a, b, w in edges:
+        nb.setdefault(a, {}).setdefault(b, 0)
+        nb.setdefault(b, {}).setdefault(a, 0)
+        nb[a][b] += w
+        nb[b][a] += w
+    labels = {v: v for v in nb}
+    for _ in range(iters):
+        new = {}
+        for v in nb:
+            votes: dict[int, int] = {}
+            for u, w in nb[v].items():
+                votes[labels[u]] = votes.get(labels[u], 0) + w
+            best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+            new[v] = best[0]
+        labels = new
+    got = {
+        r["node"]: r["community"]
+        for r in graph.label_propagation(
+            spark.createDataFrame(edges, ["src", "dst", "w"]),
+            iterations=iters,
+        ).collect()
+    }
+    assert got == labels
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.binary(min_size=0, max_size=4096),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_audio_silence_trim_matches_pure_python(spark, payloads):
+    """Silence-trim spans ≡ a pure-Python reference on ARBITRARY bytes
+    (odd lengths, empty, longer than the minimum grid): byte decode,
+    zero-fill, grid extension, |s| energies and the threshold gate all
+    agree."""
+    import numpy as np
+
+    from processo_etl_spark.ml import multimodal
+
+    frames, flen, thr = 4, 8, 50
+
+    def ref(p: bytes):
+        raw = np.frombuffer(p[: len(p) // 2 * 2], dtype="<i2").astype(
+            np.int64
+        )
+        nf = max(frames, -(-raw.size // flen))
+        s = np.zeros(nf * flen, dtype=np.int64)
+        s[: raw.size] = raw
+        e = np.abs(s).reshape(nf, flen).sum(axis=1)
+        idx = [i for i, x in enumerate(e) if x > thr]
+        if not idx:
+            return (0, None, None)
+        return (
+            len(idx),
+            idx[0] * flen,
+            (idx[-1] - idx[0] + 1) * flen,
+        )
+
+    rows = [
+        (i, "audio/pcm16", p, None, None) for i, p in enumerate(payloads)
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: (
+            r["n_frames_voiced"],
+            r["trim_start_samples"],
+            r["kept_samples"],
+        )
+        for r in multimodal.audio_silence_trim(
+            media, frames=frames, frame_len=flen, threshold=thr
+        ).collect()
+    }
+    assert got == {i: ref(p) for i, p in enumerate(payloads)}
