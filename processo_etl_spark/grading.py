@@ -17,9 +17,23 @@ import, so widening a ban or adding a canary is a single edit:
   throws ``unhashable type: 'list'``, so any non-scalar column is an
   automatic driver ERR even when the values match).  Flatten with
   ``posexplode`` ⇔ ``unnest(generate_series)``.
+- **No raw-double fold outputs** (r7 lesson: ``drift_chi2_sources``
+  hash-failed on the driver even though its 512-term value-sorted
+  double fold was locally bit-identical under DuckDB 1.0.0 — the
+  driver's DuckDB build evaluated the fold one ULP differently, the
+  first loss for the "bit-exact replay" gamble).  Any query whose
+  oracle contains a multi-term float-reduction idiom must emit each
+  double output column through ``ROUND(expr, s)`` on BOTH sides
+  (scale chosen so the rounding quantum is decades above the
+  worst-case cross-engine ULP drift), or carry an explicit
+  (query, column) allow-list entry below with a recorded
+  justification — e.g. a single division of exact integers, which is
+  one correctly-rounded IEEE op on both engines.
 """
 
 from __future__ import annotations
+
+import re
 
 # The driver-normalization probes: the ONLY queries allowed DecimalType
 # outputs, and permanently excluded from graded window slots.
@@ -54,4 +68,94 @@ def nonscalar_output_cols(schema) -> list[str]:
         f.name
         for f in schema.fields
         if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
+# --- raw-double fold guard (r7 lesson, VERDICT r7 #2) -----------------------------
+
+# Oracle-SQL idioms that materialize a multi-term float reduction.  The
+# Spark side of such a query necessarily replays the same fold (that is
+# the whole oracle strategy), so scanning the oracle text catches the
+# pair.
+FLOAT_FOLD_MARKERS = ("list_reduce", "list_aggregate", "with recursive")
+
+# (query -> column -> justification): double output columns of
+# fold-marker queries that are exempt from the ROUND requirement.
+# Every entry must state WHY the value is engine-portable without
+# rounding.  Keep this list short — the default is ROUND.
+RAW_DOUBLE_FOLD_ALLOWED: dict[str, dict[str, str]] = {
+    # recall@5 = count(hits)/count(gold): a single division of exact
+    # small integers — one correctly-rounded IEEE op, identical on any
+    # engine.  The list_reduce in its oracle computes cosine for
+    # RANKING only; no fold value reaches the output.
+    "retrieval_eval_recall": {
+        "recall_at_5": "single division of exact integers; fold ranks only"
+    },
+    # `value` is a raw parquet column passthrough — the same stored
+    # double on both sides, no arithmetic at all.  `ewma` is a
+    # FIXED-POINT INTEGER recurrence (E = (3E+V) >> 2 on scaled longs,
+    # operators/temporal.ewma_per_key(fixed_point_scale=8)) — no float
+    # op until the final single exact-integer division by 10⁸, which is
+    # one correctly-rounded IEEE op on any engine.
+    "ewma_user_value": {
+        "value": "raw parquet source passthrough",
+        "ewma": "fixed-point long recurrence; single exact-int division",
+    },
+}
+
+
+def _last_alias_round_wrapped(sql: str, col: str) -> bool | None:
+    """Whether the LAST ``AS <col>`` occurrence in ``sql`` aliases a
+    ROUND(...) expression (the last occurrence is the final SELECT's in
+    every registry oracle).  None = no ``AS <col>`` alias at all (a
+    bare column reference or source passthrough — the caller treats
+    that as not-wrapped)."""
+    matches = list(re.finditer(rf"\bAS\s+{re.escape(col)}\b", sql, re.IGNORECASE))
+    if not matches:
+        return None
+    pre = sql[: matches[-1].start()].rstrip()
+    if not pre.endswith(")"):
+        return False
+    depth = 0
+    i = len(pre) - 1
+    while i >= 0:
+        if pre[i] == ")":
+            depth += 1
+        elif pre[i] == "(":
+            depth -= 1
+            if depth == 0:
+                break
+        i -= 1
+    if i < 0:
+        return False
+    return bool(re.search(r"\bround\s*$", pre[:i], re.IGNORECASE))
+
+
+def raw_double_fold_hazards(
+    name: str, oracle_sql: str, double_cols: list[str]
+) -> list[str]:
+    """Double output columns of a fold-marker query that are neither
+    ROUND-wrapped in the oracle's final SELECT nor allow-listed.
+
+    ``double_cols`` are the Spark result's DoubleType/FloatType output
+    column names (the caller reads them off the schema)."""
+    low = oracle_sql.lower()
+    if not any(m in low for m in FLOAT_FOLD_MARKERS):
+        return []
+    allowed = RAW_DOUBLE_FOLD_ALLOWED.get(name, {})
+    return [
+        c
+        for c in double_cols
+        if c not in allowed and _last_alias_round_wrapped(oracle_sql, c) is not True
+    ]
+
+
+def double_output_cols(schema) -> list[str]:
+    """Names of top-level DoubleType/FloatType output columns."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (DoubleType, FloatType))
     ]

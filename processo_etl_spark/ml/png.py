@@ -102,6 +102,10 @@ def iter_chunks(payload: bytes):
         if tag == b"IEND":
             return
         pos += 12 + length
+    # A stream cut at an EXACT chunk boundary before IEND would
+    # otherwise end the walk silently, reporting partial metadata as
+    # complete (ADVICE r7) — every full walk must end at IEND.
+    raise ValueError("truncated PNG (missing IEND)")
 
 
 def ihdr_dims(payload: bytes) -> tuple[int, int]:

@@ -178,6 +178,7 @@ def ewma_per_key(
     value_col: str,
     alpha: float = 0.25,
     out_col: str = "ewma",
+    fixed_point_scale: int | None = None,
 ) -> DataFrame:
     """Per-key exponentially weighted moving average — the sequential
     recurrence s₁ = x₁, sᵢ = (1−α)·sᵢ₋₁ + α·xᵢ (pandas
@@ -200,13 +201,77 @@ def ewma_per_key(
     Use α with an exact binary representation (0.25, 0.5, 0.125…) when
     oracle parity matters: then both engines execute literally the same
     IEEE multiply-adds in the same order (the oracle replays the fold
-    as a recursive CTE) and the result is bit-identical.
+    as a recursive CTE) and the result is bit-identical — on the SAME
+    engine build.  The r7/r8 portability lesson: a replayed float fold
+    can still differ at the last ULP between DuckDB BUILDS (FMA
+    contraction / libm skew), and EWMA's true values are dyadic
+    decimals that sit EXACTLY on decimal rounding ties (α=¼ ⇒ values
+    terminate in …5 at some scale), so no output ROUND is tie-safe
+    either.  When cross-engine exactness is required, pass
+    ``fixed_point_scale=s``: the recurrence then runs in scaled LONGS —
+    V = round(x·10ˢ), E₁ = V₁, Eᵢ = (Eᵢ₋₁·(2ᵐ−k) + Vᵢ·k) >> m for
+    α = k/2ᵐ — pure integer ops, deterministic on ANY engine, and the
+    emitted double Eᵢ/10ˢ is a single exact-integer division.  The
+    floor in ``>>`` biases each step by < 10⁻ˢ (geometric, steady-state
+    < 2ᵐ·10⁻ˢ); callers ensure max|value|·10ˢ·2ᵐ < 2⁶³ and values ≥ 0
+    (negative accumulators still floor consistently under arithmetic
+    shift, but document it).
     """
     a = float(alpha)
     struct_fields = [F.col(c) for c in order_cols] + [
         F.col(value_col).alias("__x")
     ]
     arr = F.sort_array(F.collect_list(F.struct(*struct_fields)))
+    if fixed_point_scale is not None:
+        # α must be k/2^m exactly (m ≤ 8 keeps k small and shifts cheap).
+        m = 8
+        k = round(a * (1 << m))
+        if not 0 < k < (1 << m) or k / (1 << m) != a:
+            raise ValueError(
+                f"fixed_point_scale requires alpha = k/2^m (binary "
+                f"fraction), got {alpha!r}"
+            )
+        while k % 2 == 0:  # reduce k/2^m to lowest terms
+            k //= 2
+            m -= 1
+        ten_s = 10**fixed_point_scale
+        comp = (1 << m) - k
+        v_int = lambda x: F.round(  # noqa: E731
+            x["__x"].cast("double") * F.lit(float(ten_s)), 0
+        ).cast("long")
+        acc_t = "array<bigint>"
+        fold = F.aggregate(
+            arr,
+            F.expr(f"CAST(array() AS {acc_t})"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.when(F.size(acc) == 0, v_int(x)).otherwise(
+                        F.shiftright(
+                            F.element_at(acc, -1) * F.lit(comp)
+                            + v_int(x) * F.lit(k),
+                            m,
+                        )
+                    )
+                ),
+            ),
+        )
+        grouped = (
+            df.filter(F.col(value_col).isNotNull())
+            .groupBy(key_col)
+            .agg(arr.alias("__h"), fold.alias("__s"))
+        )
+        zipped = grouped.select(
+            key_col, F.explode(F.arrays_zip("__h", "__s")).alias("z")
+        )
+        return zipped.select(
+            key_col,
+            *[F.col(f"z.__h.{c}").alias(c) for c in order_cols],
+            F.col("z.__h.__x").alias(value_col),
+            (F.col("z.__s").cast("double") / F.lit(float(ten_s))).alias(
+                out_col
+            ),
+        )
     acc_t = "array<double>"
     fold = F.aggregate(
         arr,

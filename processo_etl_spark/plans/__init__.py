@@ -148,30 +148,44 @@ _ROTATION_HEADS = (
     # pixel oracle.  Proves the scan + IHDR parse + keying, not just the
     # synthesized-media twins.
     "multimodal_binary_ingest",
-    # r8 promotion commitment (the r6→r7 pattern): the web-corpus heads
-    # added mid-r7 (plans/web.py — warc_ingest, url_canonicalize_dedup,
-    # domain_caps_topk, html_extract_text, url_filter_rules,
-    # web_link_graph, robots_rules_filter, anchor_text_topk,
-    # domain_quality_stats, graph_communities_lpa), the media heads
-    # (plans/media.py — multimodal_audio_dedup, multimodal_resize,
-    # multimodal_keyframes, multimodal_audio_silence, multimodal_png_meta)
-    # and the privacy heads (plans/privacy.py — k_anonymity_audit,
-    # l_diversity_audit, k_suppress_small_groups, dp_noisy_counts)
-    # are registry-TAIL entries this round so
-    # they cannot displace the pre-verified r7 window; append them HERE at r8
-    # start so the newest least-proven code is graded next round, then
-    # re-pre-verify the exact r8 window at sf0.01.  (The image near-dup
-    # head multimodal_phash_dedup registers in mlops — registry-EARLY —
-    # so it enters the r7 window directly, displacing the last rotation
-    # slot (dedup_lexical_semantic_agreement, which re-enters at r8);
-    # the displacement is deliberate — newest code graded soonest — and
-    # the slot was re-pre-verified green at sf0.01 after the edit, so
-    # the window invariant "every slot pre-verified" still holds.)
-    # Per VERDICT r6
-    # #4, the rest of the r8 window should drain the TPC-H tail
-    # (q2/q4/q7–q9/q11–q13/q15/q20–q22) and the events/temporal family —
-    # both sit early in registry order, so they fill the remaining slots
-    # naturally once the heads above are taken.
+    # r8 heads (VERDICT r7 #3 — the r7-start promotion commitment,
+    # honored verbatim): the 19 late-r7 registry-TAIL capability heads
+    # (web 10, media 5, privacy 4) are the newest least-proven code, so
+    # they grade first this round, plus the r7-displaced
+    # dedup_lexical_semantic_agreement re-entering as committed.
+    "warc_ingest",
+    "url_canonicalize_dedup",
+    "domain_caps_topk",
+    "html_extract_text",
+    "url_filter_rules",
+    "web_link_graph",
+    "robots_rules_filter",
+    "anchor_text_topk",
+    "domain_quality_stats",
+    "graph_communities_lpa",
+    "multimodal_audio_dedup",
+    "multimodal_resize",
+    "multimodal_keyframes",
+    "multimodal_audio_silence",
+    "multimodal_png_meta",
+    "k_anonymity_audit",
+    "l_diversity_audit",
+    "k_suppress_small_groups",
+    "dp_noisy_counts",
+    "dedup_lexical_semantic_agreement",
+    # r8 heads (VERDICT r7 #4): the two float-sensitive flagships with
+    # zero driver evidence — ewma_user_value (bench headliner,
+    # pre-hardened this round to a fixed-point integer recurrence) and
+    # asof_purchase_last_view (the as-of join flagship) — must earn
+    # their rows this round rather than waiting for registry order.
+    "ewma_user_value",
+    "asof_purchase_last_view",
+    # drift_chi2_sources (the r7 red row, now ROUND-hardened) re-enters
+    # automatically via the failed-row logic in _graded_names, early in
+    # registry order (mlops).  The remaining slots drain the TPC-H tail
+    # (q2/q4/q7–q9/q11–q13/q15/q20–q22) and the events/temporal family
+    # per VERDICT r7 #4 — they sit early in registry order and fill
+    # naturally.
 )
 
 # The canary probes (shared definition — processo_etl_spark/grading.py).

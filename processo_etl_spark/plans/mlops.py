@@ -356,7 +356,7 @@ _COS_SQL = """
     "similarity_topk_bruteforce",
     oracle=f"""
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           {_COS_SQL} AS cos,
+           ROUND({_COS_SQL}, 6) AS cos,
            CAST(row_number() OVER (PARTITION BY q.vec_id
                 ORDER BY {_COS_SQL} DESC, c.vec_id) AS INT) AS rank
     FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
@@ -367,11 +367,16 @@ _COS_SQL = """
 def similarity_topk_bruteforce(spark, sf_dir):
     """Exact cosine top-5 for 8 query vectors — the ANN baseline.
 
-    Double-precision zip_with/aggregate — bit-identical to the oracle.
+    Ranking uses the raw double zip_with/aggregate fold (replayed
+    term-for-term by the oracle); the EMITTED cos is ROUND(·, 6) on
+    both sides per the raw-double-fold guard (grading.py — the r7
+    drift lesson: a raw multi-term fold output can differ at the last
+    ULP between DuckDB builds).
     """
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return similarity.brute_force_topk(emb, queries, k=5)
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.withColumn("cos", F.round("cos", 6))
 
 
 # --- embedding similarity: LSH-bucketed scale path ---------------------------------------
@@ -398,7 +403,7 @@ _MULTIPROBE_ON = " OR ".join(
     "similarity_topk_lsh",
     oracle=f"""
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           {_COS_SQL} AS cos,
+           ROUND({_COS_SQL}, 6) AS cos,
            CAST(row_number() OVER (PARTITION BY q.vec_id
                 ORDER BY {_COS_SQL} DESC, c.vec_id) AS INT) AS rank
     FROM embeddings q
@@ -426,9 +431,11 @@ def similarity_topk_lsh(spark, sf_dir):
     """
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return similarity.lsh_topk(
+    out = similarity.lsh_topk(
         emb, queries, k=5, bits=_LSH_BITS, probes=_LSH_PROBES
     )
+    # emitted cos is ROUND(·, 6) both sides (raw-double-fold guard).
+    return out.withColumn("cos", F.round("cos", 6))
 
 
 # --- embedding-cosine near-dup dedup --------------------------------------------------------
@@ -468,7 +475,7 @@ _SEMDECON_ON = " OR ".join(
       FROM scored GROUP BY cid)
     SELECT c.vec_id,
            COALESCE(h.n_matches, 0) AS n_matches,
-           h.max_cos AS max_cos,
+           ROUND(h.max_cos, 6) AS max_cos,
            COALESCE(h.n_matches, 0) > 0 AS contaminated
     FROM corp c LEFT JOIN hits h ON c.vec_id = h.cid
     """,
@@ -487,9 +494,12 @@ def decontaminate_semantic(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     corp = emb.filter(F.col("vec_id") % 31 != 0)
     ev = emb.filter(F.col("vec_id") % 31 == 0)
-    return decontaminate.semantic_contamination(
+    out = decontaminate.semantic_contamination(
         corp, ev, "vec_id", "embedding", threshold=0.5, bits=4, probes=8
     )
+    # emitted max_cos is ROUND(·, 6) both sides (raw-double-fold guard);
+    # the ≥ 0.5 threshold verdict stays on the raw fold.
+    return out.withColumn("max_cos", F.round("max_cos", 6))
 
 
 @register(
@@ -526,7 +536,8 @@ def decontaminate_semantic(spark, sf_dir):
       SELECT lid, rid, cos, margin,
         row_number() OVER (PARTITION BY lid ORDER BY margin DESC, rid) AS b
       FROM m)
-    SELECT lid AS src_id, rid AS tgt_id, cos, margin
+    SELECT lid AS src_id, rid AS tgt_id,
+           ROUND(cos, 6) AS cos, ROUND(margin, 6) AS margin
     FROM best WHERE b = 1 AND margin >= CAST(1.0 AS DOUBLE)
     """,
 )
@@ -543,7 +554,7 @@ def bitext_mine_margin(spark, sf_dir):
     from processo_etl_spark.ml import similarity
 
     emb = t(spark, sf_dir, "embeddings")
-    return similarity.margin_bitext_pairs(
+    out = similarity.margin_bitext_pairs(
         emb.filter(F.col("label") % 2 == 0),
         emb.filter(F.col("label") % 2 == 1),
         "vec_id",
@@ -553,6 +564,11 @@ def bitext_mine_margin(spark, sf_dir):
         probes=8,
         margin_threshold=1.0,
     )
+    # emitted cos/margin are ROUND(·, 6) both sides (raw-double-fold
+    # guard); best-partner selection and the ≥ 1.0 gate stay raw.
+    return out.withColumn("cos", F.round("cos", 6)).withColumn(
+        "margin", F.round("margin", 6)
+    )
 
 
 @register(
@@ -561,7 +577,7 @@ def bitext_mine_margin(spark, sf_dir):
     WITH base AS (
       SELECT vec_id, embedding, {_bkt_sql("embeddings", 6, 0)} AS bkt
       FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_AB} AS cos
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS_AB}, 6) AS cos
     FROM base a JOIN base b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
     WHERE {_COS_AB} >= 0.4
     """,
@@ -573,9 +589,12 @@ def dedup_embedding_cosine(spark, sf_dir):
     embedding) — blocks on 6 sign bits so the self-join never goes
     all-pairs."""
     emb = t(spark, sf_dir, "embeddings")
-    return similarity.embedding_cosine_pairs(
+    out = similarity.embedding_cosine_pairs(
         emb, "vec_id", "embedding", threshold=0.4, bits=6
     )
+    # emitted cos is ROUND(·, 6) both sides (raw-double-fold guard);
+    # the ≥ 0.4 threshold stays on the raw fold.
+    return out.withColumn("cos", F.round("cos", 6))
 
 
 # --- exact duplicate-span detection (Lee et al. 2022 ExactSubstr, word-granular) ----------
@@ -748,8 +767,8 @@ def dedup_semantic_kmeans(spark, sf_dir):
                 / (CAST(cr + 1 AS DOUBLE) * CAST(nt + 1024 AS DOUBLE)) AS r
       FROM bs, tot)
     SELECT h.doc_id, count(*) AS n_tokens,
-           list_reduce(list_sort(list(r.r)), (x, y) -> x + y)
-             / count(*) AS importance
+           ROUND(list_reduce(list_sort(list(r.r)), (x, y) -> x + y)
+             / count(*), 9) AS importance
     FROM hb h JOIN r USING (b)
     GROUP BY h.doc_id
     """,
@@ -758,8 +777,11 @@ def select_importance_dsir(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023) against the lang='en'
     target: ml/selection.importance_weights — hashed-unigram likelihood
     ratios, value-sorted-fold document mean.  Selection pairs with
-    distributed_ntile / hash thresholds, never a global sort."""
-    return selection.importance_weights(
+    distributed_ntile / hash thresholds, never a global sort.  The
+    emitted importance is ROUND(·, 9) both sides (raw-double-fold
+    guard — values are O(1) likelihood-ratio means, so the 5e-10
+    quantum sits decades above cross-engine fold ULP drift)."""
+    out = selection.importance_weights(
         corpus(spark, sf_dir),
         "text",
         "doc_id",
@@ -767,6 +789,7 @@ def select_importance_dsir(spark, sf_dir):
         n_buckets=1024,
         toks_col="toks",
     )
+    return out.withColumn("importance", F.round("importance", 9))
 
 
 # --- text analysis -------------------------------------------------------------------------
@@ -1719,7 +1742,7 @@ def embedding_pca_project(spark, sf_dir):
              count(*) AS n_buckets_hit,
              list_reduce(list_sort(list(t)), (x, y) -> x + y) AS chi2
       FROM terms GROUP BY na, nb)
-    SELECT n_ref, n_cand, n_buckets_hit, chi2,
+    SELECT n_ref, n_cand, n_buckets_hit, ROUND(chi2, 6) AS chi2,
            chi2 > CAST(n_buckets_hit - 1 AS DOUBLE)
                   * (1.0 - 2.0 / (9.0 * CAST(n_buckets_hit - 1 AS DOUBLE))
                      + 2.326348 * sqrt(2.0 / (9.0 * CAST(n_buckets_hit - 1 AS DOUBLE))))
@@ -1735,10 +1758,14 @@ def drift_chi2_sources(spark, sf_dir):
     """Chi-square token-distribution drift between the src0-src9
     reference slice and the src10-src19 candidate slice —
     ml/drift.chi2_token_drift.  Transcendental-free (no PSI/KL ``ln``),
-    value-sorted-fold summation, so the DuckDB oracle replays the
-    statistic bit-for-bit including the critical-value verdict.  The
-    2×256 contingency shuffle is skew-proof by construction (fixed
-    bucket grid, map-side combinable)."""
+    value-sorted-fold summation internally; the emitted statistic is
+    ROUND(chi2, 6) on BOTH sides (the r7 driver showed a 512-term raw
+    double fold can differ at the last ULP between DuckDB builds — the
+    ROUND-portability convention of plans/aggregates.py applies), while
+    the drift verdict compares the raw statistic, which the planted
+    shift keeps decades away from the critical value.  The 2×256
+    contingency shuffle is skew-proof by construction (fixed bucket
+    grid, map-side combinable)."""
     from processo_etl_spark.ml import drift
 
     docs = t(spark, sf_dir, "documents")
@@ -1908,7 +1935,7 @@ _COS_Q_SQL = """
                (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0))) AS q
       FROM embeddings)
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           {_COS_Q_SQL} AS cos,
+           ROUND({_COS_Q_SQL}, 6) AS cos,
            CAST(row_number() OVER (PARTITION BY q.vec_id
                 ORDER BY {_COS_Q_SQL} DESC, c.vec_id) AS INT) AS rank
     FROM codes q JOIN codes c ON c.vec_id != q.vec_id
@@ -1919,14 +1946,16 @@ _COS_Q_SQL = """
 def similarity_topk_int8(spark, sf_dir):
     """Exact top-5 over the int8-QUANTIZED embedding store (4× smaller
     scan/shuffle than float32).  Cosine is scale-invariant so the codes
-    rank directly; integer products are exact, so Spark and the DuckDB
-    oracle agree bit-for-bit."""
+    rank directly; integer products are exact.  Ranking replays the
+    raw fold; the EMITTED cos is ROUND(·, 6) on both sides
+    (raw-double-fold guard, grading.py)."""
     from processo_etl_spark.ml import embeddings as emb_ops
 
     emb = t(spark, sf_dir, "embeddings")
     corpus_q = emb_ops.quantize_int8(emb)
     queries_q = corpus_q.filter(F.col("vec_id") < 8)
-    return emb_ops.brute_force_topk_quantized(corpus_q, queries_q, k=5)
+    out = emb_ops.brute_force_topk_quantized(corpus_q, queries_q, k=5)
+    return out.withColumn("cos", F.round("cos", 6))
 
 
 # --- deterministic splits / sampling / shuffle / packing ----------------------
@@ -2424,7 +2453,7 @@ def dedup_cluster_keep_best(spark, sf_dir):
     "hard_negatives_topk",
     oracle=f"""
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           {_COS_SQL} AS cos,
+           ROUND({_COS_SQL}, 6) AS cos,
            CAST(row_number() OVER (PARTITION BY q.vec_id
                 ORDER BY {_COS_SQL} DESC, c.vec_id) AS INT) AS rank,
            c.label AS neighbor_label
@@ -2448,7 +2477,7 @@ def hard_negatives_topk(spark, sf_dir):
     scan."""
     emb = t(spark, sf_dir, "embeddings")
     anchors = emb.filter(F.col("vec_id") < 8)
-    return similarity.lsh_topk(
+    out = similarity.lsh_topk(
         emb,
         anchors,
         k=5,
@@ -2456,6 +2485,8 @@ def hard_negatives_topk(spark, sf_dir):
         probes=_LSH_PROBES,
         exclude_equal="label",
     )
+    # emitted cos is ROUND(·, 6) both sides (raw-double-fold guard).
+    return out.withColumn("cos", F.round("cos", 6))
 
 
 # --- per-label embedding centroids (class prototypes) ----------------------------------
@@ -2604,10 +2635,11 @@ def ccnet_perplexity_buckets(spark, sf_dir):
                          (a, b) -> a + b) AS S
       FROM per)
     SELECT source, n_tokens,
-      sqrt(CAST(n_tokens AS DOUBLE)) / S AS weight,
+      ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / S, 9) AS weight,
       CAST(floor(1000000.0 * sqrt(CAST(n_tokens AS DOUBLE)) / S) AS BIGINT)
         AS target_tokens,
-      1000000.0 * sqrt(CAST(n_tokens AS DOUBLE)) / S / n_tokens AS epochs
+      ROUND(1000000.0 * sqrt(CAST(n_tokens AS DOUBLE)) / S / n_tokens, 9)
+        AS epochs
     FROM per, tot
     """,
 )
@@ -2619,11 +2651,17 @@ def mixture_token_plan(spark, sf_dir):
     from processo_etl_spark.ml.dedup import normalize_text
 
     docs = t(spark, sf_dir, "documents")
-    return splits.mixture_token_plan(
+    out = splits.mixture_token_plan(
         docs,
         "source",
         F.size(F.split(normalize_text("text"), " ")),
         budget=1_000_000,
+    )
+    # emitted weight/epochs are ROUND(·, 9) both sides (raw-double-fold
+    # guard: the normalizer S is a value-sorted fold of per-source
+    # sqrt terms); target_tokens keeps the raw floor.
+    return out.withColumn("weight", F.round("weight", 9)).withColumn(
+        "epochs", F.round("epochs", 9)
     )
 
 

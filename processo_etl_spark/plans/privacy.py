@@ -117,7 +117,8 @@ def k_suppress_small_groups(spark, sf_dir):
     SELECT c_nationkey, c_mktsegment,
       CAST(count(*)
         + bit_count(CAST(('0x' || substr(md5(
-            CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment
+            coalesce(CAST(c_nationkey AS VARCHAR), chr(0) || 'NULL')
+            || '|' || coalesce(c_mktsegment, chr(0) || 'NULL')
             || '|dp-v1'), 1, 15)) AS BIGINT))
         - 30 AS BIGINT) AS noisy_count
     FROM customer
@@ -127,12 +128,16 @@ def k_suppress_small_groups(spark, sf_dir):
 def dp_noisy_counts(spark, sf_dir):
     """Differentially-private histogram release (binomial mechanism,
     Dwork et al. 2006) over (nation, market segment): exact counts plus
-    centered Binomial(60, 1/2) noise derived from the md5 of the group
-    identity + salt, so the oracle replays every coin — the release
-    step that completes the privacy family (k/l AUDIT →
-    suppression ENFORCEMENT → noisy RELEASE).  The salt stands in for
-    the production secret seed; the plan is one combinable groupBy
-    plus a projection either way."""
+    centered Binomial(60, 1/2) noise derived from the md5 of the
+    NULL-SAFELY encoded group identity + salt (each column coalesces
+    NULL to a chr(0) sentinel before concat — ADVICE r7), so the
+    oracle replays every coin — the release step that completes the
+    privacy family (k/l AUDIT → suppression ENFORCEMENT → noisy
+    RELEASE).  The fixture salt stands in for the production secret
+    seed, which the API requires per release; the plan is one
+    combinable groupBy plus a projection either way."""
     return privacy.dp_binomial_noisy_counts(
-        t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"]
+        t(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        salt="dp-v1",
     )

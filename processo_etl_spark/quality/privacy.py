@@ -87,6 +87,12 @@ def suppress_small_groups(
     already treats NULL QI values as one group, and a plain equi-join
     would silently DROP every row carrying a NULL quasi-identifier —
     the exact rows a privacy release must still account for."""
+    if not qi_cols:
+        # an empty QI list would leave the join condition None — an
+        # unconditioned cross join — instead of meaning anything
+        raise ValueError("qi_cols must name at least one quasi-identifier")
+    if k < 2:
+        raise ValueError(f"k={k} suppresses nothing (every group has ≥ 1 row)")
     sizes = (
         df.groupBy(*qi_cols)
         .agg(F.count(F.lit(1)).alias("_qi_n"))
@@ -109,7 +115,7 @@ def suppress_small_groups(
 
 
 def dp_binomial_noisy_counts(
-    df: DataFrame, group_cols: list[str], salt: str = "dp-v1"
+    df: DataFrame, group_cols: list[str], salt: str
 ) -> DataFrame:
     """Differentially-private count release via the BINOMIAL mechanism
     (Dwork, Kenthapadi, McSherry, Mironov & Naor 2006, "Our Data,
@@ -120,11 +126,14 @@ def dp_binomial_noisy_counts(
 
     The hash-derived coins make the release REPLAYABLE (the testing and
     oracle-grading requirement; DuckDB re-derives every noisy count
-    bit-for-bit).  In production the salt is the secret per-release
-    random seed — the plan shape is identical, only the seed's secrecy
-    changes, and DP holds because the adversary cannot invert md5 of an
-    unknown seed.  Calibration: σ = √(60)/2 ≈ 3.87 counts; more bits →
-    fold additional independent hash words (the mechanism's n is the
+    bit-for-bit).  ``salt`` is REQUIRED and must be a fresh secret per
+    release (ADVICE r7): the noise depends only on (group identity,
+    salt), so reusing one salt across releases of neighboring datasets
+    lets differencing cancel the noise exactly, voiding the DP
+    guarantee.  The plan shape is identical either way, and DP holds
+    because the adversary cannot invert md5 of an unknown seed.
+    Calibration: σ = √(60)/2 ≈ 3.87 counts; more bits → fold
+    additional independent hash words (the mechanism's n is the
     privacy knob).  Negative noisy counts are legitimate DP output —
     clamping is biased post-processing the consumer may apply, not the
     release.
@@ -135,8 +144,18 @@ def dp_binomial_noisy_counts(
     """
     from processo_etl_spark.ml.dedup import md5_long
 
+    # NULL-safe group encoding (ADVICE r7): concat_ws SKIPS nulls, so
+    # ('A', NULL) and (NULL, 'A') would share one noise key (correlated
+    # noise).  Each column encodes NULL as a chr(0)-prefixed sentinel
+    # no real string equals (chr(0) never survives text ingestion).
+    null_tok = "\x00NULL"
     key = F.concat_ws(
-        "|", *[F.col(c).cast("string") for c in group_cols], F.lit(salt)
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(null_tok))
+            for c in group_cols
+        ],
+        F.lit(salt),
     )
     noise = F.bit_count(md5_long(key)) - F.lit(30)
     return (

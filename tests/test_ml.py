@@ -2389,11 +2389,14 @@ def test_png_chunk_walk_truncation_always_valueerror():
     for cut in (len(p) - 2, len(p) - 6, 13, 10):
         with pytest.raises(ValueError):
             list(png.iter_chunks(p[:cut]))
-    # cutting ALL trailing chunks off cleanly still errors on the
-    # missing IEND framing only if bytes remain; an exact chunk
-    # boundary with nothing after parses what it has
     with pytest.raises(ValueError):
         png.text_chunks(p[: len(p) - 1])
+    # a cut at an EXACT chunk boundary before IEND is still a
+    # truncation — a full walk must end at IEND (ADVICE r7)
+    with pytest.raises(ValueError, match="IEND"):
+        list(png.iter_chunks(p[: len(p) - 12]))  # drop the IEND chunk
+    with pytest.raises(ValueError, match="IEND"):
+        png.text_chunks(p[: len(p) - 12])
 
 
 def test_png_encode_rejects_invalid_text_keywords():

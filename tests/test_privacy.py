@@ -92,8 +92,43 @@ def test_dp_binomial_noisy_counts_replayable(spark):
     )
     got = {
         r["g"]: r["noisy_count"]
-        for r in privacy.dp_binomial_noisy_counts(df, ["g"]).collect()
+        for r in privacy.dp_binomial_noisy_counts(
+            df, ["g"], salt="dp-v1"
+        ).collect()
     }
     for g, n in (("a", 7), ("b", 3)):
         h = int(hashlib.md5(f"{g}|dp-v1".encode()).hexdigest()[:15], 16)
         assert got[g] == n + bin(h).count("1") - 30
+
+
+def test_dp_binomial_noisy_counts_null_keys_independent(spark):
+    """NULL-bearing group keys get DISTINCT, non-null noise: ('a', NULL)
+    and (NULL, 'a') must not share a noise key (concat_ws would have
+    collapsed both to 'a' — ADVICE r7), and each replays from the
+    chr(0)-sentinel encoding."""
+    import hashlib
+
+    rows = [("a", None)] * 4 + [(None, "a")] * 2 + [(None, None)] * 5
+    df = spark.createDataFrame(rows, "g1 string, g2 string")
+    got = {
+        (r["g1"], r["g2"]): r["noisy_count"]
+        for r in privacy.dp_binomial_noisy_counts(
+            df, ["g1", "g2"], salt="s0"
+        ).collect()
+    }
+    assert len(got) == 3
+    nul = "\x00NULL"
+    for (g1, g2), n in ((("a", None), 4), ((None, "a"), 2), ((None, None), 5)):
+        key = f"{g1 or nul}|{g2 or nul}|s0"
+        h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+        assert got[(g1, g2)] == n + bin(h).count("1") - 30, (g1, g2)
+
+
+def test_suppress_small_groups_rejects_degenerate_args(spark):
+    import pytest
+
+    df = _qi_df(spark)
+    with pytest.raises(ValueError, match="quasi-identifier"):
+        privacy.suppress_small_groups(df, [], k=5)
+    with pytest.raises(ValueError, match="k=1"):
+        privacy.suppress_small_groups(df, ["region"], k=1)

@@ -143,9 +143,12 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
     from processo_etl_spark.grading import (
         DECIMAL_CANARIES,
         decimal_output_cols,
+        double_output_cols,
         nonscalar_output_cols,
+        raw_double_fold_hazards,
     )
 
+    oracles = plans.all_oracles()
     bad = []
     for name, fn in plans.all_queries().items():
         if name.startswith(skip_prefix) or name == "etl_star_pipeline":
@@ -156,6 +159,12 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
         if name not in DECIMAL_CANARIES:
             bad += [(name, f"decimal output column {c}")
                     for c in decimal_output_cols(df.schema)]
+        # Raw-double-fold guard (r7 drift lesson, VERDICT r7 #2): a
+        # multi-term float-reduction oracle may not hash a raw double —
+        # ROUND on both sides or an explicit grading.py allow-list entry.
+        bad += [(name, f"raw-double fold output column {c}")
+                for c in raw_double_fold_hazards(
+                    name, oracles.get(name, ""), double_output_cols(df.schema))]
         plan = df._jdf.queryExecution().executedPlan().toString()
         for smell in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"):
             if smell == "BroadcastNestedLoopJoin" and name in allow_nested_loop:
@@ -170,6 +179,45 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
                     bad.append((name, "unpartitioned-window"))
                     break
     assert not bad, f"scale smells in plans: {bad}"
+
+
+def test_raw_double_fold_guard_semantics():
+    """Unit contract of grading.raw_double_fold_hazards: fold-marker
+    oracles must ROUND every double output (checked on the LAST
+    ``AS col`` alias — the final SELECT) unless (query, column) is
+    allow-listed; marker-free oracles are never flagged."""
+    from processo_etl_spark.grading import (
+        RAW_DOUBLE_FOLD_ALLOWED,
+        _last_alias_round_wrapped,
+        raw_double_fold_hazards,
+    )
+
+    fold = "WITH t AS (SELECT list_reduce(list(x), (a,b) -> a+b) AS s FROM v)\n"
+    # rounded final alias passes, raw fails
+    assert raw_double_fold_hazards("q", fold + "SELECT ROUND(s, 6) AS s FROM t", ["s"]) == []
+    assert raw_double_fold_hazards("q", fold + "SELECT s FROM t", ["s"]) == ["s"]
+    # a CTE-level raw alias doesn't satisfy the check if the final
+    # re-alias is raw, and an unrelated earlier ROUND doesn't either
+    sql = fold + "SELECT ROUND(z, 6) AS z, s + 0.0 AS s FROM t"
+    assert raw_double_fold_hazards("q", sql, ["s"]) == ["s"]
+    # the LAST alias wins: CTE computes raw, final SELECT rounds
+    sql = (
+        "WITH t AS (SELECT list_reduce(list(x), (a,b) -> a+b) AS s FROM v)\n"
+        "SELECT ROUND(s, 9) AS s FROM t"
+    )
+    assert _last_alias_round_wrapped(sql, "s") is True
+    # marker-free oracles never flag
+    assert raw_double_fold_hazards("q", "SELECT sum(x) AS s FROM v", ["s"]) == []
+    # allow-listed (query, column) pairs are exempt — and every
+    # allow-list entry carries a written justification
+    for q, cols in RAW_DOUBLE_FOLD_ALLOWED.items():
+        for c, why in cols.items():
+            assert isinstance(why, str) and len(why) > 10, (q, c)
+            assert raw_double_fold_hazards(q, fold + f"SELECT x AS {c} FROM t", [c]) == []
+    # WITH RECURSIVE is a marker too
+    rec = "WITH RECURSIVE r AS (SELECT 1.0 AS e UNION ALL SELECT e*0.5 FROM r)\n"
+    assert raw_double_fold_hazards("q", rec + "SELECT e AS ewma FROM r", ["ewma"]) == ["ewma"]
+    assert raw_double_fold_hazards("q", rec + "SELECT ROUND(e, 6) AS ewma FROM r", ["ewma"]) == []
 
 
 def test_sorted_layout_enables_row_group_skipping(spark, tmp_path):

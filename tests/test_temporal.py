@@ -136,6 +136,49 @@ def test_ewma_per_key_matches_pandas_ewm(spark):
     assert ("u2", 2) not in got
 
 
+def test_ewma_fixed_point_matches_integer_reference(spark):
+    """The fixed-point path replays a pure-Python scaled-long recurrence
+    exactly (E₁ = V₁, Eᵢ = (3·Eᵢ₋₁ + Vᵢ) >> 2 for α=0.25, s=8) and
+    stays within the documented quantization bias of the float EWMA."""
+    from processo_etl_spark.operators import temporal
+
+    rows = [
+        ("u1", 1, 32.78), ("u1", 2, 15.53), ("u1", 3, 23.6778125),
+        ("u1", 4, 0.0), ("u1", 5, 560.21),
+        ("u2", 1, 7.07), ("u2", 2, None), ("u2", 3, 9.99),
+    ]
+    df = spark.createDataFrame(rows, "k string, seq long, x double")
+    got = {
+        (r["k"], r["seq"]): r["ewma"]
+        for r in temporal.ewma_per_key(
+            df, "k", ["seq"], "x", alpha=0.25, fixed_point_scale=8
+        ).collect()
+    }
+    for k in ("u1", "u2"):
+        e = None
+        f = None
+        for kk, seq, x in rows:
+            if kk != k or x is None:
+                continue
+            v = round(x * 10**8)
+            e = v if e is None else (3 * e + v) >> 2
+            f = x if f is None else 0.75 * f + 0.25 * x
+            assert got[(k, seq)] == e / 10**8, (k, seq)
+            assert abs(got[(k, seq)] - f) < 4e-8 + 1e-9 * abs(f), (k, seq)
+    assert ("u2", 2) not in got
+
+
+def test_ewma_fixed_point_rejects_non_binary_alpha():
+    import pytest
+
+    from processo_etl_spark.operators import temporal
+
+    with pytest.raises(ValueError, match="binary"):
+        temporal.ewma_per_key(
+            None, "k", ["seq"], "x", alpha=0.3, fixed_point_scale=8
+        )
+
+
 def test_table_diff_three_change_types_and_nulls(spark):
     from processo_etl_spark.operators import cdc
 

@@ -66,7 +66,9 @@ def decimal_cast_hazards(oracle_sql: str) -> list[str]:
 from processo_etl_spark.grading import (  # noqa: E402
     DECIMAL_CANARIES as DECIMAL_OUTPUT_EXEMPT,
     decimal_output_cols,
+    double_output_cols,
     nonscalar_output_cols,
+    raw_double_fold_hazards,
 )
 
 
@@ -115,6 +117,7 @@ def main() -> int:
         # so skip the streaming family here — their batch twins carry the
         # schema check, and the main differential path still runs them.
         spark = session.get_spark(cpus=4)
+        all_oracles = plans.all_oracles()
         bad = []
         for name, fn in plans.all_queries().items():
             if name in DECIMAL_OUTPUT_EXEMPT or name.startswith("stream_"):
@@ -123,6 +126,9 @@ def main() -> int:
                 schema = fn(spark, sf_dir).schema
                 cols = decimal_output_cols(schema)
                 ns_cols = nonscalar_output_cols(schema)
+                ff_cols = raw_double_fold_hazards(
+                    name, all_oracles.get(name, ""), double_output_cols(schema)
+                )
             except Exception as e:  # noqa: BLE001
                 bad.append(name)
                 print(f"FAIL  {name}: plan error {type(e).__name__}: {str(e)[:160]}")
@@ -131,7 +137,12 @@ def main() -> int:
                 print(f"FAIL  {name}: DecimalType output columns {cols}")
             if ns_cols:
                 print(f"FAIL  {name}: non-scalar output columns {ns_cols}")
-            if cols or ns_cols:  # one bad entry per query (ADVICE r7)
+            if ff_cols:
+                print(
+                    f"FAIL  {name}: raw-double fold output columns {ff_cols} "
+                    "(ROUND both sides or allow-list in grading.py)"
+                )
+            if cols or ns_cols or ff_cols:  # one bad entry per query (ADVICE r7)
                 bad.append(name)
         print(f"\n{len(bad)} schema failures: {bad}")
         return 1 if bad else 0
@@ -174,6 +185,17 @@ def main() -> int:
                 failures.append(name)
                 record(name, "fail", err=f"non-scalar output columns {ns_cols}")
                 print(f"FAIL  {name}: non-scalar output columns {ns_cols}")
+                continue
+            ff_cols = raw_double_fold_hazards(
+                name, oracles.get(name, ""), double_output_cols(sdf.schema)
+            )
+            if ff_cols:
+                failures.append(name)
+                record(name, "fail", err=f"raw-double fold output columns {ff_cols}")
+                print(
+                    f"FAIL  {name}: raw-double fold output columns {ff_cols} "
+                    "(ROUND both sides or allow-list in grading.py)"
+                )
                 continue
             srows = sdf.collect()
             scols = sdf.columns
