@@ -368,3 +368,27 @@ def weighted_sample_aes(
         .filter(F.col("rnk") <= k)
         .drop("_aes")
     )
+
+
+def with_group_fold(
+    df: DataFrame, group_col: str, n_folds: int = 5, out_col: str = "fold"
+) -> DataFrame:
+    """GroupKFold assignment: every row of one GROUP lands in the same
+    fold — fold = md5-prefix(group) % n_folds.  The cross-validation
+    split that keeps correlated rows (all chunks of one document, all
+    events of one user, all pages of one domain) out of each other's
+    train/test sides; splitting such rows row-wise leaks near-duplicates
+    across the boundary and inflates eval scores.
+
+    Deterministic, append-consistent (new rows of an old group join its
+    fold), shuffle-free — the ``with_split`` idiom at group grain.
+    Fold sizes are as balanced as the group-size distribution allows
+    (hash-uniform over groups, not rows)."""
+    if n_folds < 2:
+        raise ValueError(f"n_folds must be >= 2, got {n_folds}")
+    return df.withColumn(
+        out_col,
+        (md5_long(F.col(group_col).cast("string")) % F.lit(n_folds)).cast(
+            "int"
+        ),
+    )

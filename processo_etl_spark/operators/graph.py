@@ -488,3 +488,57 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by SYNCHRONOUS peeling (Batagelj &
+    Zaveršnik 2003): each round removes every node whose current
+    degree is below ``k`` (and the edges touching it), simultaneously.
+    Fixed round count — like the PageRank replay and LPA, determinism
+    comes from pinning the schedule, not from convergence detection,
+    so a SQL oracle can replay every round exactly; production runs
+    loop until a fixpoint (each round strictly shrinks the edge set or
+    the loop is done, so rounds ≤ the graph's degeneracy ordering
+    depth, typically small).
+
+    Scale shape (the ``connected_components`` / LPA loop template):
+    each round is ONE combinable degree groupBy over the endpoint view
+    + TWO semi-joins filtering the edge list — no windows, no driver
+    collect, all-integer arithmetic, ``localCheckpoint`` truncating
+    lineage per round.  Self-loops are dropped (a self-loop would give
+    its node 2 phantom degrees and survive peeling forever).
+
+    Returns (node, degree): the endpoints of the surviving edge set
+    with their degree AFTER the final round (if the fixpoint was
+    reached, every degree is ≥ k — the k-core; otherwise it is the
+    round-``rounds`` peel state, identical on both engines).
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError(f"need k >= 1 and rounds >= 1, got k={k} rounds={rounds}")
+    es = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        ends = e.select(F.col("src").alias("node")).unionAll(
+            e.select(F.col("dst").alias("node"))
+        )
+        return ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+
+    for _ in range(rounds):
+        alive = degrees(es).filter(F.col("degree") >= k).select("node")
+        es = (
+            es.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .localCheckpoint()
+        )
+    return degrees(es)

@@ -60,7 +60,10 @@ def skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
     (Σc as long, Σc² as DECIMAL(38,0) — counts up to ~1e9 would
     overflow int64 squared), so the doubles are reproducible and
     oracle-checkable: cov = √((K·Σc² − N²)) / N with that literal
-    bracketing on both engines."""
+    bracketing on both engines.  ``cov`` is emitted ROUND(·, 9): its
+    K·Σc² − N² is a multiply-subtract an FMA-contracting engine build
+    can evaluate one ULP differently (the r7 drift lesson); the other
+    ratios are single correctly-rounded ops and stay raw."""
     counts = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -81,6 +84,6 @@ def skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
         "max_count",
         (F.col("max_count").cast("double") / n).alias("max_key_share"),
         (F.lit(float(top_sum)) / n).alias(f"top{top_k}_share"),
-        (F.sqrt(var_num) / n).alias("cov"),
+        F.round(F.sqrt(var_num) / n, 9).alias("cov"),
         (F.col("max_count").cast("double") * k / n).alias("skew_factor"),
     )

@@ -453,3 +453,51 @@ def peak_concurrency(
         (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
         F.max("live").alias("peak"),
     )
+
+
+def linear_touch_attribution(
+    events: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    touch_pred: Column,
+    conversion_pred: Column,
+) -> DataFrame:
+    """Linear (equal-weight) multi-touch attribution: for every
+    conversion event, the count of the key's touch events AT OR BEFORE
+    it and the per-touch credit 1/n — the standard position-agnostic
+    attribution model (first/last-touch are the asof-join family; this
+    one needs the whole prefix).
+
+    NO inequality join: touches and conversions stay in ONE relation
+    and a per-key running sum counts prior touches — one shuffle on
+    the key, the sessionize shape.  Tie rule: a touch sharing the
+    conversion's exact timestamp counts (touches order BEFORE
+    conversions at equal ``order_cols`` via the is_touch flag).
+    Credit is a single division of exact integers — engine-portable
+    raw.  Returns the conversion rows with (n_touches,
+    credit_per_touch); conversions with zero prior touches carry
+    n_touches = 0 and NULL credit (unattributable, not dropped).
+    """
+    flagged = events.filter(touch_pred | conversion_pred).withColumn(
+        "__is_touch", touch_pred.cast("long")
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(
+            *[F.col(c) for c in order_cols],
+            F.desc("__is_touch"),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    counted = flagged.withColumn("n_touches", F.sum("__is_touch").over(w))
+    return (
+        counted.filter(conversion_pred)
+        .withColumn(
+            "credit_per_touch",
+            F.when(
+                F.col("n_touches") > 0,
+                F.lit(1.0) / F.col("n_touches").cast("double"),
+            ),
+        )
+        .drop("__is_touch")
+    )

@@ -62,6 +62,7 @@ _PLAN_MODULES = (
     "web",
     "media",
     "privacy",
+    "profile",
 )
 
 # Driver-visibility window (VERDICT r1 #1, rotated per VERDICT r4 #1): the

@@ -1255,9 +1255,9 @@ def sequence_double_click_purchase(spark, sf_dir):
     SELECT n_rows, n_keys, max_count,
       CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE) AS max_key_share,
       CAST((SELECT s FROM top) AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top10_share,
-      sqrt(CAST(n_keys AS DOUBLE) * CAST(sq AS DOUBLE)
+      ROUND(sqrt(CAST(n_keys AS DOUBLE) * CAST(sq AS DOUBLE)
            - CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))
-        / CAST(n_rows AS DOUBLE) AS cov,
+        / CAST(n_rows AS DOUBLE), 9) AS cov,
       CAST(max_count AS DOUBLE) * CAST(n_keys AS DOUBLE)
         / CAST(n_rows AS DOUBLE) AS skew_factor
     FROM agg

@@ -1,0 +1,339 @@
+"""Data-contract profiling and pipeline-analytics heads — registry-TAIL
+module (added mid-r8, after the r8 window was pre-verified; see the
+registry-tail note on ``_PLAN_MODULES``): candidate-key /
+functional-dependency audits and categorical concentration
+(quality/profile.py), small-file compaction planning
+(operators/maintenance.py), k-core graph degeneracy
+(operators/graph.kcore_peel) over the shared customer→order→part
+graph, linear multi-touch attribution (operators/temporal), and
+GroupKFold splits (ml/splits).
+
+Oracle-parity design: outputs are exact integers/booleans (group
+counts, violation counts, bin ids from integer division, peel
+degrees, fold ids) or SINGLE divisions of exact integers (gini,
+attribution credit) — the two strongest portability classes (no ROUND
+needed, nothing for the raw-double-fold guard to flag).
+
+Extension surface beyond the reference: dag.py assumes its id columns
+are keys and never audits; a 100 TB lake verifies before it buckets,
+compacts on a plan instead of ad hoc, and profiles graph degeneracy
+before choosing join strategies on power-law keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from processo_etl_spark.plans import register
+from processo_etl_spark.plans.common import t
+from processo_etl_spark.plans.mlops import _md5_long_sql
+
+_MD5_LONG_SOURCE = _md5_long_sql("source")
+
+
+def _labeled(df, check, kind):
+    """Common 5-column shape for the key/FD union: the per-check
+    violation count is ``n_violations`` (extra rows for a key,
+    violating groups for an FD)."""
+    cols = df.columns
+    viol = "n_violations" if "n_violations" in cols else "n_violating_groups"
+    size = "n_distinct" if "n_distinct" in cols else "n_groups"
+    return df.select(
+        F.lit(check).alias("check"),
+        F.lit(kind).alias("kind"),
+        F.col(size).cast("long").alias("n_groups"),
+        F.col(viol).cast("long").alias("n_violations"),
+        F.col("holds"),
+    )
+
+
+@register(
+    "profile_keys_fds",
+    oracle="""
+    SELECT 'orders.o_orderkey' AS check, 'key' AS kind,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_groups,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+             AS n_violations,
+           count(*) = count(DISTINCT o_orderkey) AS holds
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)', 'key',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(c - 1) AS BIGINT), bool_and(c = 1)
+    FROM (SELECT count(*) AS c FROM lineitem
+          GROUP BY l_orderkey, l_linenumber)
+    UNION ALL
+    SELECT 'nation.n_nationkey->n_regionkey', 'fd',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           bool_and(nd <= 1)
+    FROM (SELECT count(DISTINCT n_regionkey) AS nd FROM nation
+          GROUP BY n_nationkey)
+    UNION ALL
+    SELECT 'customer.c_mktsegment->c_nationkey', 'fd',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           bool_and(nd <= 1)
+    FROM (SELECT count(DISTINCT c_nationkey) AS nd FROM customer
+          GROUP BY c_mktsegment)
+    """,
+)
+def profile_keys_fds(spark, sf_dir):
+    """Data-contract audit before bucketing/merging on a believed key:
+    two candidate-key checks (orders.o_orderkey — holds; the lineitem
+    compound grain — holds) and two functional dependencies
+    (nation→region — holds by TPC-H construction; market segment →
+    nation — deliberately FALSE, proving the violation counter counts).
+    quality/profile.key_violations / fd_violations: one combinable
+    groupBy per check, group tables bounded by the attribute domain,
+    exact-integer outputs."""
+    from processo_etl_spark.quality import profile
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    nation = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer")
+    parts = [
+        _labeled(
+            profile.key_violations(orders, ["o_orderkey"]),
+            "orders.o_orderkey",
+            "key",
+        ),
+        _labeled(
+            profile.key_violations(li, ["l_orderkey", "l_linenumber"]),
+            "lineitem.(l_orderkey,l_linenumber)",
+            "key",
+        ),
+        _labeled(
+            profile.fd_violations(nation, ["n_nationkey"], "n_regionkey"),
+            "nation.n_nationkey->n_regionkey",
+            "fd",
+        ),
+        _labeled(
+            profile.fd_violations(cust, ["c_mktsegment"], "c_nationkey"),
+            "customer.c_mktsegment->c_nationkey",
+            "fd",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "compaction_plan_sources",
+    oracle="""
+    WITH inv AS (
+      SELECT source AS file_id, CAST(sum(n_chars) AS BIGINT) AS n_bytes
+      FROM documents GROUP BY 1),
+    c AS (
+      SELECT file_id, n_bytes,
+             sum(n_bytes) OVER (ORDER BY n_bytes DESC, file_id) AS cum
+      FROM inv)
+    SELECT file_id, n_bytes,
+           CAST((cum - n_bytes) // 20000 AS BIGINT) AS bin
+    FROM c
+    """,
+)
+def compaction_plan_sources(spark, sf_dir):
+    """Small-file compaction plan over the per-source byte inventory
+    (documents stands in for the file listing): next-fit-decreasing
+    bin assignment at a 20 KB target via
+    operators/maintenance.compaction_bins — bin = (cum_before) DIV
+    target over the exact distributed cumulative sum, pure integer
+    arithmetic.  The oracle replays the same order with a window (fine
+    oracle-side); the ENGINE uses distributed_cumsum — range-partition
+    + per-partition offsets — because a real inventory is millions of
+    files and a global window would serialize them into one task."""
+    from processo_etl_spark.operators import maintenance
+
+    inv = (
+        t(spark, sf_dir, "documents")
+        .groupBy(F.col("source"))
+        .agg(F.sum("n_chars").cast("long").alias("n_bytes"))
+    )
+    return maintenance.compaction_bins(
+        inv, size_col="n_bytes", id_col="source", target_bytes=20_000
+    )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Fixed-round synchronous peel replay as generated CTEs — every
+    round mirrors operators/graph.kcore_peel exactly (degree groupBy,
+    ≥ k filter, both-endpoint edge semi-join).  All-integer."""
+    parts = [
+        """WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT CAST(o_custkey * 4 AS BIGINT) AS src,
+               CAST(o_orderkey * 4 + 1 AS BIGINT) AS dst
+        FROM orders
+        UNION ALL
+        SELECT DISTINCT CAST(l_orderkey * 4 + 1 AS BIGINT),
+               CAST(l_partkey * 4 + 2 AS BIGINT)
+        FROM lineitem))"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""a{r} AS MATERIALIZED (
+          SELECT node FROM (
+            SELECT node, count(*) AS deg FROM (
+              SELECT src AS node FROM e{p}
+              UNION ALL SELECT dst FROM e{p}) GROUP BY node)
+          WHERE deg >= {k})"""
+        )
+        parts.append(
+            f"""e{r} AS MATERIALIZED (
+          SELECT e.src, e.dst FROM e{p} e
+          JOIN a{r} s ON e.src = s.node
+          JOIN a{r} d ON e.dst = d.node)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+      SELECT src AS node FROM e{rounds}
+      UNION ALL SELECT dst FROM e{rounds}) GROUP BY node"""
+    )
+
+
+@register("graph_kcore_order_parts", oracle=_kcore_oracle(3, 6))
+def graph_kcore_order_parts(spark, sf_dir):
+    """3-core of the customer→order→part graph (the PageRank fixture's
+    shared edge list — one definition, plans/events.py): synchronous
+    peeling, 6 fixed rounds (the fixpoint lands in 3 at sf0.001–0.01;
+    doubling certifies stability), operators/graph.kcore_peel.
+    Degeneracy profiling is how a planner prices power-law join keys:
+    the k-core is the subgraph where every node keeps ≥ k neighbors
+    after all cascading removals — the dense hub region that salting /
+    AQE skew handling must survive.  Per-round cost is one combinable
+    degree groupBy + two semi-joins, localCheckpoint truncating
+    lineage — the LPA/connected-components loop template; all outputs
+    exact integers."""
+    from processo_etl_spark.operators import graph
+    from processo_etl_spark.plans.events import pagerank_order_graph_edges
+
+    return graph.kcore_peel(
+        pagerank_order_graph_edges(spark, sf_dir), k=3, rounds=6
+    )
+
+
+_GINI_COLS = [
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("customer", "c_mktsegment"),
+    ("lineitem", "l_returnflag"),
+]
+
+
+def _gini_branch_sql(table: str, col: str) -> str:
+    return f"""
+    SELECT '{table}.{col}' AS column,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(c) AS BIGINT) AS top_count,
+           CAST(CAST(sum(c) AS DECIMAL(38,0)) * sum(c)
+                - sum(CAST(c AS DECIMAL(38,0)) * c) AS DOUBLE)
+             / CAST(CAST(sum(c) AS DECIMAL(38,0)) * sum(c) AS DOUBLE) AS gini
+    FROM (SELECT count(*) AS c FROM {table} GROUP BY {col})"""
+
+
+@register(
+    "profile_categorical_gini",
+    oracle=" UNION ALL ".join(
+        _gini_branch_sql(tb, c) for tb, c in _GINI_COLS
+    ),
+)
+def profile_categorical_gini(spark, sf_dir):
+    """Concentration profile of four categorical columns: Gini impurity
+    1 − Σ(cᵢ/n)² (quality/profile.categorical_gini) — the entropy-role
+    measure with NO transcendental (ln is oracle-banned; impurity is
+    rational), signalling partition-key viability and dictionary
+    encodability.  Σc² runs in exact DECIMAL and gini is ONE division
+    of exact integers (< 2^53 through ~9·10⁷ rows per column) —
+    deterministic raw, nothing for the fold guard to flag.  One
+    combinable groupBy per column, group tables bounded by the
+    attribute domain."""
+    from processo_etl_spark.quality import profile
+
+    parts = [
+        profile.categorical_gini(t(spark, sf_dir, tb), c).withColumn(
+            "column", F.lit(f"{tb}.{c}")
+        )
+        for tb, c in _GINI_COLS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "attribution_linear_touch",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_v
+      FROM events WHERE event_type IN ('view', 'purchase')),
+    c AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(is_v) OVER (PARTITION BY user_id
+                             ORDER BY ts, is_v DESC) AS nv
+      FROM e)
+    SELECT event_id, user_id, CAST(nv AS BIGINT) AS n_touches,
+           CASE WHEN nv > 0 THEN 1.0 / CAST(nv AS DOUBLE) END
+             AS credit_per_touch
+    FROM c WHERE event_type = 'purchase'
+    """,
+)
+def attribution_linear_touch(spark, sf_dir):
+    """Linear multi-touch attribution (operators/temporal
+    .linear_touch_attribution): each purchase credits ALL the user's
+    at-or-before views equally at 1/n — the position-agnostic model
+    completing the attribution family (first/last-touch are the as-of
+    joins).  NO inequality join: one per-user running sum over the
+    unioned touch+conversion stream (the sessionize shuffle shape);
+    equal-timestamp views order before the purchase, so they count.
+    credit = one division of exact integers — engine-portable raw;
+    zero-touch purchases carry NULL credit, not dropped."""
+    from processo_etl_spark.operators import temporal
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    out = temporal.linear_touch_attribution(
+        ev,
+        "user_id",
+        ["ts"],
+        touch_pred=F.col("event_type") == "view",
+        conversion_pred=F.col("event_type") == "purchase",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("n_touches").cast("long").alias("n_touches"),
+        "credit_per_touch",
+    )
+
+
+@register(
+    "split_group_kfold",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST({_MD5_LONG_SOURCE} % 5 AS INT) AS fold
+    FROM documents
+    """,
+)
+def split_group_kfold(spark, sf_dir):
+    """GroupKFold assignment (ml/splits.with_group_fold): every doc of
+    one SOURCE lands in the same of 5 folds — the cross-validation
+    split that keeps correlated rows out of each other's train/test
+    sides (row-wise splitting leaks near-duplicates across the
+    boundary and inflates eval).  Deterministic md5-prefix hash,
+    append-consistent, shuffle-free — the with_split idiom at group
+    grain."""
+    from processo_etl_spark.ml import splits
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return splits.with_group_fold(docs, "source", n_folds=5)

@@ -268,3 +268,134 @@ def retrieval_eval_recall(spark, sf_dir):
         "n_hit",
         (F.col("n_hit").cast("double") / F.col("n_gold")).alias("recall_at_5"),
     )
+
+
+def _word_sql(alias: str, j: int, word_bits: int = 32) -> str:
+    """SQL twin of ml/similarity.sign_pack_words word ``j``."""
+    terms = " + ".join(
+        f"CASE WHEN {alias}.embedding[{j * word_bits + i + 1}] > 0"
+        f" THEN {1 << i} ELSE 0 END"
+        for i in range(word_bits)
+    )
+    return f"CAST(({terms}) AS BIGINT)"
+
+
+_HAM_SQL = (
+    "bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1))"
+)
+
+
+@register(
+    "similarity_topk_binary",
+    oracle=f"""
+    WITH codes AS (
+      SELECT vec_id, embedding,
+             {_word_sql('embeddings', 0)} AS w0,
+             {_word_sql('embeddings', 1)} AS w1
+      FROM embeddings)
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST({_HAM_SQL} AS INT) AS hamming,
+           ROUND({_COS_SQL}, 6) AS cos,
+           CAST(row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY {_HAM_SQL}, c.vec_id) AS INT) AS rank
+    FROM codes q JOIN codes c ON c.vec_id != q.vec_id
+    WHERE q.vec_id < 8
+    QUALIFY rank <= 5
+    """,
+)
+def similarity_topk_binary(spark, sf_dir):
+    """Top-5 under HAMMING distance over the 1-bit (sign) quantization
+    — ml/similarity.hamming_topk: each 64-dim vector packs into two
+    32-bit words (32× smaller corpus state than float64, 8× below the
+    graded int8 tier), distance is two XOR+popcount ops, and the
+    ranking is ALL-INTEGER (hamming asc, id asc) — no float-order
+    gamble anywhere in the selection.  The exact cosine rides along as
+    a ROUND(·, 6) diagnostic (raw-double-fold guard).  Scale shape:
+    broadcast query words against one narrow corpus scan (the
+    brute-force probe shape); the sub-linear tier bands the words into
+    16-bit chunks and equi-joins collisions — the pigeonhole recipe
+    the banded SimHash/pHash dedups already grade."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = similarity.hamming_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, dim=64
+    )
+    return out.withColumn("cos", F.round("cos", 6))
+
+
+_COS16_SQL = """
+  list_reduce(list_transform(list_zip(c.e16, q.e16),
+      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a,x) -> a + x)
+  / ( sqrt(list_reduce(list_transform(c.e16, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,x) -> a + x))
+    * sqrt(list_reduce(list_transform(q.e16, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,x) -> a + x)) )
+"""
+
+
+@register(
+    "retrieval_matryoshka_recall",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding, embedding[1:16] AS e16 FROM embeddings),
+    gold AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL} DESC, c.vec_id) AS rank
+      FROM s q JOIN s c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 8
+      QUALIFY rank <= 5),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_COS16_SQL} DESC, c.vec_id) AS rank
+      FROM s q JOIN s c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 8
+      QUALIFY rank <= 5)
+    SELECT g.query_id,
+           CAST(count(*) AS INT) AS n_gold,
+           CAST(count(c.neighbor_id) AS INT) AS n_hit,
+           ROUND(CAST(count(c.neighbor_id) AS DOUBLE) / count(*), 6)
+             AS recall_at_5
+    FROM gold g LEFT JOIN cand c USING (query_id, neighbor_id)
+    GROUP BY 1
+    """,
+)
+def retrieval_matryoshka_recall(spark, sf_dir):
+    """Matryoshka-dimension eval (Kusupati et al. 2022): recall@5 of
+    retrieval over the FIRST 16 dims against the full-64-dim gold set
+    — the measurement that decides whether a 4×-cheaper prefix index
+    is good enough (MRL-trained embeddings front-load information, so
+    prefix truncation is the standard serving trade).  Both rankers
+    are the registry's exact brute-force probe (8 fixed queries,
+    linear scan); the hit count is a slim (query, neighbor) equi-join
+    and recall is one exact small-integer division, ROUND(·, 6) per
+    the raw-double-fold guard.  At 100 TB the prefix index IS the
+    4×-smaller scan; this eval's shape (sampled probes × two rankers)
+    is unchanged."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    gold = similarity.brute_force_topk(emb, probes, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    cand = (
+        similarity.brute_force_topk(
+            emb16, emb16.filter(F.col("vec_id") < 8), k=5
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("h", F.lit(1))
+    )
+    per_q = (
+        gold.join(cand, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_gold"),
+            F.sum(F.coalesce("h", F.lit(0))).cast("int").alias("n_hit"),
+        )
+    )
+    return per_q.select(
+        "query_id",
+        "n_gold",
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("n_gold"), 6).alias(
+            "recall_at_5"
+        ),
+    )

@@ -1,0 +1,194 @@
+"""Unit tests for the r8 profiling/maintenance/binary-ANN tranche:
+quality/profile, operators/maintenance, operators/graph.kcore_peel,
+ml/similarity.sign_pack_words + hamming_topk."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_key_violations_holds_and_counts(spark):
+    from processo_etl_spark.quality import profile
+
+    ok = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    r = profile.key_violations(ok, ["k"]).first()
+    assert (r["n_rows"], r["n_distinct"], r["n_violations"], r["holds"]) == (
+        3, 3, 0, True,
+    )
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (2, "d"), (2, "e")], "k long, v string"
+    )
+    r = profile.key_violations(dup, ["k"]).first()
+    assert (r["n_rows"], r["n_distinct"], r["n_violations"], r["holds"]) == (
+        5, 2, 3, False,
+    )
+    with pytest.raises(ValueError):
+        profile.key_violations(ok, [])
+
+
+def test_fd_violations_detects_multi_valued_dependents(spark):
+    from processo_etl_spark.quality import profile
+
+    df = spark.createDataFrame(
+        [("x", 1), ("x", 1), ("y", 1), ("y", 2), ("z", None)],
+        "d string, dep int",
+    )
+    r = profile.fd_violations(df, ["d"], "dep").first()
+    # y maps to {1,2}; z's NULL dep is ignored by count_distinct
+    assert (r["n_groups"], r["n_violating_groups"], r["holds"]) == (3, 1, False)
+    holds = spark.createDataFrame([("x", 1), ("y", 2)], "d string, dep int")
+    assert profile.fd_violations(holds, ["d"], "dep").first()["holds"] is True
+    with pytest.raises(ValueError):
+        profile.fd_violations(df, [], "dep")
+
+
+def test_compaction_bins_next_fit_decreasing(spark):
+    from processo_etl_spark.operators import maintenance
+
+    # sizes desc: f_big=25 (own bins), f1=9, f2=8, f3=2, f4=1; target 10
+    inv = spark.createDataFrame(
+        [("f1", 9), ("f2", 8), ("f3", 2), ("f4", 1), ("f_big", 25)],
+        "file_id string, n_bytes long",
+    )
+    got = {
+        r["file_id"]: r["bin"]
+        for r in maintenance.compaction_bins(
+            inv, "n_bytes", "file_id", target_bytes=10
+        ).collect()
+    }
+    # cum_before: f_big 0, f1 25, f2 34, f3 42, f4 44
+    assert got == {"f_big": 0, "f1": 2, "f2": 3, "f3": 4, "f4": 4}
+    with pytest.raises(ValueError):
+        maintenance.compaction_bins(inv, "n_bytes", "file_id", target_bytes=0)
+
+
+def test_kcore_peel_matches_hand_peel(spark):
+    from processo_etl_spark.operators import graph
+
+    # path 1-2-3-4-5 peels away entirely at k=2; triangle 6-7-8
+    # survives; self-loop 9-9 is dropped up front
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7), (7, 8), (6, 8), (9, 9)],
+        "src long, dst long",
+    )
+    out = sorted(
+        (r["node"], r["degree"])
+        for r in graph.kcore_peel(edges, k=2, rounds=4).collect()
+    )
+    assert out == [(6, 2), (7, 2), (8, 2)]
+    # k=1 removes nothing but the self-loop
+    out1 = dict(
+        (r["node"], r["degree"])
+        for r in graph.kcore_peel(edges, k=1, rounds=2).collect()
+    )
+    assert out1 == {1: 1, 2: 2, 3: 2, 4: 2, 5: 1, 6: 2, 7: 2, 8: 2}
+    with pytest.raises(ValueError):
+        graph.kcore_peel(edges, k=0, rounds=1)
+
+
+def test_sign_pack_words_and_hamming_topk(spark):
+    from processo_etl_spark.ml import similarity
+
+    # 8-dim vectors, 4-bit words: hand-check the packing and distances
+    vecs = [
+        (0, [1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, -1.0]),  # 0101 0011 -> w0=5, w1=3
+        (1, [1.0, -1.0, 1.0, -1.0, 1.0, 1.0, -1.0, 1.0]),   # differs in dim 8
+        (2, [-1.0] * 8),                                     # w0=0, w1=0
+        (3, [1.0] * 8),                                      # w0=15, w1=15
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    words = similarity.sign_pack_words(F.col("embedding"), dim=8, word_bits=4)
+    packed = {
+        r["vec_id"]: (r["w0"], r["w1"])
+        for r in df.select(
+            "vec_id", words[0].alias("w0"), words[1].alias("w1")
+        ).collect()
+    }
+    assert packed == {0: (5, 3), 1: (5, 11), 2: (0, 0), 3: (15, 15)}
+    with pytest.raises(ValueError):
+        similarity.sign_pack_words(F.col("embedding"), dim=8, word_bits=33)
+
+    # 64-dim hamming_topk: neighbor ranking is (hamming asc, id asc)
+    import random
+
+    rng = random.Random(7)
+    big = [(i, [rng.choice([-1.0, 1.0]) for _ in range(64)]) for i in range(20)]
+    bdf = spark.createDataFrame(big, "vec_id long, embedding array<double>")
+    got = [
+        (r["neighbor_id"], r["hamming"], r["rank"])
+        for r in similarity.hamming_topk(
+            bdf, bdf.filter(F.col("vec_id") == 0), k=3, dim=64
+        ).collect()
+    ]
+
+    def ham(a, b):
+        return sum(1 for x, y in zip(a, b) if (x > 0) != (y > 0))
+
+    ref = sorted(
+        ((ham(big[0][1], v), i) for i, v in big if i != 0),
+    )[:3]
+    assert [(i, h) for h, i in ref] == [(i, h) for i, h, _ in got]
+    assert [r for _, _, r in got] == [1, 2, 3]
+
+
+def test_categorical_gini_hand_values(spark):
+    from processo_etl_spark.quality import profile
+
+    # 4×a, 2×b, 2×NULL over 8 rows: gini = 1 - (16+4+4)/64 = 0.625
+    df = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 2 + [(None,)] * 2, "v string"
+    )
+    r = profile.categorical_gini(df, "v").first()
+    assert (r["column"], r["n_rows"], r["n_distinct"], r["top_count"]) == (
+        "v", 8, 3, 4,
+    )
+    assert r["gini"] == 0.625
+    # constant column -> 0
+    const = spark.createDataFrame([("x",)] * 5, "v string")
+    assert profile.categorical_gini(const, "v").first()["gini"] == 0.0
+
+
+def test_linear_touch_attribution_counts_and_ties(spark):
+    from processo_etl_spark.operators import temporal
+
+    rows = [
+        # (user, ts, event_id, type)
+        (1, 10, 100, "view"),
+        (1, 20, 101, "view"),
+        (1, 20, 102, "purchase"),   # tie with a view at ts=20: counts it
+        (1, 30, 103, "purchase"),   # still 2 views
+        (2, 10, 200, "purchase"),   # zero-touch: NULL credit, kept
+        (2, 15, 201, "click"),      # irrelevant type, filtered out
+        (2, 20, 202, "view"),
+        (2, 25, 203, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, event_type string")
+    out = {
+        r["event_id"]: (r["n_touches"], r["credit_per_touch"])
+        for r in temporal.linear_touch_attribution(
+            df,
+            "user_id",
+            ["ts"],
+            touch_pred=F.col("event_type") == "view",
+            conversion_pred=F.col("event_type") == "purchase",
+        ).collect()
+    }
+    assert out[102] == (2, 0.5)
+    assert out[103] == (2, 0.5)
+    assert out[200] == (0, None)
+    assert out[203] == (1, 1.0)
+
+
+def test_with_group_fold_groups_stay_together(spark):
+    from processo_etl_spark.ml import splits
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 7}") for i in range(70)], "id long, g string"
+    )
+    rows = splits.with_group_fold(df, "g", n_folds=5).collect()
+    per_group = {}
+    for r in rows:
+        per_group.setdefault(r["g"], set()).add(r["fold"])
+    assert all(len(folds) == 1 for folds in per_group.values())
+    assert all(0 <= r["fold"] < 5 for r in rows)
+    with pytest.raises(ValueError):
+        splits.with_group_fold(df, "g", n_folds=1)

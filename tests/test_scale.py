@@ -127,6 +127,13 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
         "heaps_vocab_growth",
         "similarity_topk_int8",
         "similarity_topk_ivf",
+        # binary-hamming probe: the same broadcast linear scan as the
+        # bruteforce baseline (8 fixed query word-sets × corpus — linear,
+        # not all-pairs; the sub-linear tier is the banded pigeonhole).
+        "similarity_topk_binary",
+        # matryoshka eval embeds TWO bruteforce probe scans (full-dim
+        # gold + 16-dim candidate) — both the linear certificate shape.
+        "retrieval_matryoshka_recall",
         "geo_nearest_poi",
         "q11_important_parts",
         "q22_global_sales",
