@@ -105,30 +105,75 @@ RAW_DOUBLE_FOLD_ALLOWED: dict[str, dict[str, str]] = {
 
 
 def _last_alias_round_wrapped(sql: str, col: str) -> bool | None:
-    """Whether the LAST ``AS <col>`` occurrence in ``sql`` aliases a
-    ROUND(...) expression (the last occurrence is the final SELECT's in
-    every registry oracle).  None = no ``AS <col>`` alias at all (a
-    bare column reference or source passthrough — the caller treats
-    that as not-wrapped)."""
+    """Whether the LAST ``AS <col>`` occurrence in ``sql`` aliases an
+    expression WHOLLY wrapped in ROUND(...) — the last occurrence is
+    the final SELECT's in every registry oracle.  None = no
+    ``AS <col>`` alias at all (a bare column reference or source
+    passthrough — the caller treats that as not-wrapped).
+
+    The check extracts the FULL aliased expression (scan back to the
+    nearest enclosing comma or open-paren at depth 0) and requires it
+    to be ``ROUND(...)`` or ``CAST(ROUND(...) AS type)`` in its
+    entirety: a trailing ROUND sub-expression (``raw_fold + ROUND(adj,
+    6) AS col``) must NOT mask an unrounded fold reaching the output
+    (review r8 — the paren-match-only version had exactly that false
+    negative)."""
     matches = list(re.finditer(rf"\bAS\s+{re.escape(col)}\b", sql, re.IGNORECASE))
     if not matches:
         return None
-    pre = sql[: matches[-1].start()].rstrip()
-    if not pre.endswith(")"):
-        return False
+    pre = sql[: matches[-1].start()]
     depth = 0
-    i = len(pre) - 1
-    while i >= 0:
-        if pre[i] == ")":
+    start = 0
+    for i in range(len(pre) - 1, -1, -1):
+        c = pre[i]
+        if c == ")":
             depth += 1
-        elif pre[i] == "(":
-            depth -= 1
-            if depth == 0:
+        elif c == "(":
+            if depth == 0:  # the enclosing call/subquery boundary
+                start = i + 1
                 break
-        i -= 1
-    if i < 0:
-        return False
-    return bool(re.search(r"\bround\s*$", pre[:i], re.IGNORECASE))
+            depth -= 1
+        elif c == "," and depth == 0:  # previous select-list item
+            start = i + 1
+            break
+    # the backward scan can walk over a PRECEDING balanced group (an
+    # earlier CTE body); the aliased expression always starts after the
+    # last SELECT/comma boundary, so trim at the last SELECT keyword
+    expr = re.split(
+        r"\bSELECT\b", pre[start:], flags=re.IGNORECASE
+    )[-1].strip()
+    if expr.upper().startswith("DISTINCT "):
+        expr = expr[len("DISTINCT ") :].strip()
+
+    def whole_call(e: str, head: str) -> str | None:
+        """If ``e`` starts with ``head(`` and that call's closing paren
+        is e's LAST char, return the text inside the call; else None.
+        (A plain regex ``head\\(.*\\)`` would accept
+        ``ROUND(a,6) + fold(...)`` — the parens must balance.)"""
+        m = re.match(rf"{head}\s*\(", e, re.IGNORECASE)
+        if not m:
+            return None
+        depth = 1
+        for i in range(m.end(), len(e)):
+            if e[i] == "(":
+                depth += 1
+            elif e[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    return e[m.end() : i] if i == len(e) - 1 else None
+        return None
+
+    inner = whole_call(expr, "cast")
+    if inner is not None:
+        # CAST(ROUND(...) AS type): strip the trailing `AS type`
+        inner = re.sub(
+            r"\s+as\s+\w+(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?\s*$",
+            "",
+            inner,
+            flags=re.IGNORECASE,
+        ).strip()
+        expr = inner
+    return whole_call(expr, "round") is not None
 
 
 def raw_double_fold_hazards(

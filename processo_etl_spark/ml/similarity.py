@@ -511,9 +511,11 @@ def hamming_topk(
         F.col(vec_col).alias("qv"),
         *[w.alias(f"qw{j}") for j, w in enumerate(qw)],
     )
+    # the corpus side of the scan carries ONLY the packed words — the
+    # whole point of the tier is that the float vectors never ride
+    # through the candidate scan (review r8)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
         *[w.alias(f"cw{j}") for j, w in enumerate(qw)],
     )
     ham = None
@@ -524,13 +526,23 @@ def hamming_topk(
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("hamming", ham.cast("int"))
-        .withColumn("cos", cosine(F.col("cv"), F.col("qv")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("hamming"), F.asc("neighbor_id")
     )
-    return (
+    topk = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rank", "qv")
+    )
+    # exact cosine only for the k·|queries| survivors: broadcast the
+    # tiny top-k set against one narrow (id, vector) corpus projection
+    # instead of folding the O(dim) cosine under the pre-rank scan
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    return (
+        cv.join(F.broadcast(topk), "neighbor_id")
+        .withColumn("cos", cosine(F.col("cv"), F.col("qv")))
         .select("query_id", "neighbor_id", "hamming", "cos", "rank")
     )

@@ -386,9 +386,4 @@ def with_group_fold(
     (hash-uniform over groups, not rows)."""
     if n_folds < 2:
         raise ValueError(f"n_folds must be >= 2, got {n_folds}")
-    return df.withColumn(
-        out_col,
-        (md5_long(F.col(group_col).cast("string")) % F.lit(n_folds)).cast(
-            "int"
-        ),
-    )
+    return df.withColumn(out_col, hash_bucket(group_col, n_folds))

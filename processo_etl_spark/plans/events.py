@@ -1429,10 +1429,15 @@ def stream_ewma_user_value(spark, sf_dir):
     order-sensitive recurrence made incremental — rows settle into the
     one-double carry once the watermark passes them (bounded state:
     carry + lateness window, never the history); each batch emits the
-    provisional ewma folded through the still-pending rows.  Equals the
-    batch ewma_user_value fold bit-for-bit across out-of-order
-    micro-batches (tests/test_streaming.py); the batch twin is the
-    oracle-graded path."""
+    provisional ewma folded through the still-pending rows.  Equals
+    the batch FLOAT operator (temporal.ewma_per_key's default path)
+    bit-for-bit across out-of-order micro-batches
+    (tests/test_streaming.py).  NOTE: the oracle-graded batch head
+    ewma_user_value runs the FIXED-POINT integer variant since r8
+    (portability hardening) — the streaming twin keeps the float
+    recurrence, so the two agree to the < 4·10⁻⁸ quantization bias,
+    not bitwise; the bit-for-bit twin contract is against the float
+    operator the test asserts."""
     from processo_etl_spark.streaming import jobs
 
     return jobs.run_ewma_availablenow(spark, sf_dir)

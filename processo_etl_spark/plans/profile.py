@@ -32,17 +32,15 @@ _MD5_LONG_SOURCE = _md5_long_sql("source")
 
 
 def _labeled(df, check, kind):
-    """Common 5-column shape for the key/FD union: the per-check
-    violation count is ``n_violations`` (extra rows for a key,
-    violating groups for an FD)."""
-    cols = df.columns
-    viol = "n_violations" if "n_violations" in cols else "n_violating_groups"
-    size = "n_distinct" if "n_distinct" in cols else "n_groups"
+    """Common 5-column shape for the key/FD union — both producers
+    share the (n_groups, n_violations, holds) contract, so this only
+    attaches the labels (extra rows for a key, violating groups for
+    an FD)."""
     return df.select(
         F.lit(check).alias("check"),
         F.lit(kind).alias("kind"),
-        F.col(size).cast("long").alias("n_groups"),
-        F.col(viol).cast("long").alias("n_violations"),
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.col("n_violations").cast("long").alias("n_violations"),
         F.col("holds"),
     )
 
@@ -51,11 +49,10 @@ def _labeled(df, check, kind):
     "profile_keys_fds",
     oracle="""
     SELECT 'orders.o_orderkey' AS check, 'key' AS kind,
-           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_groups,
-           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
-             AS n_violations,
-           count(*) = count(DISTINCT o_orderkey) AS holds
-    FROM orders
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(c - 1) AS BIGINT) AS n_violations,
+           bool_and(c = 1) AS holds
+    FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
     UNION ALL
     SELECT 'lineitem.(l_orderkey,l_linenumber)', 'key',
            CAST(count(*) AS BIGINT),

@@ -20,18 +20,20 @@ from pyspark.sql import functions as F
 
 
 def key_violations(df: DataFrame, cols: list[str]) -> DataFrame:
-    """One row: (n_rows, n_distinct, n_violations, holds) for the
-    candidate key ``cols`` — ``n_violations`` is the number of EXTRA
-    rows beyond one per distinct tuple (0 iff the key holds).  NULLs
-    count as values (SQL keys forbid NULLs; a NULL-bearing candidate
-    shows up as violations against the distinct count, which groupBy
-    shares with the oracle's GROUP BY semantics)."""
+    """One row: (n_rows, n_groups, n_violations, holds) for the
+    candidate key ``cols`` — ``n_groups`` is the distinct-tuple count
+    under groupBy semantics (a NULL-bearing tuple IS a group: SQL keys
+    forbid NULLs, so NULL duplicates must surface as violations, not
+    vanish from a NULL-skipping DISTINCT) and ``n_violations`` the
+    number of EXTRA rows beyond one per group (0 iff the key holds).
+    Shares the (n_groups, n_violations, holds) contract with
+    :func:`fd_violations` so report unions need no column mapping."""
     if not cols:
         raise ValueError("candidate key needs at least one column")
     g = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("c"))
     return g.agg(
         F.sum("c").alias("n_rows"),
-        F.count(F.lit(1)).alias("n_distinct"),
+        F.count(F.lit(1)).alias("n_groups"),
         (F.sum("c") - F.count(F.lit(1))).alias("n_violations"),
         (F.sum("c") == F.count(F.lit(1))).alias("holds"),
     )
@@ -40,11 +42,12 @@ def key_violations(df: DataFrame, cols: list[str]) -> DataFrame:
 def fd_violations(
     df: DataFrame, determinant: list[str], dependent: str
 ) -> DataFrame:
-    """One row: (n_groups, n_violating_groups, holds) for the
-    functional dependency ``determinant → dependent``: a group violates
-    when one determinant tuple maps to MORE THAN ONE distinct dependent
-    value (count_distinct ignores NULLs, the SQL convention both
-    engines share)."""
+    """One row: (n_groups, n_violations, holds) for the functional
+    dependency ``determinant → dependent``: a group violates when one
+    determinant tuple maps to MORE THAN ONE distinct dependent value
+    (count_distinct ignores NULLs, the SQL convention both engines
+    share).  Shares the (n_groups, n_violations, holds) contract with
+    :func:`key_violations`."""
     if not determinant:
         raise ValueError("functional dependency needs a determinant")
     g = df.groupBy(*determinant).agg(
@@ -52,7 +55,7 @@ def fd_violations(
     )
     return g.agg(
         F.count(F.lit(1)).alias("n_groups"),
-        F.sum((F.col("nd") > 1).cast("long")).alias("n_violating_groups"),
+        F.sum((F.col("nd") > 1).cast("long")).alias("n_violations"),
         F.bool_and(F.col("nd") <= 1).alias("holds"),
     )
 

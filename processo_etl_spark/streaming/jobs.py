@@ -653,11 +653,16 @@ def ewma_stateful(
     - rows later than the watermark at arrival are dropped, the
       standard too-late contract.
 
-    The settled fold and the batch operator execute the identical
-    multiply-add sequence over the identical order, so once everything
-    settles the streaming ewma IS the batch ewma bit-for-bit
-    (asserted across out-of-order micro-batches in
-    tests/test_streaming.py).
+    The settled fold and the batch operator's FLOAT path
+    (``ewma_per_key`` without ``fixed_point_scale``) execute the
+    identical multiply-add sequence over the identical order, so once
+    everything settles the streaming ewma IS that batch ewma
+    bit-for-bit (asserted across out-of-order micro-batches in
+    tests/test_streaming.py).  The oracle-graded batch HEAD
+    (``ewma_user_value``) runs the fixed-point integer variant since
+    r8, which agrees with this float recurrence only to its
+    < 4·10⁻⁸ quantization bias — twin equivalence is against the
+    float operator, not the graded head.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

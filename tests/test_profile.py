@@ -11,15 +11,24 @@ def test_key_violations_holds_and_counts(spark):
 
     ok = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
     r = profile.key_violations(ok, ["k"]).first()
-    assert (r["n_rows"], r["n_distinct"], r["n_violations"], r["holds"]) == (
+    assert (r["n_rows"], r["n_groups"], r["n_violations"], r["holds"]) == (
         3, 3, 0, True,
     )
     dup = spark.createDataFrame(
         [(1, "a"), (1, "b"), (2, "c"), (2, "d"), (2, "e")], "k long, v string"
     )
     r = profile.key_violations(dup, ["k"]).first()
-    assert (r["n_rows"], r["n_distinct"], r["n_violations"], r["holds"]) == (
+    assert (r["n_rows"], r["n_groups"], r["n_violations"], r["holds"]) == (
         5, 2, 3, False,
+    )
+    # NULL keys are a GROUP (not skipped the way count(DISTINCT) would):
+    # two NULL rows = one group, one violation, key does not hold
+    nul = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (1, "c")], "k string, v string"
+    )
+    r = profile.key_violations(nul, ["k"]).first()
+    assert (r["n_rows"], r["n_groups"], r["n_violations"], r["holds"]) == (
+        3, 2, 1, False,
     )
     with pytest.raises(ValueError):
         profile.key_violations(ok, [])
@@ -34,7 +43,7 @@ def test_fd_violations_detects_multi_valued_dependents(spark):
     )
     r = profile.fd_violations(df, ["d"], "dep").first()
     # y maps to {1,2}; z's NULL dep is ignored by count_distinct
-    assert (r["n_groups"], r["n_violating_groups"], r["holds"]) == (3, 1, False)
+    assert (r["n_groups"], r["n_violations"], r["holds"]) == (3, 1, False)
     holds = spark.createDataFrame([("x", 1), ("y", 2)], "d string, dep int")
     assert profile.fd_violations(holds, ["d"], "dep").first()["holds"] is True
     with pytest.raises(ValueError):
@@ -113,12 +122,15 @@ def test_sign_pack_words_and_hamming_topk(spark):
     rng = random.Random(7)
     big = [(i, [rng.choice([-1.0, 1.0]) for _ in range(64)]) for i in range(20)]
     bdf = spark.createDataFrame(big, "vec_id long, embedding array<double>")
-    got = [
-        (r["neighbor_id"], r["hamming"], r["rank"])
-        for r in similarity.hamming_topk(
-            bdf, bdf.filter(F.col("vec_id") == 0), k=3, dim=64
-        ).collect()
-    ]
+    got = sorted(
+        (
+            (r["neighbor_id"], r["hamming"], r["rank"])
+            for r in similarity.hamming_topk(
+                bdf, bdf.filter(F.col("vec_id") == 0), k=3, dim=64
+            ).collect()
+        ),
+        key=lambda t: t[2],
+    )
 
     def ham(a, b):
         return sum(1 for x, y in zip(a, b) if (x > 0) != (y > 0))

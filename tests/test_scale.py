@@ -225,6 +225,17 @@ def test_raw_double_fold_guard_semantics():
     rec = "WITH RECURSIVE r AS (SELECT 1.0 AS e UNION ALL SELECT e*0.5 FROM r)\n"
     assert raw_double_fold_hazards("q", rec + "SELECT e AS ewma FROM r", ["ewma"]) == ["ewma"]
     assert raw_double_fold_hazards("q", rec + "SELECT ROUND(e, 6) AS ewma FROM r", ["ewma"]) == []
+    # a trailing ROUND sub-expression must NOT mask a raw fold (review
+    # r8 false negative), in either operand order
+    assert raw_double_fold_hazards("q", fold + "SELECT s + ROUND(z, 6) AS s FROM t", ["s"]) == ["s"]
+    assert raw_double_fold_hazards("q", fold + "SELECT ROUND(z, 6) + s AS s FROM t", ["s"]) == ["s"]
+    # ...and CAST(ROUND(...) AS type) is wrapped, not a false positive
+    assert raw_double_fold_hazards(
+        "q", fold + "SELECT CAST(ROUND(s, 6) AS DOUBLE) AS s FROM t", ["s"]
+    ) == []
+    assert raw_double_fold_hazards(
+        "q", fold + "SELECT CAST(ROUND(s, 2) AS DECIMAL(12,2)) AS s FROM t", ["s"]
+    ) == []
 
 
 def test_sorted_layout_enables_row_group_skipping(spark, tmp_path):
