@@ -91,6 +91,10 @@ RAW_DOUBLE_FOLD_ALLOWED: dict[str, dict[str, str]] = {
     "retrieval_eval_recall": {
         "recall_at_5": "single division of exact integers; fold ranks only"
     },
+    # 1/rank (or the exact literal 0.0 on a miss): same class.
+    "retrieval_eval_mrr": {
+        "reciprocal_rank": "single division of exact integers; fold ranks only"
+    },
     # `value` is a raw parquet column passthrough — the same stored
     # double on both sides, no arithmetic at all.  `ewma` is a
     # FIXED-POINT INTEGER recurrence (E = (3E+V) >> 2 on scaled longs,

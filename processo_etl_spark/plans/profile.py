@@ -334,3 +334,83 @@ def split_group_kfold(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "source")
     return splits.with_group_fold(docs, "source", n_folds=5)
+
+
+@register(
+    "mad_outliers_totalprice",
+    oracle="""
+    WITH m AS (SELECT median(o_totalprice) AS median FROM orders),
+    d AS (SELECT m.median, abs(o_totalprice - m.median) AS dev
+          FROM orders, m),
+    s AS (SELECT median, median(dev) AS mad FROM d GROUP BY median)
+    SELECT s.median, s.mad,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN abs(o_totalprice - s.median)
+                              > 3.0 * 1.4826 * s.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM orders, s
+    GROUP BY s.median, s.mad
+    """,
+)
+def mad_outliers_totalprice(spark, sf_dir):
+    """Robust outlier count on order totals by Median Absolute
+    Deviation (quality/profile.mad_outliers, Hampel's k=3 rule): the
+    50%-breakdown-point tier above the graded IQR fence (which fails
+    when >25% of the data is outlying).  Two exact-percentile passes +
+    one-row broadcast scalar attach — no window; every emitted double
+    is a short IEEE chain both engines replay (no fold, raw-portable).
+    The percentile→percentile_approx swap at 100 TB follows the
+    quartile family's documented deviation."""
+    from processo_etl_spark.quality import profile
+
+    return profile.mad_outliers(t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@register(
+    "seasonality_weekday_profile",
+    oracle="""
+    WITH e AS (
+      SELECT isodow(ts) AS weekday,
+             CAST(ROUND(value, 2) AS DECIMAL(12,2)) AS v
+      FROM events WHERE value IS NOT NULL),
+    tot AS (
+      SELECT CAST(sum(v) AS DOUBLE) / count(*) AS avg_all FROM e)
+    SELECT CAST(weekday AS INT) AS weekday,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v) AS DOUBLE) / count(*) AS avg_value,
+           (CAST(sum(v) AS DOUBLE) / count(*)) / tot.avg_all
+             AS ratio_to_overall
+    FROM e, tot
+    GROUP BY weekday, tot.avg_all
+    """,
+)
+def seasonality_weekday_profile(spark, sf_dir):
+    """Weekday seasonality profile of event values: per-ISO-weekday
+    event count, mean value, and the ratio to the overall mean — the
+    first-order seasonal decomposition a monitoring pipeline runs
+    before alerting on volume/value anomalies (a Monday dip is
+    seasonality, not drift).  Sums run in exact DECIMAL (the dec()
+    convention; doubles sum order-dependently), means and the ratio
+    are sequential single IEEE divisions of exactly-agreed operands —
+    raw-portable.  One combinable groupBy to 7 rows + a one-row
+    broadcast scalar attach."""
+    from processo_etl_spark.plans.common import dec
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(
+        (F.expr("weekday(ts)") + F.lit(1)).cast("int").alias("weekday"),
+        dec("value").alias("v"),
+    )
+    tot = e.agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("avg_all")
+    )
+    per = e.groupBy("weekday").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("avg_value"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "weekday",
+        "n_events",
+        "avg_value",
+        (F.col("avg_value") / F.col("avg_all")).alias("ratio_to_overall"),
+    )

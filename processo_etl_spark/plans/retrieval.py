@@ -399,3 +399,57 @@ def retrieval_matryoshka_recall(spark, sf_dir):
             "recall_at_5"
         ),
     )
+
+
+@register(
+    "retrieval_eval_mrr",
+    oracle=f"""
+    WITH gold AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 8
+      QUALIFY row_number() OVER (PARTITION BY q.vec_id
+          ORDER BY {_COS_SQL} DESC, c.vec_id) = 1),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL} DESC, c.vec_id) AS INT) AS rank
+      FROM embeddings q
+      JOIN embeddings c ON ({_MULTIPROBE_ON}) AND c.vec_id != q.vec_id
+      WHERE q.vec_id < 8
+      QUALIFY rank <= 10)
+    SELECT g.query_id, g.neighbor_id AS gold_id, c.rank AS hit_rank,
+           COALESCE(1.0 / CAST(c.rank AS DOUBLE), 0.0) AS reciprocal_rank
+    FROM gold g LEFT JOIN cand c USING (query_id, neighbor_id)
+    """,
+)
+def retrieval_eval_mrr(spark, sf_dir):
+    """Mean-reciprocal-rank eval of the multi-probe sign-LSH ranker:
+    per probe query, the rank at which the EXACT top-1 neighbor (the
+    gold item) surfaces in the LSH top-10 — reciprocal_rank 1/rank,
+    0.0 when missed (the MRR convention; the mean over queries is one
+    trivial aggregation away, left per-query so the hash grades every
+    row).  Completes the offline-ranker-eval pair next to
+    retrieval_eval_recall.  reciprocal_rank is a single division of
+    exact small integers — raw-portable; the cosine folds rank only
+    (the recall head's allow-list precedent).  Scale shape: gold is
+    |probes| rows, candidates |probes|·10 — slim-on-slim equi-join; at
+    100 TB the probe set is sampled, shape unchanged."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8)
+    gold = (
+        similarity.brute_force_topk(emb, probes, k=1)
+        .select("query_id", F.col("neighbor_id").alias("gold_id"))
+    )
+    cand = similarity.lsh_topk(
+        emb, probes, k=10, bits=_LSH_BITS, probes=_LSH_PROBES
+    ).select("query_id", F.col("neighbor_id").alias("gold_id"), "rank")
+    out = gold.join(cand, ["query_id", "gold_id"], "left")
+    return out.select(
+        "query_id",
+        "gold_id",
+        F.col("rank").alias("hit_rank"),
+        F.coalesce(
+            F.lit(1.0) / F.col("rank").cast("double"), F.lit(0.0)
+        ).alias("reciprocal_rank"),
+    )

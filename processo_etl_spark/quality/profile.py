@@ -93,3 +93,40 @@ def categorical_gini(df: DataFrame, col: str) -> DataFrame:
             / (n_dec * F.col("n_rows")).cast("double")
         ).alias("gini"),
     )
+
+
+def mad_outliers(df: DataFrame, col: str, k: float = 3.0) -> DataFrame:
+    """One row: (median, mad, n_rows, n_outliers) — robust outlier
+    count by Median Absolute Deviation: |x − median| > k·1.4826·MAD
+    (1.4826 makes MAD a consistent σ estimator under normality;
+    Hampel's rule at k=3).  The IQR fence (quality/audit) breaks when
+    >25% of the data is outlying; the MAD fence has a 50% breakdown
+    point — the robust tier for heavy-tailed pipeline metrics.
+
+    Two exact-``percentile`` passes (median, then median of absolute
+    deviations) with the one-row scalar re-attached by broadcast — the
+    DSIR scalar-attach shape, no window.  Each emitted double is a
+    short deterministic IEEE chain both engines replay ((a+b)/2
+    interpolation, one subtract/abs, two constant multiplies) — no
+    multi-term fold anywhere, so raw emission is portable.  At the
+    100 TB scale swap ``percentile`` for ``percentile_approx`` exactly
+    as the quartile family documents."""
+    med = df.agg(F.expr(f"percentile({col}, 0.5)").alias("median"))
+    dev = df.crossJoin(F.broadcast(med)).select(
+        "median", F.abs(F.col(col) - F.col("median")).alias("dev")
+    )
+    stats = dev.groupBy("median").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    fence = F.lit(float(k)) * F.lit(1.4826) * F.col("mad")
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .agg(
+            F.first("median").alias("median"),
+            F.first("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.abs(F.col(col) - F.col("median")) > fence).cast("long")
+            ).alias("n_outliers"),
+        )
+    )

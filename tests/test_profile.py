@@ -204,3 +204,26 @@ def test_with_group_fold_groups_stay_together(spark):
     assert all(0 <= r["fold"] < 5 for r in rows)
     with pytest.raises(ValueError):
         splits.with_group_fold(df, "g", n_folds=1)
+
+
+def test_mad_outliers_hand_values(spark):
+    from processo_etl_spark.quality import profile
+
+    # values 1..9 plus a wild 1000: median 5.5, deviations
+    # {4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5} -> MAD 2.5;
+    # fence 3*1.4826*2.5 = 11.1195 -> only 1000 is outlying
+    df = spark.createDataFrame(
+        [(float(x),) for x in range(1, 10)] + [(1000.0,)], "x double"
+    )
+    r = profile.mad_outliers(df, "x").first()
+    assert (r["median"], r["mad"], r["n_rows"], r["n_outliers"]) == (
+        5.5, 2.5, 10, 1,
+    )
+    # 50% breakdown: IQR-style fences fail with 3 of 10 wild values,
+    # MAD still isolates them
+    df2 = spark.createDataFrame(
+        [(float(x),) for x in range(1, 8)] + [(1e6,), (2e6,), (3e6,)],
+        "x double",
+    )
+    r2 = profile.mad_outliers(df2, "x").first()
+    assert r2["n_outliers"] == 3
