@@ -187,6 +187,18 @@ _ROTATION_HEADS = (
     # (q2/q4/q7–q9/q11–q13/q15/q20–q22) and the events/temporal family
     # per VERDICT r7 #4 — they sit early in registry order and fill
     # naturally.
+    # r9 promotion commitment (the r7→r8 pattern): the 11 mid-r8
+    # registry-TAIL heads (plans/profile.py — profile_keys_fds,
+    # profile_categorical_gini, compaction_plan_sources,
+    # graph_kcore_order_parts, attribution_linear_touch,
+    # split_group_kfold, mad_outliers_totalprice,
+    # seasonality_weekday_profile; plans/retrieval.py —
+    # similarity_topk_binary, retrieval_matryoshka_recall,
+    # retrieval_eval_mrr) are registry-TAIL this round so they cannot
+    # displace the pre-verified r8 window; append them HERE at r9
+    # start so the newest least-proven code grades next round, then
+    # re-pre-verify the EXACT r9 window at sf0.01.  The remaining r9
+    # slots continue the TPC-H tail + events/temporal drain.
 )
 
 # The canary probes (shared definition — processo_etl_spark/grading.py).

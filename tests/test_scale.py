@@ -118,6 +118,13 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
         "retrieval_hybrid_rrf",
         "knn_label_vote",
         "retrieval_eval_recall",
+        # same shape: the exact-top-1 gold probe scan + LSH candidates
+        "retrieval_eval_mrr",
+        # one-row median / (median, mad) scalars broadcast under the
+        # corpus for the deviation and fence passes — scalar attach
+        "mad_outliers_totalprice",
+        # one-row overall-average scalar attached to the 7-row profile
+        "seasonality_weekday_profile",
         # one-row bigram-total / (t_uni, t_bg) aggregates attached under
         # the vocabulary-sized stat tables — the DSIR scalar-attach shape.
         "ngram_continuation_counts",
