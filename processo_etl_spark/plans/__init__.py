@@ -192,9 +192,11 @@ _ROTATION_HEADS = (
     # profile_categorical_gini, compaction_plan_sources,
     # graph_kcore_order_parts, attribution_linear_touch,
     # split_group_kfold, mad_outliers_totalprice,
-    # seasonality_weekday_profile; plans/retrieval.py —
-    # similarity_topk_binary, retrieval_matryoshka_recall,
-    # retrieval_eval_mrr) are registry-TAIL this round so they cannot
+    # seasonality_weekday_profile, asof_next_view_after_purchase,
+    # scd2_point_in_time_join, events_rfm_segments;
+    # plans/retrieval.py — similarity_topk_binary,
+    # retrieval_matryoshka_recall,
+    # retrieval_eval_mrr) — 14 heads — are registry-TAIL this round so they cannot
     # displace the pre-verified r8 window; append them HERE at r9
     # start so the newest least-proven code grades next round, then
     # re-pre-verify the EXACT r9 window at sf0.01.  The remaining r9

@@ -414,3 +414,208 @@ def seasonality_weekday_profile(spark, sf_dir):
         "avg_value",
         (F.col("avg_value") / F.col("avg_all")).alias("ratio_to_overall"),
     )
+
+
+@register(
+    "asof_next_view_after_purchase",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           CAST(CAST(ROUND(p.value, 2) AS DECIMAL(12,2)) AS DOUBLE)
+             AS purchase_value,
+           v.ts AS view_ts,
+           CAST(CAST(ROUND(v.value, 2) AS DECIMAL(12,2)) AS DOUBLE)
+             AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts <= v.ts
+    """,
+)
+def asof_next_view_after_purchase(spark, sf_dir):
+    """FORWARD as-of join: for each purchase, the user's EARLIEST
+    at-or-after 'view' (did the buyer come back?) — the direction twin
+    of the graded backward head asof_purchase_last_view, exercising
+    operators/temporal.asof_join(direction='forward'), which had unit
+    tests but no oracle-graded head.  Same union-sort shape — one
+    shuffle on user_id, no nested loop; DuckDB's ASOF LEFT JOIN with
+    ``p.ts <= v.ts`` is the oracle."""
+    from processo_etl_spark.operators.temporal import asof_join
+    from processo_etl_spark.plans.common import dec
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        dec("value").cast("double").alias("purchase_value"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", dec("value").cast("double").alias("view_value")
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        ts="ts",
+        payload=["view_value"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_value",
+        F.col("ts_right").alias("view_ts"),
+        F.col("view_value_right").alias("view_value"),
+    )
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH nonp AS (
+      SELECT * FROM events WHERE event_type <> 'purchase'),
+    flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR event_type <> lag(event_type) OVER w
+                  THEN 1 ELSE 0 END AS changed
+      FROM nonp
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             CAST(SUM(changed) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS version
+      FROM flagged),
+    hist AS (
+      SELECT user_id, version, event_type AS active_type,
+             MIN(ts) AS valid_from
+      FROM runs GROUP BY 1, 2, 3),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts,
+           h.version, h.active_type, h.valid_from
+    FROM p ASOF LEFT JOIN hist h
+      ON p.user_id = h.user_id AND p.ts >= h.valid_from
+    """,
+)
+def scd2_point_in_time_join(spark, sf_dir):
+    """Point-in-time dimension lookup (the warehouse PIT join): each
+    purchase fact joins the SCD2 activity-regime dimension (runs of
+    the user's non-purchase event types, operators/temporal
+    .scd2_history_from_log) AS OF its timestamp — the composition that
+    makes Type-2 history usable (the reference loads dimensions as
+    snapshots; dag.py has no history at all).  Because SCD2 intervals
+    PARTITION each key's timeline (valid_to = next valid_from, no
+    gaps), the containing version is exactly the latest
+    valid_from ≤ ts, so the lookup is ONE backward as-of join on
+    valid_from — no interval predicate, no range join.  Purchases
+    before a user's first regime carry NULLs (LEFT semantics)."""
+    from processo_etl_spark.operators.temporal import (
+        asof_join,
+        scd2_history_from_log,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    hist = scd2_history_from_log(
+        ev.filter(F.col("event_type") != "purchase"),
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+    ).select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        F.col("event_type").alias("active_type"),
+        F.col("valid_from").alias("ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases, hist, on=["user_id"], ts="ts",
+        payload=["version", "active_type"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("version_right").alias("version"),
+        F.col("active_type_right").alias("active_type"),
+        F.col("ts_right").alias("valid_from"),
+    )
+
+
+@register(
+    "events_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS now_ts FROM events),
+    per AS (
+      SELECT user_id,
+             CAST(date_diff('second', max(ts), (SELECT now_ts FROM mx))
+               AS BIGINT) AS recency_s,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(ROUND(value, 2) AS DECIMAL(12,2))) AS DOUBLE)
+               AS monetary
+      FROM events WHERE value IS NOT NULL GROUP BY user_id)
+    SELECT user_id, recency_s, frequency, monetary,
+           CAST(ntile(4) OVER (ORDER BY recency_s ASC, user_id) AS INT)
+             AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS INT)
+             AS f_quartile,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS INT)
+             AS m_quartile
+    FROM per
+    """,
+)
+def events_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles — the standard behavioral-segmentation recipe): per-user
+    seconds-since-last-event (exact integer), event count, and
+    exact-decimal value sum, each quartiled with a DETERMINISTIC
+    user_id tiebreak.  The oracle's three global NTILE windows are the
+    spec; the ENGINE runs operators/ranking.distributed_ntile three
+    times (range-partition + per-partition offsets) — at 100 TB the
+    user table is millions of rows and a single-partition window would
+    serialize it.  recency/frequency are exact ints; monetary is an
+    exact-decimal sum cast double — identical ordering keys on both
+    engines."""
+    from processo_etl_spark.operators.ranking import distributed_ntile
+    from processo_etl_spark.plans.common import dec
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    mx = ev.agg(F.max("ts").alias("now_ts"))
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(dec("value")).cast("double").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            (
+                F.unix_timestamp("now_ts") - F.unix_timestamp("last_ts")
+            ).cast("long").alias("recency_s"),
+            "frequency",
+            "monetary",
+        )
+    )
+    out = distributed_ntile(
+        per, [F.asc("recency_s"), F.asc("user_id")], 4, out_col="r_quartile"
+    )
+    out = distributed_ntile(
+        out, [F.desc("frequency"), F.asc("user_id")], 4, out_col="f_quartile"
+    )
+    out = distributed_ntile(
+        out, [F.desc("monetary"), F.asc("user_id")], 4, out_col="m_quartile"
+    )
+    return out.select(
+        "user_id",
+        "recency_s",
+        "frequency",
+        "monetary",
+        F.col("r_quartile").cast("int").alias("r_quartile"),
+        F.col("f_quartile").cast("int").alias("f_quartile"),
+        F.col("m_quartile").cast("int").alias("m_quartile"),
+    )

@@ -227,3 +227,21 @@ def test_mad_outliers_hand_values(spark):
     )
     r2 = profile.mad_outliers(df2, "x").first()
     assert r2["n_outliers"] == 3
+
+
+def test_asof_forward_direction(spark):
+    from processo_etl_spark.operators import temporal
+
+    left = spark.createDataFrame([(1, 10), (1, 25), (2, 5)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 5, 50.0), (1, 12, 120.0), (1, 30, 300.0)], "k long, ts long, x double"
+    )
+    out = {
+        (r["k"], r["ts"]): (r["ts_right"], r["x_right"])
+        for r in temporal.asof_join(
+            left, right, on=["k"], ts="ts", payload=["x"], direction="forward"
+        ).collect()
+    }
+    assert out[(1, 10)] == (12, 120.0)
+    assert out[(1, 25)] == (30, 300.0)
+    assert out[(2, 5)] == (None, None)  # no right rows for k=2

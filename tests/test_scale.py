@@ -125,6 +125,9 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
         "mad_outliers_totalprice",
         # one-row overall-average scalar attached to the 7-row profile
         "seasonality_weekday_profile",
+        # one-row corpus-max-timestamp scalar attached under the
+        # per-user RFM table — scalar attach
+        "events_rfm_segments",
         # one-row bigram-total / (t_uni, t_bg) aggregates attached under
         # the vocabulary-sized stat tables — the DSIR scalar-attach shape.
         "ngram_continuation_counts",
