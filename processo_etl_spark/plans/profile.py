@@ -582,8 +582,13 @@ def events_rfm_segments(spark, sf_dir):
     from processo_etl_spark.operators.ranking import distributed_ntile
     from processo_etl_spark.plans.common import dec
 
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    mx = ev.agg(F.max("ts").alias("now_ts"))
+    ev_all = t(spark, sf_dir, "events")
+    ev = ev_all.filter(F.col("value").isNotNull())
+    # "now" is the CORPUS frontier (max ts over ALL events, matching the
+    # oracle's unfiltered mx) — the per-user metrics then count only
+    # valued events; a max-ts event with NULL value must not shift every
+    # user's recency
+    mx = ev_all.agg(F.max("ts").alias("now_ts"))
     per = (
         ev.groupBy("user_id")
         .agg(
