@@ -140,14 +140,20 @@ def _last_alias_round_wrapped(sql: str, col: str) -> bool | None:
         elif c == "," and depth == 0:  # previous select-list item
             start = i + 1
             break
-    # the backward scan can walk over a PRECEDING balanced group (an
-    # earlier CTE body); the aliased expression always starts after the
-    # last SELECT/comma boundary, so trim at the last SELECT keyword
-    expr = re.split(
-        r"\bSELECT\b", pre[start:], flags=re.IGNORECASE
-    )[-1].strip()
-    if expr.upper().startswith("DISTINCT "):
-        expr = expr[len("DISTINCT ") :].strip()
+    # The backward scan can walk over a PRECEDING balanced group (an
+    # earlier CTE body), so the slice may still carry leading SQL.  The
+    # aliased expression is ONE of: the full slice, or the suffix after
+    # some SELECT keyword inside it (the final select's own SELECT, or
+    # — when the expression itself embeds a scalar subquery — none of
+    # them).  Testing every candidate is safe because the whole-call
+    # check below requires the ENTIRE candidate to be one balanced
+    # ROUND(...) call: a mid-expression suffix can never fake that
+    # (review r8 — the trim-at-last-SELECT version broke
+    # ``ROUND((SELECT ...) * x, 6) AS col``).
+    sl = pre[start:]
+    candidates = [sl] + [
+        sl[m.end() :] for m in re.finditer(r"\bSELECT\b", sl, re.IGNORECASE)
+    ]
 
     def whole_call(e: str, head: str) -> str | None:
         """If ``e`` starts with ``head(`` and that call's closing paren
@@ -167,17 +173,26 @@ def _last_alias_round_wrapped(sql: str, col: str) -> bool | None:
                     return e[m.end() : i] if i == len(e) - 1 else None
         return None
 
-    inner = whole_call(expr, "cast")
-    if inner is not None:
-        # CAST(ROUND(...) AS type): strip the trailing `AS type`
-        inner = re.sub(
-            r"\s+as\s+\w+(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?\s*$",
-            "",
-            inner,
-            flags=re.IGNORECASE,
-        ).strip()
-        expr = inner
-    return whole_call(expr, "round") is not None
+    for cand in candidates:
+        expr = cand.strip()
+        if expr.upper().startswith("DISTINCT "):
+            expr = expr[len("DISTINCT ") :].strip()
+        # unwrap CAST layers repeatedly: CAST(CAST(ROUND(v, 2) AS
+        # DECIMAL(12,2)) AS DOUBLE) is the repo's standard exact-value
+        # emission idiom (review r8 — one layer was not enough)
+        while True:
+            inner = whole_call(expr, "cast")
+            if inner is None:
+                break
+            expr = re.sub(
+                r"\s+as\s+\w+(\s*\(\s*\d+(\s*,\s*\d+)?\s*\))?\s*$",
+                "",
+                inner,
+                flags=re.IGNORECASE,
+            ).strip()
+        if whole_call(expr, "round") is not None:
+            return True
+    return False
 
 
 def raw_double_fold_hazards(

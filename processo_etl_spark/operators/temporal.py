@@ -52,6 +52,13 @@ def asof_join(
 
     The right row is carried as ONE struct so a legitimately-NULL
     payload value never falls through to an older right row.
+
+    PRECONDITION for deterministic payloads: right-side ``ts`` values
+    are unique per ``on`` key.  When two right rows tie on (key, ts),
+    the union-sort here AND DuckDB's ASOF both pick an arbitrary
+    winner, so the payloads can differ run-to-run and engine-to-engine
+    — collapse ties first (e.g. ``max(struct(...))`` per (key, ts), as
+    the SCD2 point-in-time head does).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")

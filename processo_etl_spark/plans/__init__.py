@@ -187,7 +187,7 @@ _ROTATION_HEADS = (
     # (q2/q4/q7–q9/q11–q13/q15/q20–q22) and the events/temporal family
     # per VERDICT r7 #4 — they sit early in registry order and fill
     # naturally.
-    # r9 promotion commitment (the r7→r8 pattern): the 11 mid-r8
+    # r9 promotion commitment (the r7→r8 pattern): the 14 mid-r8
     # registry-TAIL heads (plans/profile.py — profile_keys_fds,
     # profile_categorical_gini, compaction_plan_sources,
     # graph_kcore_order_parts, attribution_linear_touch,

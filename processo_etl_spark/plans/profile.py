@@ -437,7 +437,9 @@ def asof_next_view_after_purchase(spark, sf_dir):
     operators/temporal.asof_join(direction='forward'), which had unit
     tests but no oracle-graded head.  Same union-sort shape — one
     shuffle on user_id, no nested loop; DuckDB's ASOF LEFT JOIN with
-    ``p.ts <= v.ts`` is the oracle."""
+    ``p.ts <= v.ts`` is the oracle.  asof_join's right-side-unique-ts
+    precondition holds here: event timestamps are unique per user in
+    this corpus (microsecond grain), like the graded backward head."""
     from processo_etl_spark.operators.temporal import asof_join
     from processo_etl_spark.plans.common import dec
 
@@ -489,7 +491,13 @@ def asof_next_view_after_purchase(spark, sf_dir):
     hist AS (
       SELECT user_id, version, event_type AS active_type,
              MIN(ts) AS valid_from
-      FROM runs GROUP BY 1, 2, 3),
+      FROM runs GROUP BY 1, 2, 3
+      -- two regime runs can share a valid_from when two different
+      -- event types carry an identical timestamp; keep the LATEST
+      -- version so the as-of winner is deterministic (asof_join's
+      -- documented uniqueness precondition)
+      QUALIFY row_number() OVER (PARTITION BY user_id, valid_from
+                                 ORDER BY version DESC) = 1),
     p AS (SELECT event_id, user_id, ts FROM events
           WHERE event_type = 'purchase')
     SELECT p.event_id, p.user_id, p.ts,
@@ -509,24 +517,40 @@ def scd2_point_in_time_join(spark, sf_dir):
     gaps), the containing version is exactly the latest
     valid_from ≤ ts, so the lookup is ONE backward as-of join on
     valid_from — no interval predicate, no range join.  Purchases
-    before a user's first regime carry NULLs (LEFT semantics)."""
+    before a user's first regime carry NULLs (LEFT semantics).  Two
+    regime runs can share a valid_from (two event types at an
+    identical timestamp); the dim keeps the LATEST version per
+    (user, valid_from) so the as-of winner is deterministic —
+    asof_join's documented right-side-unique-ts precondition."""
     from processo_etl_spark.operators.temporal import (
         asof_join,
         scd2_history_from_log,
     )
 
     ev = t(spark, sf_dir, "events")
-    hist = scd2_history_from_log(
-        ev.filter(F.col("event_type") != "purchase"),
-        "user_id",
-        "event_type",
-        "ts",
-        "event_id",
-    ).select(
-        "user_id",
-        F.col("version").cast("long").alias("version"),
-        F.col("event_type").alias("active_type"),
-        F.col("valid_from").alias("ts"),
+    hist = (
+        scd2_history_from_log(
+            ev.filter(F.col("event_type") != "purchase"),
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+        )
+        .groupBy("user_id", F.col("valid_from").alias("ts"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("version").cast("long").alias("version"),
+                    F.col("event_type").alias("active_type"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.col("m.version").alias("version"),
+            F.col("m.active_type").alias("active_type"),
+        )
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"

@@ -239,13 +239,31 @@ def test_raw_double_fold_guard_semantics():
     # r8 false negative), in either operand order
     assert raw_double_fold_hazards("q", fold + "SELECT s + ROUND(z, 6) AS s FROM t", ["s"]) == ["s"]
     assert raw_double_fold_hazards("q", fold + "SELECT ROUND(z, 6) + s AS s FROM t", ["s"]) == ["s"]
-    # ...and CAST(ROUND(...) AS type) is wrapped, not a false positive
+    # ...and CAST(ROUND(...) AS type) is wrapped, not a false positive —
+    # including the nested double-CAST exact-value idiom
     assert raw_double_fold_hazards(
         "q", fold + "SELECT CAST(ROUND(s, 6) AS DOUBLE) AS s FROM t", ["s"]
     ) == []
     assert raw_double_fold_hazards(
         "q", fold + "SELECT CAST(ROUND(s, 2) AS DECIMAL(12,2)) AS s FROM t", ["s"]
     ) == []
+    assert raw_double_fold_hazards(
+        "q",
+        fold + "SELECT CAST(CAST(ROUND(s, 2) AS DECIMAL(12,2)) AS DOUBLE) AS s FROM t",
+        ["s"],
+    ) == []
+    # a ROUND whose argument embeds a scalar subquery is still wrapped
+    assert raw_double_fold_hazards(
+        "q",
+        fold + "SELECT ROUND((SELECT list_reduce(list(x), (a,b) -> a+b) FROM t) * s, 6) AS s FROM t",
+        ["s"],
+    ) == []
+    # ...but a raw fold ADDED to a subquery-bearing ROUND is not
+    assert raw_double_fold_hazards(
+        "q",
+        fold + "SELECT s + ROUND((SELECT avg(z) FROM t), 6) AS s FROM t",
+        ["s"],
+    ) == ["s"]
 
 
 def test_sorted_layout_enables_row_group_skipping(spark, tmp_path):
