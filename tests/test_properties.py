@@ -591,3 +591,76 @@ def test_audio_silence_trim_matches_pure_python(spark, payloads):
         ).collect()
     }
     assert got == {i: ref(p) for i, p in enumerate(payloads)}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=1e5, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_ewma_fixed_point_property_matches_integer_reference(spark, xs):
+    """The fixed-point EWMA path replays the pure-Python scaled-long
+    recurrence exactly for arbitrary non-negative inputs (the graded
+    head's determinism contract)."""
+    from processo_etl_spark.operators import temporal
+
+    df = spark.createDataFrame(
+        [("k", i, float(x)) for i, x in enumerate(xs)],
+        "g string, seq long, x double",
+    )
+    got = {
+        r["seq"]: r["ewma"]
+        for r in temporal.ewma_per_key(
+            df, "g", ["seq"], "x", alpha=0.25, fixed_point_scale=8
+        ).collect()
+    }
+    e = None
+    for i, x in enumerate(xs):
+        v = round(x * 10**8)
+        e = v if e is None else (3 * e + v) >> 2
+        assert got[i] == e / 10**8, (i, x)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.randoms(use_true_random=False))
+def test_kcore_peel_property_matches_python_fixpoint(spark, rnd):
+    """On random graphs, kcore_peel with enough rounds equals the
+    pure-Python peel-to-fixpoint reference (and never keeps a node
+    below degree k once converged)."""
+    from processo_etl_spark.operators import graph
+
+    n = 14
+    edges = sorted(
+        {
+            (a, b)
+            for _ in range(30)
+            for a, b in [sorted(rnd.sample(range(n), 2))]
+        }
+    )
+    k = rnd.choice([2, 3])
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["degree"]
+        for r in graph.kcore_peel(df, k=k, rounds=n).collect()
+    }
+
+    es = set(edges)
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        alive = {v for v, d in deg.items() if d >= k}
+        ns = {(a, b) for a, b in es if a in alive and b in alive}
+        if ns == es:
+            break
+        es = ns
+    ref = {}
+    for a, b in es:
+        ref[a] = ref.get(a, 0) + 1
+        ref[b] = ref.get(b, 0) + 1
+    assert got == ref
+    assert all(d >= k for d in got.values()) or not got
