@@ -181,26 +181,58 @@ _ROTATION_HEADS = (
     # their rows this round rather than waiting for registry order.
     "ewma_user_value",
     "asof_purchase_last_view",
-    # drift_chi2_sources (the r7 red row, now ROUND-hardened) re-enters
-    # automatically via the failed-row logic in _graded_names, early in
-    # registry order (mlops).  The remaining slots drain the TPC-H tail
-    # (q2/q4/q7–q9/q11–q13/q15/q20–q22) and the events/temporal family
-    # per VERDICT r7 #4 — they sit early in registry order and fill
-    # naturally.
-    # r9 promotion commitment (the r7→r8 pattern): the 14 mid-r8
-    # registry-TAIL heads (plans/profile.py — profile_keys_fds,
-    # profile_categorical_gini, compaction_plan_sources,
-    # graph_kcore_order_parts, attribution_linear_touch,
-    # split_group_kfold, mad_outliers_totalprice,
-    # seasonality_weekday_profile, asof_next_view_after_purchase,
-    # scd2_point_in_time_join, events_rfm_segments;
-    # plans/retrieval.py — similarity_topk_binary,
-    # retrieval_matryoshka_recall,
-    # retrieval_eval_mrr) — 14 heads — are registry-TAIL this round so they cannot
-    # displace the pre-verified r8 window; append them HERE at r9
-    # start so the newest least-proven code grades next round, then
-    # re-pre-verify the EXACT r9 window at sf0.01.  The remaining r9
-    # slots continue the TPC-H tail + events/temporal drain.
+    # ---- r9 window (VERDICT r8 #1–#4, #7): all 35 rotation slots are
+    # named EXPLICITLY this round — r8 proved "fills naturally by
+    # registry order" does not reach plans/tpch.py, so nothing is left
+    # to registry order.  15 pinned + 35 named = the exact 50-slot
+    # window, pre-verified at sf0.01 before commit.
+    #
+    # 1+3: the twice-red drift head, re-built with a 100% float-free
+    # hashed output (exact-integer chi2_micros), plus the three
+    # diagnostic probes that localize WHICH column the driver
+    # environment diverges on (VERDICT r8 #1/#2).
+    "drift_chi2_sources",
+    "drift_probe_ints",
+    "drift_probe_round",
+    "drift_probe_verdict",
+    # 12: the TPC-H tail, drained explicitly (VERDICT r8 #3) — the most
+    # user-recognizable query surface, zero driver evidence through r8.
+    "q2_min_acctbal_supplier",
+    "q4_order_priority_exists",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_ship_delay_priority",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q20_part_promotion",
+    "q21_waiting_supplier",
+    "q22_global_sales",
+    # 14: the r9 promotion commitment honored verbatim (VERDICT r8 #4)
+    # — the mid-r8 registry-TAIL heads (plans/profile.py +
+    # plans/retrieval.py), local-green + sf0.5-swept last round.
+    "profile_keys_fds",
+    "profile_categorical_gini",
+    "compaction_plan_sources",
+    "graph_kcore_order_parts",
+    "attribution_linear_touch",
+    "split_group_kfold",
+    "mad_outliers_totalprice",
+    "seasonality_weekday_profile",
+    "asof_next_view_after_purchase",
+    "scd2_point_in_time_join",
+    "events_rfm_segments",
+    "similarity_topk_binary",
+    "retrieval_matryoshka_recall",
+    "retrieval_eval_mrr",
+    # 5: start retiring the events/temporal local-only family (VERDICT
+    # r8 #7) — bench headliners / sketch flagships first.
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
+    "hll_daily_merge_distinct",
+    "snapshot_diff_orders",
+    "sequence_double_click_purchase",
 )
 
 # The canary probes (shared definition — processo_etl_spark/grading.py).

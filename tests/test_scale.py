@@ -109,8 +109,13 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
         # merged-sketch estimate — linear scalar attach.
         "hll_daily_merge_distinct",
         # one-row (na, nb) totals attached under the 256-bucket
-        # contingency table — the DSIR scalar-attach shape.
+        # contingency table — the DSIR scalar-attach shape.  The three
+        # drift_probe_* diagnostics replay the same pipeline (VERDICT
+        # r8 #2), so they inherit the same one-row scalar attach.
         "drift_chi2_sources",
+        "drift_probe_ints",
+        "drift_probe_round",
+        "drift_probe_verdict",
         "similarity_topk_bruteforce",
         # these embed brute_force_topk's 1-row / 8-row broadcast probe
         # scan (the bruteforce entry's linear shape); fusion / voting /

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import datetime as dt
+import math
 
 from pyspark.sql import functions as F
 
@@ -160,7 +161,10 @@ def test_ewma_fixed_point_matches_integer_reference(spark):
         for kk, seq, x in rows:
             if kk != k or x is None:
                 continue
-            v = round(x * 10**8)
+            # half-away-from-zero (what Spark F.round / DuckDB ROUND do
+            # for these non-negative inputs) — Python round() is
+            # half-EVEN and diverges exactly on .5 ties (ADVICE r8)
+            v = math.floor(x * 10**8 + 0.5)
             e = v if e is None else (3 * e + v) >> 2
             f = x if f is None else 0.75 * f + 0.25 * x
             assert got[(k, seq)] == e / 10**8, (k, seq)
