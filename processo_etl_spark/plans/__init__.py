@@ -239,6 +239,17 @@ _ROTATION_HEADS = (
 from processo_etl_spark.grading import DECIMAL_CANARIES as _NEVER_GRADE  # noqa: E402
 
 
+# Diagnostic one-shot probes: their PURPOSE is the first recorded grade
+# (green or red — a red probe row is the experiment's RESULT, not a
+# failure to retry), so unlike normal queries they leave the rotation
+# pool after ANY recorded row.  Without this, an expected-red probe
+# (drift_probe_round replays the exact emission the r8 driver failed)
+# would re-enter the window every round forever, wasting a graded slot.
+_ONE_SHOT_PROBES = frozenset(
+    {"drift_probe_ints", "drift_probe_round", "drift_probe_verdict"}
+)
+
+
 def _graded_names() -> frozenset:
     """Query names with a PASSING row in any recorded CORRECTNESS_r*.json.
 
@@ -246,7 +257,8 @@ def _graded_names() -> frozenset:
     explicit check failure (absent check keys — the rows-only grade —
     still certify).  A query that FAILED a past round stays in the
     rotation pool, so it re-enters the window until it earns a green
-    row instead of being retired by the attempt."""
+    row instead of being retired by the attempt — EXCEPT the
+    ``_ONE_SHOT_PROBES``, which retire on any recorded row."""
     import json
     from pathlib import Path
 
@@ -259,6 +271,9 @@ def _graded_names() -> frozenset:
             continue
         for name, row in rows.items():
             if not isinstance(row, dict):
+                graded.add(name)
+                continue
+            if name in _ONE_SHOT_PROBES:
                 graded.add(name)
                 continue
             if row.get("err") is not None:
