@@ -642,3 +642,89 @@ def tokens_gini_by_source(spark, sf_dir):
             ).cast("double")
         ).alias("gini"),
     )
+
+
+# --- sequence packing: documents -> fixed-length training sequences -------
+@register(
+    "pack_sequences_concat_stats",
+    oracle=f"""
+    WITH per AS (
+      SELECT doc_id,
+             CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n
+      FROM documents),
+    cum AS (
+      SELECT n, sum(n) OVER (ORDER BY doc_id) AS c FROM per)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST((sum(n) + 63) // 64 AS BIGINT) AS n_sequences,
+           CAST(count(*) FILTER (n > 0 AND (c - 1) // 64 > (c - n) // 64)
+                AS BIGINT) AS n_docs_split,
+           CAST(((sum(n) + 63) // 64) * 64 - sum(n) AS BIGINT)
+             AS tail_padding
+    FROM cum
+    """,
+)
+def pack_sequences_concat_stats(spark, sf_dir):
+    """GPT-style concat-and-split packing audit — ml/packing.
+    concat_split_stats: concatenate the corpus in doc_id order, cut
+    every 64 tokens (a toy context window scaled to the fixture's short
+    documents; production windows of 2048–8192 change the constant, not
+    the shape), and report the fragmentation metrics a pre-training
+    pipeline tracks: how many documents cross a sequence boundary
+    (n_docs_split — they need EOD attention masking) and the tail
+    padding (this mode's only waste).  The cut points are pure integer
+    functions of the exact global cumulative token sum, which runs as
+    operators/ranking.distributed_cumsum (range partition +
+    per-partition offset broadcast — no single-partition window); every
+    output is an exact integer, immune to the fold-portability class by
+    construction.  Only (doc_id, n_tokens) metadata flows — the
+    tokenized text never enters the shuffle."""
+    from processo_etl_spark.ml import packing
+
+    c = corpus(spark, sf_dir)
+    return packing.concat_split_stats(
+        c, "doc_id", F.size("toks"), window=64
+    )
+
+
+@register(
+    "pack_sequences_length_bucketed",
+    oracle=f"""
+    WITH per AS (
+      SELECT CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS len_class
+      FROM documents),
+    cls AS (
+      SELECT len_class, CAST(count(*) AS BIGINT) AS n_docs
+      FROM per WHERE len_class > 0 GROUP BY len_class),
+    d AS (
+      SELECT len_class, n_docs,
+             CASE WHEN len_class > 64 THEN 1
+                  ELSE 64 // len_class END AS docs_per_pack,
+             len_class > 64 AS truncated
+      FROM cls)
+    SELECT len_class, n_docs, CAST(docs_per_pack AS BIGINT) AS docs_per_pack,
+           CAST((n_docs + docs_per_pack - 1) // docs_per_pack AS BIGINT)
+             AS n_packs,
+           CAST(CASE WHEN truncated THEN 1000
+                     ELSE (docs_per_pack * len_class * 1000) // 64 END
+                AS BIGINT) AS fill_permille,
+           truncated
+    FROM d
+    """,
+)
+def pack_sequences_length_bucketed(spark, sf_dir):
+    """Length-bucketed no-split packing — ml/packing.
+    length_bucketed_packing: group documents by exact token length ℓ, a
+    64-token sequence holds exactly ⌊64/ℓ⌋ docs of class ℓ (docs longer
+    than the window form the truncated class), and the per-class
+    utilization is the exact integer (⌊W/ℓ⌋·ℓ·1000) div W.  The
+    deterministic, fully distributed alternative to first-fit packing
+    (FFD's greedy scan is sequential): ONE map-side-combinable groupBy
+    whose group table is bounded by the distinct-length domain, no
+    window function at all, all-integer outputs."""
+    from processo_etl_spark.ml import packing
+
+    c = corpus(spark, sf_dir)
+    return packing.length_bucketed_packing(
+        c, "doc_id", F.size("toks"), window=64
+    )

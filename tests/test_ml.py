@@ -367,6 +367,52 @@ def test_pack_sequences_invariants(spark):
         assert s["packs_started"] <= s["packs_ideal"]
 
 
+def test_concat_split_stats_hand_computed(spark):
+    """Window 10, doc lengths (id order) 4,6,3,0,12,5: cuts at 10,20,30…
+    over cumsums 4,10,13,13,25,30 — doc2 ends exactly ON the boundary
+    (no split), doc3 and doc6 stay inside, doc4 is empty, doc5 spans
+    13→25 (crosses 20 — split); total 30 → 3 sequences, 0 tail pad."""
+    from processo_etl_spark.ml import packing
+
+    df = spark.createDataFrame(
+        [(1, 4), (2, 6), (3, 3), (4, 0), (5, 12), (6, 5)], "doc_id long, n long"
+    )
+    r = packing.concat_split_stats(df, "doc_id", F.col("n"), window=10).collect()[0]
+    assert r["n_docs"] == 6
+    assert r["total_tokens"] == 30
+    assert r["n_sequences"] == 3
+    assert r["n_docs_split"] == 1
+    assert r["tail_padding"] == 0
+    # non-multiple total: one more token => 4 sequences, 9 pad
+    df2 = df.union(spark.createDataFrame([(7, 1)], "doc_id long, n long"))
+    r2 = packing.concat_split_stats(df2, "doc_id", F.col("n"), window=10).collect()[0]
+    assert r2["n_sequences"] == 4 and r2["tail_padding"] == 9
+
+
+def test_length_bucketed_packing_hand_computed(spark):
+    """Window 10: 7 docs of len 3 -> 3/pack, 3 packs, 900 permille;
+    2 docs of len 10 -> 1/pack full; 1 doc of len 25 -> truncated;
+    empty docs excluded."""
+    from processo_etl_spark.ml import packing
+
+    rows = [(i, 3) for i in range(7)]
+    rows += [(10, 10), (11, 10), (12, 25), (13, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    got = {
+        r["len_class"]: r
+        for r in packing.length_bucketed_packing(
+            df, "doc_id", F.col("n"), window=10
+        ).collect()
+    }
+    assert set(got) == {3, 10, 25}
+    assert (got[3]["docs_per_pack"], got[3]["n_packs"]) == (3, 3)
+    assert got[3]["fill_permille"] == 900 and not got[3]["truncated"]
+    assert (got[10]["docs_per_pack"], got[10]["n_packs"]) == (1, 2)
+    assert got[10]["fill_permille"] == 1000 and not got[10]["truncated"]
+    assert got[25]["truncated"] and got[25]["fill_permille"] == 1000
+    assert got[25]["n_packs"] == 1
+
+
 def test_scd2_history_intervals(spark):
     from processo_etl_spark import catalog
     from processo_etl_spark.operators.temporal import scd2_history_from_log
