@@ -233,6 +233,15 @@ _ROTATION_HEADS = (
     "hll_daily_merge_distinct",
     "snapshot_diff_orders",
     "sequence_double_click_purchase",
+    # ---- r10 handoff: after the r9 CORRECTNESS file lands, the
+    # never-graded pool is ~32 queries (the remaining 21 oracle-backed
+    # events/temporal heads + 9 rows-only stream_* jobs + the 2 r9-new
+    # pack_sequences_* heads) — it fits the 35 rotation slots whole, so
+    # r10 needs NO new head names: the self-fill completes the drain.
+    # If drift_chi2_sources is red AGAIN in r9, read the three
+    # drift_probe_* rows first — they localize the diverging column
+    # class (ints/round-double/boolean); the probes themselves retire
+    # after one grade (_ONE_SHOT_PROBES) and must NOT be re-added.
 )
 
 # The canary probes (shared definition — processo_etl_spark/grading.py).
