@@ -111,8 +111,12 @@ def concat_split_stats(
     )
     agg = cum.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("__n").alias("total_tokens"),
-        F.sum(F.when(split, 1).otherwise(0)).alias("n_docs_split"),
+        # coalesce: F.sum over zero rows is NULL — an empty frame must
+        # still honor the all-integer contract (0 tokens, 0 sequences)
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("total_tokens"),
+        F.coalesce(F.sum(F.when(split, 1).otherwise(0)), F.lit(0)).alias(
+            "n_docs_split"
+        ),
     )
     n_seq = F.expr(f"(total_tokens + {w - 1}) div {w}")
     return agg.select(
@@ -128,7 +132,6 @@ def concat_split_stats(
 
 def length_bucketed_packing(
     df: DataFrame,
-    id_col: str,
     token_count,
     window: int,
 ) -> DataFrame:

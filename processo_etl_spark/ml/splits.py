@@ -291,22 +291,24 @@ def _mixture_plan_body(
         ).alias("_S")
     )
     share = F.lit(float(budget)) * F.col("_r") / F.col("_S")
-    # target_tokens floors the ROUND(·,9) quotient, not the raw one
+    # target_tokens floors the ROUND(·,6) quotient, not the raw one
     # (ADVICE r8): the quotient's denominator _S is a value-sorted float
     # fold, and a floor over the raw value flips on cross-build ULP
     # drift exactly when the quotient sits at an integer boundary — the
     # same hazard class the raw-double-fold guard bans for float
-    # outputs, which an integer output would otherwise dodge.  Rounding
-    # to 9 decimals first snaps any value within 5e-10 of an integer
-    # onto it on BOTH engines (drift is ~1e-14 relative), so the floor
-    # is deterministic; the oracle mirrors floor(ROUND(·, 9)).
+    # outputs, which an integer output would otherwise dodge.  The snap
+    # scale must dominate the ABSOLUTE drift at the share's magnitude
+    # (~budget = 1e6 here): fold drift of a few ULPs relative (~1e-14)
+    # is ~1e-8 absolute at 1e6, so scale 9's 5e-10 radius would NOT
+    # cover it (review r9) — scale 6's 5e-7 radius does, with decades
+    # to spare.  The oracle mirrors floor(ROUND(·, 6)).
     return (
         per.crossJoin(F.broadcast(tot))
         .select(
             "source",
             "n_tokens",
             (F.col("_r") / F.col("_S")).alias("weight"),
-            F.floor(F.round(share, 9)).cast("long").alias("target_tokens"),
+            F.floor(F.round(share, 6)).cast("long").alias("target_tokens"),
             (share / F.col("n_tokens")).alias("epochs"),
         )
     )

@@ -360,6 +360,10 @@ def ewma_per_key_chunked(
     a = float(alpha)
     if not 0.0 < a < 1.0:
         raise ValueError(f"alpha must be in (0,1), got {alpha!r}")
+    if chunk is not None and chunk < 1:
+        # chunk <= 0 would produce negative chunk ids that silently
+        # drop rows at the starts join (or divide by zero at 0)
+        raise ValueError(f"chunk must be >= 1, got {chunk!r}")
     r = 1.0 - a
     import math
 

@@ -282,10 +282,12 @@ def _graded_names() -> frozenset:
             if not isinstance(row, dict):
                 graded.add(name)
                 continue
+            if row.get("err") is not None:
+                # an err row ran no comparison — zero signal, so even a
+                # one-shot probe retries after an infra crash
+                continue
             if name in _ONE_SHOT_PROBES:
                 graded.add(name)
-                continue
-            if row.get("err") is not None:
                 continue
             if any(
                 row.get(k) is False

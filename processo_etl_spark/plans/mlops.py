@@ -2727,7 +2727,7 @@ def ccnet_perplexity_buckets(spark, sf_dir):
       FROM per)
     SELECT source, n_tokens,
       ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / S, 9) AS weight,
-      CAST(floor(ROUND(1000000.0 * sqrt(CAST(n_tokens AS DOUBLE)) / S, 9))
+      CAST(floor(ROUND(1000000.0 * sqrt(CAST(n_tokens AS DOUBLE)) / S, 6))
            AS BIGINT)
         AS target_tokens,
       ROUND(1000000.0 * sqrt(CAST(n_tokens AS DOUBLE)) / S / n_tokens, 9)
@@ -2751,9 +2751,12 @@ def mixture_token_plan(spark, sf_dir):
     )
     # emitted weight/epochs are ROUND(·, 9) both sides (raw-double-fold
     # guard: the normalizer S is a value-sorted fold of per-source
-    # sqrt terms); target_tokens floors the ROUND(·,9) quotient on both
-    # sides (ADVICE r8 — a raw floor is the same fold hazard wearing an
-    # integer type).
+    # sqrt terms; both are O(1)-magnitude values, where scale 9's
+    # 5e-10 radius dominates the ~1e-14-relative drift); target_tokens
+    # floors the ROUND(·,6) quotient on both sides (ADVICE r8 — a raw
+    # floor is the same fold hazard wearing an integer type; scale 6
+    # because the snap radius must dominate ABSOLUTE drift at the
+    # quotient's ~1e6 magnitude).
     return out.withColumn("weight", F.round("weight", 9)).withColumn(
         "epochs", F.round("epochs", 9)
     )

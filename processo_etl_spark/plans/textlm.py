@@ -725,6 +725,4 @@ def pack_sequences_length_bucketed(spark, sf_dir):
     from processo_etl_spark.ml import packing
 
     c = corpus(spark, sf_dir)
-    return packing.length_bucketed_packing(
-        c, "doc_id", F.size("toks"), window=64
-    )
+    return packing.length_bucketed_packing(c, F.size("toks"), window=64)

@@ -401,7 +401,7 @@ def test_length_bucketed_packing_hand_computed(spark):
     got = {
         r["len_class"]: r
         for r in packing.length_bucketed_packing(
-            df, "doc_id", F.col("n"), window=10
+            df, F.col("n"), window=10
         ).collect()
     }
     assert set(got) == {3, 10, 25}
@@ -1476,6 +1476,7 @@ def test_chi2_drift_detects_planted_shift(spark):
     r = drift.chi2_token_drift(same, "text", F.col("ref"), n_buckets=64).collect()[0]
     assert r["drift_detected"] is False     # identical distributions
     assert r["n_ref"] == 20 * 4 and r["n_cand"] == 20 * 4
+    assert r["chi2_micros"] == 0            # equal slices: every d_b = 0
     shifted = spark.createDataFrame(
         [(i, "alpha beta gamma delta" if i % 2 == 0 else "zz yy xx ww",
           i % 2 == 0) for i in range(40)],
@@ -1484,6 +1485,13 @@ def test_chi2_drift_detects_planted_shift(spark):
     r2 = drift.chi2_token_drift(shifted, "text", F.col("ref"), n_buckets=64).collect()[0]
     assert r2["chi2"] > r["chi2"]
     assert r2["drift_detected"] is True     # disjoint vocab = maximal drift
+    # integer/float twin identity (review r9): chi2_micros is the exact
+    # per-bucket-floored Sum (1e6*d^2) DIV (na*nb*rb); it trails 1e6*chi2
+    # by at most 1 micro per hit bucket (+1 for the chi2 ROUND itself).
+    # A broken algebraic collapse would diverge by orders of magnitude
+    # while Spark and the oracle still agreed with each other.
+    deficit = 1e6 * r2["chi2"] - r2["chi2_micros"]
+    assert 0 <= deficit <= r2["n_buckets_hit"] + 1, deficit
 
 
 def test_pca_project_reduces_dim_and_preserves_neighbors(spark):

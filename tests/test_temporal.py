@@ -183,6 +183,21 @@ def test_ewma_fixed_point_rejects_non_binary_alpha():
         )
 
 
+def test_ewma_chunked_rejects_bad_params():
+    """chunk <= 0 would produce negative chunk ids that silently drop
+    rows at the chunk-start join (review r9) — reject up front."""
+    import pytest
+
+    from processo_etl_spark.operators import temporal
+
+    with pytest.raises(ValueError, match="chunk"):
+        temporal.ewma_per_key_chunked(None, "k", ["seq"], "x", chunk=0)
+    with pytest.raises(ValueError, match="chunk"):
+        temporal.ewma_per_key_chunked(None, "k", ["seq"], "x", chunk=-5)
+    with pytest.raises(ValueError, match="alpha"):
+        temporal.ewma_per_key_chunked(None, "k", ["seq"], "x", alpha=1.0)
+
+
 def test_table_diff_three_change_types_and_nulls(spark):
     from processo_etl_spark.operators import cdc
 
