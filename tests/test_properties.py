@@ -131,6 +131,67 @@ def test_packing_conserves_tokens_any_sizes(spark, token_sizes):
         assert last["pack_id"] * max_tokens + last["offset"] + last["tokens"] == total
 
 
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=0, max_size=60))
+def test_concat_split_stats_matches_simulation(spark, sizes):
+    """concat_split_stats equals a direct pure-Python simulation of the
+    token stream for arbitrary doc lengths (zeros and an empty corpus
+    included — review r9's empty-frame contract)."""
+    from pyspark.sql import functions as F
+
+    from processo_etl_spark.ml import packing
+
+    w = 16
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "doc_id long, n long"
+    )
+    r = packing.concat_split_stats(df, "doc_id", F.col("n"), window=w).collect()[0]
+    total = sum(sizes)
+    cum = 0
+    splits = 0
+    for n in sizes:
+        if n > 0 and (cum + n - 1) // w > cum // w:
+            splits += 1
+        cum += n
+    n_seq = (total + w - 1) // w
+    assert r["n_docs"] == len(sizes)
+    assert r["total_tokens"] == total
+    assert r["n_sequences"] == n_seq
+    assert r["n_docs_split"] == splits
+    assert r["tail_padding"] == n_seq * w - total
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60))
+def test_length_bucketed_packing_matches_simulation(spark, sizes):
+    """length_bucketed_packing equals the per-class closed form for
+    arbitrary lengths (truncated class, zero exclusion, exact fill)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from processo_etl_spark.ml import packing
+
+    w = 12
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "doc_id long, n long"
+    )
+    got = {
+        r["len_class"]: r
+        for r in packing.length_bucketed_packing(df, F.col("n"), window=w).collect()
+    }
+    want = Counter(n for n in sizes if n > 0)
+    assert set(got) == set(want)
+    for ln, cnt in want.items():
+        dpp = 1 if ln > w else w // ln
+        assert got[ln]["n_docs"] == cnt
+        assert got[ln]["docs_per_pack"] == dpp
+        assert got[ln]["n_packs"] == (cnt + dpp - 1) // dpp
+        fill = 1000 if ln > w else (dpp * ln * 1000) // w
+        assert got[ln]["fill_permille"] == fill
+        assert got[ln]["truncated"] == (ln > w)
+
+
 WORDS = st.lists(
     st.text(alphabet=st.sampled_from("abcdef"), min_size=1, max_size=5),
     min_size=1,
