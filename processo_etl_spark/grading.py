@@ -39,6 +39,15 @@ import re
 # outputs, and permanently excluded from graded window slots.
 DECIMAL_CANARIES = frozenset({"canary_decimal_12_2", "canary_decimal_20_6"})
 
+# The r9 one-shot diagnostic whose PURPOSE was emitting bare
+# ``sum(BIGINT)`` (DuckDB HUGEINT) to localize the drift_chi2_sources
+# hash divergence — its red driver row is the recorded proof that the
+# driver canonicalizes int128 differently from Spark LongType.  It is
+# retired from rotation (plans._ONE_SHOT_PROBES) and is the only oracle
+# exempt from the structural HUGEINT output ban; every other oracle
+# must CAST integer aggregates AS BIGINT.
+HUGEINT_PROBE_EXEMPT = frozenset({"drift_probe_ints"})
+
 
 def decimal_output_cols(schema) -> list[str]:
     """Names of output columns whose type contains a DecimalType

@@ -28,6 +28,16 @@ probes (registered past the driver's 50-slot graded window, still
 exercised by tools/check_oracles.py) document the driver's decimal
 normalization behavior; they are the only DecimalType-output queries
 and are exempt from the check_oracles ban.
+
+HUGEINT rule (r9 conviction, probes drift_probe_{ints,round,verdict}):
+the driver hasher ALSO canonicalizes DuckDB HUGEINT (int128) outputs
+differently from Spark LongType — ``drift_probe_ints`` (bare
+``sum(BIGINT)``, HUGEINT-typed) hash-failed while the round-double and
+boolean probes passed.  So every integer aggregate in an oracle must be
+``CAST(... AS BIGINT)``; tools/check_oracles.py structurally fails any
+oracle whose DuckDB result schema contains HUGEINT/UHUGEINT (mirroring
+the DecimalType output ban) so the q12 class can never burn a graded
+slot again.
 """
 
 from __future__ import annotations
@@ -259,48 +269,61 @@ _ONE_SHOT_PROBES = frozenset(
 )
 
 
-def _graded_names() -> frozenset:
-    """Query names with a PASSING row in any recorded CORRECTNESS_r*.json.
+def _grade_rounds() -> dict[str, int]:
+    """name -> latest round with a PASSING row in CORRECTNESS_r*.json.
 
     A row certifies its query only if it recorded no error and no
     explicit check failure (absent check keys — the rows-only grade —
     still certify).  A query that FAILED a past round stays in the
     rotation pool, so it re-enters the window until it earns a green
     row instead of being retired by the attempt — EXCEPT the
-    ``_ONE_SHOT_PROBES``, which retire on any recorded row."""
+    ``_ONE_SHOT_PROBES``, which retire on any recorded row.  The round
+    number feeds oldest-evidence-first re-certification (r9 verdict
+    #6): once every query has been graded at least once, re-certify
+    fill refreshes r4-era greens before r9 ones."""
     import json
+    import re
     from pathlib import Path
 
-    graded: set[str] = set()
+    rounds: dict[str, int] = {}
     root = Path(__file__).resolve().parents[2]
     for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", p.stem)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(p.read_text())
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if not isinstance(row, dict):
-                graded.add(name)
-                continue
-            if row.get("err") is not None:
-                # an err row ran no comparison — zero signal, so even a
-                # one-shot probe retries after an infra crash
-                continue
-            if name in _ONE_SHOT_PROBES:
-                graded.add(name)
-                continue
-            if any(
-                row.get(k) is False
-                for k in ("rows_match", "schema_match", "hash_match")
-            ):
-                continue
-            graded.add(name)
-    return frozenset(graded)
+            if isinstance(row, dict):
+                if row.get("err") is not None:
+                    # an err row ran no comparison — zero signal, so
+                    # even a one-shot probe retries after an infra crash
+                    continue
+                if name not in _ONE_SHOT_PROBES and any(
+                    row.get(k) is False
+                    for k in ("rows_match", "schema_match", "hash_match")
+                ):
+                    continue
+            rounds[name] = max(rounds.get(name, 0), rnd)
+    return rounds
+
+
+def _graded_names() -> frozenset:
+    """Query names with a certifying row in any CORRECTNESS_r*.json."""
+    return frozenset(_grade_rounds())
 
 
 def _window_order(registry_order: list[str]) -> list[str]:
-    """The first-_WINDOW grading order: pinned core + rotation slots."""
-    graded = _graded_names()
+    """The first-_WINDOW grading order: pinned core + rotation slots.
+
+    Fill priority: (1) never-graded oracle-backed, (2) never-graded
+    rows-only, (3) re-certification of already-graded queries in
+    OLDEST-evidence-first order (last grade round ascending, registry
+    order as the tie-break) so stale r4-era greens refresh before
+    recent ones."""
+    grade_rounds = _grade_rounds()
+    graded = frozenset(grade_rounds)
     pinned = [n for n in _PINNED if n in registry_order]
     taken = set(pinned)
     slots = _WINDOW - len(pinned)
@@ -320,7 +343,12 @@ def _window_order(registry_order: list[str]) -> list[str]:
     if len(rotation) < slots:  # ungraded oracle-backed pool exhausted
         rotation += take(candidates, lambda n: n not in graded)
     if len(rotation) < slots:  # everything graded at least once: re-certify
-        rotation += take(candidates, lambda n: True)
+        pos = {n: i for i, n in enumerate(registry_order)}
+        aged = sorted(
+            registry_order,
+            key=lambda n: (grade_rounds.get(n, 0), pos[n]),
+        )
+        rotation += take(aged, lambda n: True)
     return pinned + rotation[:slots]
 
 

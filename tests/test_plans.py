@@ -98,27 +98,120 @@ def test_registry_integrity_and_priority_window():
     window = list(queries)[:_WINDOW]
     assert window[: len(_PINNED)] == list(_PINNED)
     assert not (set(window) & _NEVER_GRADE)
-    # every rotation slot this round is oracle-backed (the pool of
-    # ungraded oracle-backed queries is not yet exhausted) except the
-    # sanctioned rows-only pin (iterative k-means has no SQL twin).
-    no_oracle = {n for n in window if n not in oracles}
-    assert no_oracle <= {"similarity_topk_ivf"}, (
-        f"graded-window queries without oracles: {sorted(no_oracle)}"
-    )
-    # rotation targets never-before-graded queries while any remain
     graded = _graded_names()
+    rotation = window[len(_PINNED) :]
     ungraded_pool = [
         n
         for n in queries
         if n not in graded and n in oracles and n not in _NEVER_GRADE
     ]
-    rotation = window[len(_PINNED) :]
+    no_oracle = {n for n in window if n not in oracles}
     if len(ungraded_pool) >= len(rotation):
+        # ample oracle-backed pool: every slot must be oracle-backed
+        # (the sanctioned rows-only pin excepted — iterative k-means has
+        # no SQL twin) and never waste a slot on an already-graded query.
+        assert no_oracle <= {"similarity_topk_ivf"}, (
+            f"graded-window queries without oracles: {sorted(no_oracle)}"
+        )
         assert all(n not in graded for n in rotation), (
             "rotation wasted slots on already-graded queries"
         )
+    else:
+        # DESIGNED DRAIN (plans/__init__._window_order fill tiers): the
+        # ungraded oracle-backed pool no longer fills the window, so
+        # rows-only ungraded names (stream_* jobs) legitimately occupy
+        # slots — but every remaining ungraded oracle-backed query must
+        # still be in the window (nothing left behind), and any
+        # re-certification fill must refresh OLDEST evidence first.
+        assert set(ungraded_pool) <= set(rotation), (
+            "drain left ungraded oracle-backed queries out of the window"
+        )
+        from processo_etl_spark.plans import _grade_rounds
+
+        grade_rounds = _grade_rounds()
+        recert = [n for n in rotation if n in graded]
+        recert_rounds = [grade_rounds[n] for n in recert]
+        assert recert_rounds == sorted(recert_rounds), (
+            f"re-certify fill not oldest-evidence-first: {recert}"
+        )
+        if recert:
+            oldest_outside = min(
+                (
+                    grade_rounds[n]
+                    for n in queries
+                    if n in graded
+                    and n not in window
+                    and n not in _NEVER_GRADE
+                ),
+                default=None,
+            )
+            if oldest_outside is not None:
+                assert max(recert_rounds) <= oldest_outside, (
+                    "re-certify fill skipped an older-evidence query"
+                )
     # Oracle keys are always a subset of query keys.
     assert set(oracles) <= set(queries)
+
+
+def _load_check_oracles():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracles", "/root/repo/tools/check_oracles.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_hugeint_ban_catches_uncast_integer_sum():
+    """The q12 loss class (r9): DuckDB types bare SUM(INTEGER) as
+    HUGEINT and the DRIVER hasher canonicalizes int128 differently from
+    Spark LongType, while the local DuckDB compare passes — so
+    check_oracles must fail structurally on the oracle's result schema.
+    A deliberately uncast SUM fixture is flagged; the BIGINT-cast twin
+    is clean."""
+    import duckdb
+
+    co = _load_check_oracles()
+    con = duckdb.connect()
+    bad = con.sql("SELECT SUM(x) AS s FROM (VALUES (1), (2)) t(x)")
+    assert co.hugeint_cols(bad.columns, bad.types) == ["s"]
+    ok = con.sql(
+        "SELECT CAST(SUM(x) AS BIGINT) AS s, AVG(x) AS a "
+        "FROM (VALUES (1), (2)) t(x)"
+    )
+    assert co.hugeint_cols(ok.columns, ok.types) == []
+
+
+def test_registry_oracles_emit_no_hugeint_columns():
+    """Registry-wide HUGEINT sweep: bind every oracle's result schema in
+    DuckDB (sf0.001 views, no execution needed — .types comes from the
+    bound plan) and assert none emits an int128 column.  Mirrors the
+    DecimalType output ban; q12's class can never re-enter silently."""
+    import duckdb
+
+    from processo_etl_spark import catalog
+
+    co = _load_check_oracles()
+    con = duckdb.connect()
+    sf_dir = "/root/testdata/sf0.001"
+    for tname in catalog.TABLES:
+        con.execute(
+            f"CREATE VIEW {tname} AS SELECT * FROM "
+            f"'{catalog.table_path(sf_dir, tname)}'"
+        )
+    from processo_etl_spark.grading import HUGEINT_PROBE_EXEMPT
+
+    offenders = {}
+    for name, sql in plans.all_oracles().items():
+        if name in HUGEINT_PROBE_EXEMPT:
+            continue  # the retired r9 diagnostic — HUGEINT on purpose
+        rel = con.sql(sql)
+        cols = co.hugeint_cols(rel.columns, rel.types)
+        if cols:
+            offenders[name] = cols
+    assert not offenders, f"oracles with HUGEINT output columns: {offenders}"
 
 
 def test_rollup_merge_is_order_insensitive_and_matches_direct(spark):

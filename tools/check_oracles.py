@@ -65,11 +65,23 @@ def decimal_cast_hazards(oracle_sql: str) -> list[str]:
 # never drift apart.
 from processo_etl_spark.grading import (  # noqa: E402
     DECIMAL_CANARIES as DECIMAL_OUTPUT_EXEMPT,
+    HUGEINT_PROBE_EXEMPT,
     decimal_output_cols,
     double_output_cols,
     nonscalar_output_cols,
     raw_double_fold_hazards,
 )
+
+
+def hugeint_cols(columns, types) -> list[str]:
+    """Result columns DuckDB typed as HUGEINT/UHUGEINT (int128).
+
+    r9 conviction (drift_probe_ints red, round/boolean probes green):
+    the driver hasher canonicalizes int128 differently from Spark
+    LongType, and the local DuckDB compare can't see it — so the ban is
+    structural on the oracle's result schema, mirroring the DecimalType
+    output ban."""
+    return [c for c, t in zip(columns, types) if "HUGEINT" in str(t).upper()]
 
 
 def driver_canon_probe(cols, rows) -> str | None:
@@ -209,9 +221,30 @@ def main() -> int:
             print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            # HUGEINT ban (r9 conviction, VERDICT r9 #4): the driver
+            # hasher canonicalizes DuckDB int128 outputs differently
+            # from Spark LongType (drift_probe_ints red vs the round/
+            # boolean probes green), and the divergence is driver-
+            # environment-specific — the local DuckDB compare below
+            # PASSES the exact oracle the driver fails.  The only safe
+            # policy is structural: any HUGEINT/UHUGEINT result column
+            # fails here, before it can burn a graded slot (q12 r9).
+            hcols = (
+                []
+                if name in HUGEINT_PROBE_EXEMPT
+                else hugeint_cols(rel.columns, rel.types)
+            )
+            if hcols:
+                failures.append(name)
+                record(name, "fail", err=f"oracle HUGEINT output columns {hcols}")
+                print(
+                    f"FAIL  {name}: oracle HUGEINT output columns {hcols} "
+                    "(CAST the integer aggregate AS BIGINT)"
+                )
+                continue
+            dcols = rel.columns
+            drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             record(name, "fail", err=f"duckdb {str(e)[:200]}")
