@@ -51,6 +51,7 @@ def chi2_token_drift(
     text_col: str,
     is_reference: Column,
     n_buckets: int = 256,
+    overflow_guard: float = 1.0e16,
 ) -> DataFrame:
     """One row: (n_ref, n_cand, n_buckets_hit, chi2_micros, chi2,
     drift_detected).
@@ -87,6 +88,24 @@ def chi2_token_drift(
     term = (d("ca") - ea) * (d("ca") - ea) / ea + (d("cb") - eb) * (
         d("cb") - eb
     ) / eb
+    # Runtime magnitude guard (ADVICE r9): |d_b| ≤ na·nb, so 10⁶·d²
+    # exceeds decimal(38,0) once na·nb ≥ 1e16 — where Spark's non-ANSI
+    # decimal overflow yields NULL and F.sum would SILENTLY drop the
+    # bucket, while DuckDB's HUGEINT overflow raises.  Fail loudly like
+    # the oracle instead of under-summing: the WHEN branch raises at the
+    # first out-of-range bucket (~1e8 tokens per slice; shard the
+    # comparison or raise the bucket count before then).
+    overflow = (d("na") * d("nb")) >= F.lit(float(overflow_guard))
+    qb = F.when(
+        overflow,
+        F.raise_error(
+            "drift_chi2 magnitude guard: na*nb >= 1e16 overflows the "
+            "decimal(38,0) chi2_micros intermediate; shard the slices "
+            "or increase n_buckets"
+        ),
+    ).otherwise(
+        F.expr("(CAST(1000000 AS DECIMAL(38,0)) * dev * dev) DIV den")
+    )
     terms = (
         cells.crossJoin(F.broadcast(totals))
         .withColumn("dev", dec("ca") * dec("nb") - dec("na") * dec("cb"))
@@ -94,9 +113,7 @@ def chi2_token_drift(
         .select(
             "na",
             "nb",
-            F.expr(
-                "(CAST(1000000 AS DECIMAL(38,0)) * dev * dev) DIV den"
-            ).alias("qb"),
+            qb.alias("qb"),
             term.alias("t"),
         )
     )

@@ -374,7 +374,10 @@ def ewma_per_key_chunked(
     rows = (
         df.filter(F.col(value_col).isNotNull())
         .withColumn("__i", F.row_number().over(wk) - 1)
-        .withColumn("__c", (F.col("__i") / c_len).cast("long"))
+        # integral division (ADVICE r9): `div` is exact by construction;
+        # double-divide-then-cast truncates a correctly-rounded float
+        # quotient, which only happens to be exact for realistic lengths
+        .withColumn("__c", F.expr(f"__i div {c_len}"))
         .withColumn("__j", F.col("__i") % c_len)
     )
     u = (

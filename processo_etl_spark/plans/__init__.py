@@ -243,6 +243,11 @@ _ROTATION_HEADS = (
     "hll_daily_merge_distinct",
     "snapshot_diff_orders",
     "sequence_double_click_purchase",
+    # r10 (VERDICT r9 #5): the O(L) chunked-EWMA scale path earns its
+    # driver row via a kmeans-style partial certificate — exact integer
+    # row/key/chunk accounting + booleans pinning |chunked − naive| and
+    # |chunked − fixed-point| inside the property-tested bounds.
+    "ewma_user_value_chunked",
     # ---- r10 handoff: after the r9 CORRECTNESS file lands, the
     # never-graded pool is ~32 queries (the remaining 21 oracle-backed
     # events/temporal heads + 9 rows-only stream_* jobs + the 2 r9-new

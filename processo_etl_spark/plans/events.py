@@ -1123,6 +1123,95 @@ def ewma_user_value(spark, sf_dir):
 
 
 @register(
+    "ewma_user_value_chunked",
+    oracle="""
+    WITH base AS (
+      SELECT user_id FROM events WHERE value IS NOT NULL),
+    pk AS (
+      SELECT user_id, COUNT(*) AS n FROM base GROUP BY user_id)
+    SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM((n + 15) // 16) AS BIGINT) AS n_chunks,
+           TRUE AS within_float_bound,
+           TRUE AS within_fixed_bound
+    FROM pk
+    """,
+)
+def ewma_user_value_chunked(spark, sf_dir):
+    """Certificate head for the O(L) SCALE path of the per-user EWMA
+    (operators/temporal.ewma_per_key_chunked — affine chunk composition,
+    VERDICT r8 #3 / r9 #5): the graded ``ewma_user_value`` keeps the
+    fixed-point O(L²) fold because its float op order is oracle-exact,
+    so the chunked twin earns driver evidence through the
+    ``dedup_semantic_kmeans``-style partial certificate instead.
+
+    The Spark side runs ALL THREE implementations (chunked C=16 so the
+    sf0.01 fixture exercises up to ⌈86/16⌉ = 6 chunk compositions per
+    key; the naive float fold; the fixed-point integer fold that IS the
+    driver-certified head), inner-joins them on (user, ts, event_id),
+    and emits one row of exact integers + guarantee booleans:
+
+    - ``n_rows``/``n_keys``: the joined frame's count — any row the
+      chunked path drops (a broken chunk-starts join, a lost partition)
+      shrinks the INTEGER and mismatches the oracle's independent
+      count over the raw table;
+    - ``n_chunks``: distinct (user, ⌊rank/16⌋) re-derived from the
+      joined frame vs the oracle's Σ⌈n/16⌉ closed form;
+    - ``within_float_bound``: ∀ rows |chunked − naive| ≤ 1e-9 ·
+      max(1, |naive|) — the property-tested cross-implementation bound
+      is ~1e-12 relative (tests/test_temporal.py), so the margin is
+      1000×;
+    - ``within_fixed_bound``: ∀ rows |chunked − fixed_point| ≤ 1e-6
+      absolute — fixed-point quantization is < 1e-7 absolute
+      (steady-state floor bias 4·10⁻⁸ + input rounding, operator
+      docstring), chunked-vs-true is ~1e-9, so again ≥ 10× margin.
+
+    Scale: the chunked plan is the one being certified — cumulative
+    window frame per (key, chunk) with O(1) state, per-key fold only
+    over L/C chunk summaries; the naive/fixed folds are sf-scale
+    referees, not part of the production path.
+    """
+    from processo_etl_spark.operators import temporal
+
+    base = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    kw = dict(
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        alpha=0.25,
+    )
+    chunked = temporal.ewma_per_key_chunked(base, chunk=16, out_col="e_c", **kw)
+    naive = temporal.ewma_per_key(base, out_col="e_f", **kw)
+    fixed = temporal.ewma_per_key(
+        base, out_col="e_q", fixed_point_scale=8, **kw
+    )
+    on = ["user_id", "ts", "event_id"]
+    wk = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    joined = (
+        chunked.join(naive.select(*on, "e_f"), on)
+        .join(fixed.select(*on, "e_q"), on)
+        .withColumn("__rn", F.row_number().over(wk))
+        .withColumn("__chunk", F.expr("(__rn - 1) div 16"))
+    )
+    tol_f = F.lit(1e-9) * F.greatest(F.lit(1.0), F.abs(F.col("e_f")))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_keys"),
+        F.countDistinct("user_id", "__chunk").alias("n_chunks"),
+        F.bool_and(F.abs(F.col("e_c") - F.col("e_f")) <= tol_f).alias(
+            "within_float_bound"
+        ),
+        F.bool_and(
+            F.abs(F.col("e_c") - F.col("e_q")) <= F.lit(1e-6)
+        ).alias("within_fixed_bound"),
+    )
+
+
+@register(
     "snapshot_diff_orders",
     oracle="""
     WITH old_s AS (

@@ -1491,7 +1491,36 @@ def test_chi2_drift_detects_planted_shift(spark):
     # A broken algebraic collapse would diverge by orders of magnitude
     # while Spark and the oracle still agreed with each other.
     deficit = 1e6 * r2["chi2"] - r2["chi2_micros"]
-    assert 0 <= deficit <= r2["n_buckets_hit"] + 1, deficit
+    # lower bound −1, not 0 (ADVICE r9): every per-bucket term happens
+    # to be exactly double-representable in THIS fixture, but a fixture
+    # whose exact micros sit on an integer boundary could see float-
+    # fold/ROUND error of ~0.5 micro push the deficit slightly negative.
+    assert -1 <= deficit <= r2["n_buckets_hit"] + 1, deficit
+
+
+def test_chi2_drift_overflow_guard_raises(spark):
+    """The decimal(38,0) chi2_micros intermediate overflows once
+    na·nb ≥ 1e16, where Spark's non-ANSI decimal arithmetic NULLs the
+    product and F.sum would silently drop the bucket (ADVICE r9).  The
+    runtime guard must raise instead — exercised via a tiny threshold
+    (the real 1e16 default needs ~1e8 tokens/slice)."""
+    import pytest as _pytest
+
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from processo_etl_spark.ml import drift
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", i % 2 == 0) for i in range(40)],
+        ["i", "text", "ref"],
+    )
+    with _pytest.raises(SparkRuntimeException, match="magnitude guard"):
+        drift.chi2_token_drift(
+            df, "text", F.col("ref"), n_buckets=64, overflow_guard=1.0
+        ).collect()
+    # default guard: same data runs clean (na*nb = 80*80 << 1e16)
+    ok = drift.chi2_token_drift(df, "text", F.col("ref"), n_buckets=64)
+    assert ok.first()["chi2_micros"] == 0
 
 
 def test_pca_project_reduces_dim_and_preserves_neighbors(spark):

@@ -295,3 +295,28 @@ def test_peak_concurrency_half_open_semantics(spark):
     assert out["u1"]["peak"] == 3 and out["u1"]["n_intervals"] == 3
     assert out["u2"]["peak"] == 1
     assert out["u3"]["peak"] == 1
+
+
+def test_ewma_chunked_certificate_head(spark):
+    """The r10 driver head ewma_user_value_chunked: one certificate row
+    whose integers match the DuckDB closed form (Σ n, #keys, Σ⌈n/16⌉)
+    and whose booleans pin the chunked path inside the property-tested
+    deviation bounds against BOTH referee implementations."""
+    import duckdb
+
+    from processo_etl_spark import plans
+
+    sf_dir = "/root/testdata/sf0.001"
+    row = plans.all_queries()["ewma_user_value_chunked"](spark, sf_dir).first()
+    exp = duckdb.sql(
+        f"""
+        SELECT CAST(SUM(n) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+               CAST(SUM((n + 15) // 16) AS BIGINT)
+        FROM (SELECT COUNT(*) AS n
+              FROM '{sf_dir}/events.parquet'
+              WHERE value IS NOT NULL GROUP BY user_id)
+        """
+    ).fetchone()
+    assert (row["n_rows"], row["n_keys"], row["n_chunks"]) == exp
+    assert row["within_float_bound"] is True
+    assert row["within_fixed_bound"] is True
