@@ -353,7 +353,10 @@ def _window_order(registry_order: list[str]) -> list[str]:
             registry_order,
             key=lambda n: (grade_rounds.get(n, 0), pos[n]),
         )
-        rotation += take(aged, lambda n: True)
+        # retired diagnostics never re-certify: their one recorded row
+        # IS their purpose (the red drift_probe_ints row documents the
+        # HUGEINT conviction; regrading it would burn a slot red forever)
+        rotation += take(aged, lambda n: n not in _ONE_SHOT_PROBES)
     return pinned + rotation[:slots]
 
 

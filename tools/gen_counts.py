@@ -22,10 +22,22 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from processo_etl_spark import plans  # noqa: E402
 
 ROOT = Path(__file__).resolve().parents[1]
-DOCS = ("README.md", "COVERAGE.md", "SURVEY.md")
+DOCS = ("README.md", "COVERAGE.md", "SURVEY.md", ".claude/skills/verify/SKILL.md")
 
 
-def rewrite(text: str, n_q: int, n_o: int) -> str:
+def count_tests() -> int:
+    """Number of pytest test functions/methods under tests/ — the
+    mechanical source for every '(N tests)' phrase in the docs (ADVICE
+    r9: the hand-maintained counts drifted to three different values)."""
+    n = 0
+    for p in sorted((ROOT / "tests").glob("test_*.py")):
+        n += len(re.findall(r"^\s*def (test_\w+)", p.read_text(), re.M))
+    return n
+
+
+def rewrite(text: str, n_q: int, n_o: int, n_t: int) -> str:
+    text = re.sub(r"\(\d+ tests\)", f"({n_t} tests)", text)
+    text = re.sub(r"\b\d+ test functions\b", f"{n_t} test functions", text)
     text = re.sub(
         r"\b\d+ queries, \d+ DuckDB-oracled",
         f"{n_q} queries, {n_o} DuckDB-oracled",
@@ -53,19 +65,20 @@ def main() -> int:
     check = "--check" in sys.argv[1:]
     n_q = len(plans.all_queries())
     n_o = len(plans.all_oracles())
+    n_t = count_tests()
     stale = []
     for doc in DOCS:
         p = ROOT / doc
         old = p.read_text()
-        new = rewrite(old, n_q, n_o)
+        new = rewrite(old, n_q, n_o, n_t)
         if new != old:
             stale.append(doc)
             if not check:
                 p.write_text(new)
     if check and stale:
-        print(f"stale counts (want {n_q}/{n_o}): {stale}")
+        print(f"stale counts (want {n_q}/{n_o}, {n_t} tests): {stale}")
         return 1
-    print(f"counts {n_q} queries / {n_o} oracles; " +
+    print(f"counts {n_q} queries / {n_o} oracles / {n_t} tests; " +
           (f"rewrote {stale}" if stale else "docs already in sync"))
     return 0
 
