@@ -257,6 +257,19 @@ _ROTATION_HEADS = (
     # drift_probe_* rows first — they localize the diverging column
     # class (ints/round-double/boolean); the probes themselves retire
     # after one grade (_ONE_SHOT_PROBES) and must NOT be re-added.
+    # ---- r11 handoff: once the r10 CORRECTNESS file lands, the
+    # never-graded pool is EMPTY (the r10 window held the full 34-query
+    # drain + 1 re-certify) and every subsequent window self-fills with
+    # OLDEST-evidence-first re-certification (_window_order tier 3,
+    # asserted by tests/test_plans.py): r11 = pinned 15 + the ~10
+    # r1-greens (except_custkeys, iqr_outlier_count, rollup_revenue,
+    # cube_counts, …) + r2/r4-greens — verified by simulation with a
+    # synthetic CORRECTNESS_r10.  Add NEW queries normally; ungraded
+    # oracle-backed names always pre-empt re-certification slots.  If
+    # any r10 row came back red, it stays in the pool and re-windows
+    # automatically ahead of re-certifies — diagnose with the SCALE.md
+    # determinism rules (decimal / HUGEINT / float-fold) before
+    # touching the plan.
 )
 
 # The canary probes (shared definition — processo_etl_spark/grading.py).
