@@ -248,6 +248,11 @@ _ROTATION_HEADS = (
     # row/key/chunk accounting + booleans pinning |chunked − naive| and
     # |chunked − fixed-point| inside the property-tested bounds.
     "ewma_user_value_chunked",
+    # r10 (scale extension): rank-normalized Z-order layout gain — the
+    # OPTIMIZE ZORDER planning measurement, all-integer zone-map spans
+    # under linear vs Morton order.  Takes the window's one non-drain
+    # slot (the re-certify fill), so the 34-query drain is untouched.
+    "layout_zorder_gain",
     # ---- r10 handoff: after the r9 CORRECTNESS file lands, the
     # never-graded pool is ~32 queries (the remaining 21 oracle-backed
     # events/temporal heads + 9 rows-only stream_* jobs + the 2 r9-new

@@ -245,3 +245,82 @@ def test_asof_forward_direction(spark):
     assert out[(1, 10)] == (12, 120.0)
     assert out[(1, 25)] == (30, 300.0)
     assert out[(2, 5)] == (None, None)  # no right rows for k=2
+
+
+def test_zorder_key_hand_computed_and_validation(spark):
+    """Interleave check against hand-computed Morton codes, the wrap
+    mask, and parameter validation (operators/layout.zorder_key +
+    the SQL twin used by the oracle)."""
+    import duckdb
+    import pytest
+    from pyspark.sql import functions as F
+
+    from processo_etl_spark.operators import layout
+
+    # z(x=0b101, y=0b011), bits=3, x at even positions, y at odd:
+    # bit i of x -> 2i, bit i of y -> 2i+1:
+    # x bits (1,0,1) -> bits 0,4 set; y bits (1,1,0) -> bits 1,3 set
+    # -> 0b011011 = 27 ; plus a wrap case: x=8 (0b1000) masked to 3 bits = 0
+    rows = [(5, 3), (0, 0), (7, 7), (8, 1)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", layout.zorder_key(["x", "y"], bits=3).alias("z")
+        ).collect()
+    }
+    assert got[(5, 3)] == 27
+    assert got[(0, 0)] == 0
+    assert got[(7, 7)] == 63
+    assert got[(8, 1)] == 2          # 8 masked to 0; y=1 -> bit 1
+    # SQL twin computes the identical integers
+    sql = layout.zorder_key_sql(["x", "y"], bits=3)
+    for x, y in rows:
+        z = duckdb.sql(
+            f"SELECT {sql} AS z FROM (SELECT {x} AS x, {y} AS y)"
+        ).fetchone()[0]
+        assert z == got[(x, y)], (x, y)
+    with pytest.raises(ValueError, match=">= 2 columns"):
+        layout.zorder_key(["x"], bits=3)
+    with pytest.raises(ValueError, match="must be in"):
+        layout.zorder_key(["x", "y"], bits=32)     # 64 bits > 63
+    with pytest.raises(ValueError, match="capacity"):
+        layout.file_spans(df, ["x"], 0, ["y"])
+
+
+def test_file_spans_zorder_locality_on_grid(spark):
+    """On a full 16x16 grid, 16-row files under z-order have total
+    per-dimension span <= the row-major layout's: row-major files span
+    the whole y domain every 16 rows, while z-order files are 4x4
+    quadrants (span 4 per dimension) — the locality property
+    layout_zorder_gain certifies at table scale."""
+    from pyspark.sql import functions as F
+
+    from processo_etl_spark.operators import layout
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    rm = layout.file_spans(grid, ["x", "y"], 16, ["x", "y"])
+    zo = layout.file_spans(
+        grid.withColumn("z", layout.zorder_key(["x", "y"], bits=4)),
+        ["z"],
+        16,
+        ["x", "y"],
+    )
+    def spans(df):
+        r = df.agg(
+            F.sum(F.col("max_x") - F.col("min_x") + 1).alias("sx"),
+            F.sum(F.col("max_y") - F.col("min_y") + 1).alias("sy"),
+            F.count(F.lit(1)).alias("nf"),
+            F.sum("n").alias("nr"),
+        ).first()
+        return r["sx"], r["sy"], r["nf"], r["nr"]
+
+    sx_rm, sy_rm, nf_rm, nr_rm = spans(rm)
+    sx_zo, sy_zo, nf_zo, nr_zo = spans(zo)
+    assert nf_rm == nf_zo == 16 and nr_rm == nr_zo == 256
+    # row-major: each file is one x row -> x span 1, y span 16
+    assert (sx_rm, sy_rm) == (16, 256)
+    # z-order with 16-row files = 4x4 quadrants -> span 4 each
+    assert (sx_zo, sy_zo) == (64, 64)
