@@ -274,11 +274,12 @@ _ROTATION_HEADS = (
     # any r10 row came back red, it stays in the pool and re-windows
     # automatically ahead of re-certifies — diagnose with the SCALE.md
     # determinism rules (decimal / HUGEINT / float-fold) before
-    # touching the plan.  THREE pre-certified heads are BANKED in
+    # touching the plan.  FOUR pre-certified heads are BANKED in
     # plans/staged_r11.py (sample_per_key_deterministic,
-    # split_temporal_embargo, feature_binning_equidepth — each already
-    # differentially tested vs its oracle, tests/test_staged_r11.py):
-    # activate them first thing in r11 per that module's docstring.
+    # split_temporal_embargo, feature_binning_equidepth,
+    # anomaly_rolling_zscore — each already differentially tested vs
+    # its oracle, tests/test_staged_r11.py): activate them first thing
+    # in r11 per that module's docstring.
 )
 
 # The canary probes (shared definition — processo_etl_spark/grading.py).

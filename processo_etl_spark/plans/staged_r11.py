@@ -214,6 +214,108 @@ BINNING_ORACLE = f"""
 """
 
 
+_Z_WIN = 6       # ROWS 6 PRECEDING + current = 7-row rolling frame
+_Z_MIN_N = 4     # no verdict on frames shorter than this
+_Z_K2 = 9        # z² threshold (3σ)
+
+
+def anomaly_rolling_zscore(spark, sf_dir):
+    """Per-key rolling z-score anomaly flags — the monitoring/feature
+    primitive (is this event >3σ from its user's recent behavior?) —
+    with ZERO floats in the verdict.
+
+    The baseline frame EXCLUDES the current row (ROWS 6 PRECEDING TO
+    1 PRECEDING): self-inclusion caps z² at n−1 (a lone spike among 7
+    values can never reach 3σ — measured, not guessed), and comparing
+    against prior history is the anomaly semantics anyway.  value is
+    centi-scaled to exact integers (the fixture is 2-decimal;
+    ROUND(·*100) is identical on both engines away from .5 ties), the
+    frame keeps running S=Σx and Q=Σx² as integer window sums (O(1)
+    sliding state per row, one shuffle on the key), and the 3σ test
+    uses the algebraic form (numerically cross-checked against the
+    float z-score over 2000 random frames)
+
+        z² > 9  ⇔  (n·x − S)² > 9·(n·Q − S²)
+
+    (σ² over the baseline = (nQ − S²)/n², z = (x − S/n)/σ, so
+    z² = (nx − S)²/(nQ − S²)) — pure
+    BIGINT arithmetic (|x| ≤ 5·10⁴ centi, n ≤ 6 ⇒ every term ≲ 10¹²),
+    so the boolean is bit-identical on any engine without a tolerance
+    margin, the same discipline as the fixed-point EWMA.  A
+    zero-variance baseline flags any deviation (dev ≠ 0); baselines
+    shorter than 4 rows emit false.  Outputs: the baseline's exact
+    integer moments + the verdict.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    x = F.round(F.col("value") * 100, 0).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_Z_WIN, -1)
+    )
+    d = (
+        ev.withColumn("__x", x)
+        .withColumn("n_base", F.count(F.lit(1)).over(w))
+        .withColumn("s_centi", F.coalesce(F.sum("__x").over(w), F.lit(0)))
+        .withColumn(
+            "q_centi",
+            F.coalesce(
+                F.sum(F.col("__x") * F.col("__x")).over(w), F.lit(0)
+            ),
+        )
+    )
+    n, s, q, xv = (
+        F.col("n_base"),
+        F.col("s_centi"),
+        F.col("q_centi"),
+        F.col("__x"),
+    )
+    var_n2 = n * q - s * s  # n²·σ² in centi² — exact integer
+    dev = n * xv - s        # n·(x − μ) in centi — exact integer
+    return d.select(
+        "user_id",
+        "event_id",
+        n.cast("long").alias("n_base"),
+        s.cast("long").alias("s_centi"),
+        q.cast("long").alias("q_centi"),
+        (
+            (n >= _Z_MIN_N)
+            & (
+                ((var_n2 == 0) & (dev != 0))
+                | (dev * dev > F.lit(_Z_K2) * var_n2)
+            )
+        ).alias("is_outlier"),
+    )
+
+
+ANOMALY_ZSCORE_ORACLE = f"""
+    WITH d AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             CAST(count(*) OVER w AS BIGINT) AS n_base,
+             CAST(COALESCE(sum(CAST(round(value * 100) AS BIGINT)) OVER w,
+                           0) AS BIGINT) AS s_centi,
+             CAST(COALESCE(sum(CAST(round(value * 100) AS BIGINT)
+                               * CAST(round(value * 100) AS BIGINT)) OVER w,
+                           0) AS BIGINT) AS q_centi
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_Z_WIN} PRECEDING AND 1 PRECEDING))
+    SELECT user_id, event_id, n_base, s_centi, q_centi,
+           (n_base >= {_Z_MIN_N}
+            AND ((n_base * q_centi - s_centi * s_centi = 0
+                  AND n_base * x - s_centi <> 0)
+                 OR (n_base * x - s_centi) * (n_base * x - s_centi)
+                    > {_Z_K2} * (n_base * q_centi - s_centi * s_centi)))
+             AS is_outlier
+    FROM d
+"""
+
+
 STAGED = {
     "sample_per_key_deterministic": (
         sample_per_key_deterministic,
@@ -223,6 +325,10 @@ STAGED = {
     "feature_binning_equidepth": (
         feature_binning_equidepth,
         BINNING_ORACLE,
+    ),
+    "anomaly_rolling_zscore": (
+        anomaly_rolling_zscore,
+        ANOMALY_ZSCORE_ORACLE,
     ),
 }
 

@@ -110,3 +110,55 @@ def test_equidepth_bins_semantics(spark):
     assert sum(sizes) == catalog.load(spark, SF, "lineitem").count()
     for a, b in zip(rows, rows[1:]):
         assert a["lo"] <= a["hi"] <= b["lo"] <= b["hi"]
+
+
+def test_rolling_zscore_hand_computed(spark):
+    """Baseline-frame (6 PRECEDING..1 PRECEDING) z-score semantics:
+    short baselines (n<4) never flag; a flat baseline flags ANY
+    deviation (zero-variance rule) and never flags its own repeats;
+    on a noisy baseline [10,12,8,11,9,10] (centi S=6000, Q=6.1e6,
+    var_n2 = 6*6.1e6-36e6 = 600000, sigma = sqrt(600000)/6 = 129.1c)
+    a 15.00 probe has z = 500/129.1 = 3.87 -> flagged, an 11.50 probe
+    has z = 150/129.1 = 1.16 -> not flagged."""
+    import datetime
+
+    import processo_etl_spark.plans.staged_r11 as st
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def mk(uid, vals):
+        return [
+            (uid, base + datetime.timedelta(minutes=i), i, v)
+            for i, v in enumerate(vals)
+        ]
+
+    rows = (
+        mk("u1", [10.0] * 7 + [1000.0])                      # flat + spike
+        + mk("u2", [10.0, 12.0, 8.0, 11.0, 9.0, 10.0, 15.0])  # noisy + 3.87σ
+        + mk("u3", [10.0, 12.0, 8.0, 11.0, 9.0, 10.0, 11.5])  # noisy + 1.16σ
+    )
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp_ntz, event_id long, value double"
+    )
+    orig = st.t
+    st.t = lambda spark, sf_dir, name: df  # inject the fixture table
+    try:
+        out = {
+            (r["user_id"], r["event_id"]): r
+            for r in st.anomaly_rolling_zscore(spark, "x").collect()
+        }
+    finally:
+        st.t = orig
+    # u1: events 0-3 short baseline, 4-6 flat baseline + equal value
+    assert not any(out[("u1", i)]["is_outlier"] for i in range(7))
+    spike = out[("u1", 7)]
+    assert spike["n_base"] == 6 and spike["s_centi"] == 6000
+    assert spike["q_centi"] == 6_000_000
+    assert spike["is_outlier"] is True     # zero-variance baseline, dev != 0
+    hot = out[("u2", 6)]
+    assert (hot["n_base"], hot["s_centi"], hot["q_centi"]) == (6, 6000, 6_100_000)
+    assert hot["is_outlier"] is True       # z = 3.87
+    mild = out[("u3", 6)]
+    assert mild["is_outlier"] is False     # z = 1.16
+    # probes with short baselines never flag even with huge deviation
+    assert out[("u2", 3)]["n_base"] == 3 and not out[("u2", 3)]["is_outlier"]
