@@ -13,10 +13,11 @@ r11 ACTIVATION (two one-line edits):
 The heads then enter the tier-1 (ungraded oracle-backed) fill
 automatically, ahead of every re-certification slot.
 
-All three compose ALREADY-CERTIFIED distributed primitives
+Every head composes ALREADY-CERTIFIED distributed primitives
 (operators/ranking.grouped_topk / distributed_ntile, the md5_long hash
-family) — no new shuffle shapes, every output an exact integer /
-boolean / source passthrough per the registry's numeric conventions.
+family, single-shuffle per-key windows with O(1) sliding state) — no
+new shuffle shapes, every output an exact integer / boolean / source
+passthrough per the registry's numeric conventions.
 """
 
 from __future__ import annotations
@@ -316,6 +317,189 @@ ANOMALY_ZSCORE_ORACLE = f"""
 """
 
 
+def markov_event_transitions(spark, sf_dir):
+    """Event-type Markov transition counts — the journey/path model a
+    product-analytics (and agent-trajectory) pipeline fits first: for
+    every ordered pair (src, dst) of CONSECUTIVE events within a user's
+    timeline, the exact pair count plus the src row-total (the
+    denominator of the transition probability, left as an exact integer
+    so the output is float-free; P(dst|src) = n_pairs / n_src_out is
+    one client-side division).
+
+    Scale shape: one ``lead`` window per user (single shuffle on
+    user_id, O(1) sliding state), then a combinable groupBy on the
+    (src, dst) pair; the trailing per-src total is a window over the
+    GROUPED result — |event_types|² rows, a dimension, never the fact
+    table.  Consecutive-pair counting distinguishes this from
+    ``sequence_double_click_purchase`` (pattern existence) and
+    ``events_pagerank_journeys`` (stationary mass): this head is the
+    raw first-order chain those consume.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("__dst", F.lead("event_type").over(w))
+        .filter(F.col("__dst").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src_type"),
+            F.col("__dst").alias("dst_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return pairs.withColumn(
+        "n_src_out",
+        F.sum("n_pairs").over(Window.partitionBy("src_type")),
+    )
+
+
+MARKOV_TRANSITIONS_ORACLE = """
+    WITH s AS (
+      SELECT event_type AS src_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst_type
+      FROM events)
+    SELECT src_type, dst_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(count(*)) OVER (PARTITION BY src_type) AS BIGINT)
+             AS n_src_out
+    FROM s WHERE dst_type IS NOT NULL
+    GROUP BY src_type, dst_type
+"""
+
+
+_C_K = 6000    # CUSUM drift allowance, centi-units (60.00)
+_C_H = 20000   # alert threshold, centi-units (200.00)
+
+
+def changepoint_cusum_alerts(spark, sf_dir):
+    """Per-key one-sided CUSUM changepoint/shift detection with ZERO
+    floats in the statistic — the sequential monitor for "has this
+    user's value level shifted upward?".
+
+    The textbook recurrence S_i = max(0, S_{i-1} + x_i − k) is
+    sequential, but it has an exact windowable closed form: with
+    P_i = Σ_{t≤i}(x_t − k) (and P_0 = 0),
+
+        S_i = P_i − min(0, min_{j≤i} P_j)
+
+    (the running reset-to-zero floor IS the running minimum of the
+    drifted prefix sum), so two same-spec running windows — a running
+    sum and a running min over it — compute the whole CUSUM path with
+    one shuffle on the key and O(1) sliding state, no recursion, no
+    UDF.  value is centi-scaled to exact BIGINTs (the rolling-zscore
+    discipline: the fixture is 2-decimal, ROUND(·*100) matches on both
+    engines away from .5 ties), k = 60.00 sits above the global mean
+    (≈50) so the statistic drains between bursts, and h = 200.00 makes
+    alerts rare-but-present.  Alerts do NOT reset the statistic
+    (non-restarting upper CUSUM — the page-level variant would clamp
+    after each alarm, which is inherently sequential).  Output: the
+    exact integer CUSUM path + the alert verdict, bit-identical on any
+    engine.
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    x = F.round(F.col("value") * 100, 0).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = ev.withColumn("__p", F.sum(x - F.lit(_C_K)).over(w)).withColumn(
+        "__m", F.min("__p").over(w)
+    )
+    s = F.col("__p") - F.least(F.lit(0).cast("long"), F.col("__m"))
+    return d.select(
+        "user_id",
+        "event_id",
+        s.alias("s_cusum"),
+        (s > _C_H).alias("is_alert"),
+    )
+
+
+CUSUM_ORACLE = f"""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(CAST(round(value * 100) AS BIGINT) - {_C_K})
+                  OVER w AS BIGINT) AS p
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    e AS (
+      SELECT user_id, event_id, p,
+             min(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS mp
+      FROM d)
+    SELECT user_id, event_id,
+           CAST(p - least(0, mp) AS BIGINT) AS s_cusum,
+           (p - least(0, mp) > {_C_H}) AS is_alert
+    FROM e
+"""
+
+
+_DEBOUNCE_US = 86_400_000_000  # 24 h in microseconds
+
+
+def events_debounce_lag(spark, sf_dir):
+    """Lag-based per-(user, event_type) debounce — the daily-digest /
+    notification-throttle primitive: keep an event only when at least
+    24 h passed since the PREVIOUS event of the same type for the same
+    user (the first occurrence always survives).  Content-blind
+    rate-collapse, complementing the content-hash dedup family and the
+    gap SESSIONIZER (which groups rather than drops).
+
+    Lag-relative (each row compares to its immediate predecessor), not
+    kept-relative: the true "relative to last KEPT row" debounce is a
+    sequential recurrence with no windowable closed form — documented
+    here so nobody silently assumes the stronger semantics.  One lag
+    window per (user_id, event_type) — single shuffle, O(1) state; the
+    gap is an exact microsecond BIGINT via the repo's
+    ``unix_micros ⇔ epoch_us`` convention (the fixture carries
+    microsecond precision, so second-truncated arithmetic would
+    off-by-one across engines).  Output: the surviving rows plus their
+    gap (NULL on each key's first row).
+    """
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gap = us - F.lag(us).over(w)
+    return (
+        ev.withColumn("__gap", gap)
+        .filter(F.col("__gap").isNull() | (F.col("__gap") >= _DEBOUNCE_US))
+        .select(
+            "user_id",
+            "event_id",
+            F.col("__gap").cast("long").alias("gap_us"),
+        )
+    )
+
+
+DEBOUNCE_ORACLE = f"""
+    WITH g AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT user_id, event_id, CAST(gap_us AS BIGINT) AS gap_us
+    FROM g
+    WHERE gap_us IS NULL OR gap_us >= {_DEBOUNCE_US}
+"""
+
+
 STAGED = {
     "sample_per_key_deterministic": (
         sample_per_key_deterministic,
@@ -330,6 +514,12 @@ STAGED = {
         anomaly_rolling_zscore,
         ANOMALY_ZSCORE_ORACLE,
     ),
+    "markov_event_transitions": (
+        markov_event_transitions,
+        MARKOV_TRANSITIONS_ORACLE,
+    ),
+    "changepoint_cusum_alerts": (changepoint_cusum_alerts, CUSUM_ORACLE),
+    "events_debounce_lag": (events_debounce_lag, DEBOUNCE_ORACLE),
 }
 
 

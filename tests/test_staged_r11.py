@@ -162,3 +162,118 @@ def test_rolling_zscore_hand_computed(spark):
     assert mild["is_outlier"] is False     # z = 1.16
     # probes with short baselines never flag even with huge deviation
     assert out[("u2", 3)]["n_base"] == 3 and not out[("u2", 3)]["is_outlier"]
+
+
+def _inject(df, fn, spark):
+    """Run a staged head against an in-memory fixture table."""
+    import processo_etl_spark.plans.staged_r11 as st
+
+    orig = st.t
+    st.t = lambda spark, sf_dir, name: df
+    try:
+        return fn(spark, "x").collect()
+    finally:
+        st.t = orig
+
+
+def test_markov_transitions_hand_computed(spark):
+    """u1 path A,B,A,B,B and u2 path B,A: pairs never cross users,
+    counts and per-src totals match the hand-derived chain
+    (A->B:2, B->A:2, B->B:1; totals A:2, B:3)."""
+    import datetime
+
+    import processo_etl_spark.plans.staged_r11 as st
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("u1", base + datetime.timedelta(minutes=i), i, t)
+        for i, t in enumerate(["A", "B", "A", "B", "B"])
+    ] + [
+        ("u2", base + datetime.timedelta(minutes=i), 10 + i, t)
+        for i, t in enumerate(["B", "A"])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp_ntz, event_id long, event_type string"
+    )
+    out = {
+        (r["src_type"], r["dst_type"]): (r["n_pairs"], r["n_src_out"])
+        for r in _inject(df, st.markov_event_transitions, spark)
+    }
+    assert out == {
+        ("A", "B"): (2, 2),
+        ("B", "A"): (2, 3),
+        ("B", "B"): (1, 3),
+    }
+
+
+def test_cusum_hand_computed(spark):
+    """Closed form P - min(0, runmin P) equals the textbook recurrence
+    S_i = max(0, S_{i-1} + x_i - k) on a path that exercises the zero
+    floor, the reset decay, and the alert threshold: values
+    [10,10,300,10,300,300] with k=60.00 give centi CUSUM
+    [0,0,24000,19000,43000,67000] -> alerts at events 2,4,5 only."""
+    import datetime
+
+    import processo_etl_spark.plans.staged_r11 as st
+
+    base = datetime.datetime(2024, 1, 1)
+    vals = [10.0, 10.0, 300.0, 10.0, 300.0, 300.0]
+    rows = [
+        ("u1", base + datetime.timedelta(minutes=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp_ntz, event_id long, value double"
+    )
+    out = {
+        r["event_id"]: r
+        for r in _inject(df, st.changepoint_cusum_alerts, spark)
+    }
+    # textbook recurrence, replayed in integers
+    s, expect = 0, {}
+    for i, v in enumerate(vals):
+        s = max(0, s + round(v * 100) - 6000)
+        expect[i] = s
+    assert {i: r["s_cusum"] for i, r in out.items()} == expect
+    assert expect == {0: 0, 1: 0, 2: 24000, 3: 19000, 4: 43000, 5: 67000}
+    assert {i for i, r in out.items() if r["is_alert"]} == {2, 4, 5}
+
+
+def test_debounce_hand_computed(spark):
+    """Lag-relative 24h debounce: gaps compare to the immediate
+    predecessor of the same (user, type); the first row per key always
+    survives; an exactly-24h gap is kept (>=); other types and users
+    never interact."""
+    import datetime
+
+    import processo_etl_spark.plans.staged_r11 as st
+
+    base = datetime.datetime(2024, 1, 1)
+    h = datetime.timedelta(hours=1)
+    rows = [
+        # type A: 0h, 23h (dropped), 50h (kept: 27h from the 23h row,
+        # even though that row itself was dropped - lag-relative)
+        ("u1", base, 0, "A"),
+        ("u1", base + 23 * h, 1, "A"),
+        ("u1", base + 50 * h, 2, "A"),
+        # type B interleaved: both kept (30h gap)
+        ("u1", base, 3, "B"),
+        ("u1", base + 30 * h, 4, "B"),
+        # type C: exactly 24h -> kept
+        ("u1", base, 5, "C"),
+        ("u1", base + 24 * h, 6, "C"),
+        # u2 type A within 24h of u1's rows: its own first row, kept
+        ("u2", base + 23 * h, 7, "A"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp_ntz, event_id long, event_type string"
+    )
+    out = {
+        r["event_id"]: r["gap_us"]
+        for r in _inject(df, st.events_debounce_lag, spark)
+    }
+    assert set(out) == {0, 2, 3, 4, 5, 6, 7}
+    assert out[0] is None and out[3] is None and out[5] is None
+    assert out[7] is None                      # u2's first row of type A
+    assert out[2] == 27 * 3_600_000_000        # vs the DROPPED 23h row
+    assert out[6] == 86_400_000_000            # boundary: exactly 24h kept
