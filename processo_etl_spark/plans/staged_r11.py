@@ -500,6 +500,151 @@ DEBOUNCE_ORACLE = f"""
 """
 
 
+def weighted_median_price_by_flag(spark, sf_dir):
+    """EXACT weighted median (lower/type-1: smallest v with
+    2·cumweight(v) ≥ totalweight) of l_extendedprice per l_returnflag,
+    weighted by l_quantity — the robust center a revenue-weighted
+    report needs, where the plain median over rows answers the wrong
+    question.
+
+    Scale shape — no per-group global window anywhere: (1) a
+    combinable histogram groupBy on (flag, price) collapses the fact
+    table to distinct pairs; (2) ``operators/ranking.distributed_cumsum``
+    over the TOTAL order (flag, price) gives the running weight with
+    range partitioning + per-partition offsets (histogram rows per
+    group can be huge at scale — a ``PARTITION BY flag`` window would
+    sort each group in one task); (3) each flag's cum-before-group base
+    and its total come from the |flags|-row dimension (broadcast), so
+    the per-flag cumulative is cum − base; (4) the median is
+    ``min(price) WHERE 2·(cum − base) ≥ total`` — a filter + combinable
+    min.  Weights are exact BIGINTs (l_quantity is integral 1..50);
+    every comparison is integer; the median itself is a source
+    passthrough.
+    """
+    from pyspark.sql import Window
+
+    from processo_etl_spark.operators.ranking import distributed_cumsum
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    hist = li.groupBy("flag", "price").agg(F.sum("w").alias("w"))
+    cum = distributed_cumsum(hist, ["flag", "price"], "w", out_col="cw")
+    totals = hist.groupBy("flag").agg(F.sum("w").alias("tw"))
+    base = totals.withColumn(
+        "base",
+        F.coalesce(
+            F.sum("tw").over(
+                Window.orderBy("flag").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    return (
+        cum.join(F.broadcast(base), "flag")
+        .filter(2 * (F.col("cw") - F.col("base")) >= F.col("tw"))
+        .groupBy(F.col("flag").alias("l_returnflag"), F.col("tw").alias("w_total"))
+        .agg(F.min("price").alias("weighted_median_price"))
+    )
+
+
+WEIGHTED_MEDIAN_ORACLE = """
+    WITH h AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2),
+    c AS (
+      SELECT flag, price, w,
+             CAST(sum(w) OVER (PARTITION BY flag ORDER BY price)
+                  AS BIGINT) AS cw,
+             CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+      FROM h)
+    SELECT flag AS l_returnflag, tw AS w_total,
+           min(price) AS weighted_median_price
+    FROM c WHERE 2 * cw >= tw GROUP BY flag, tw
+"""
+
+
+# Benford first-digit expectation, micro-probabilities: round(1e6 *
+# log10(1 + 1/d)).  Shared literals in both engines (no runtime float);
+# they sum to EXACTLY 1_000_000, so Σ delta_micros = 0 whenever all
+# nine digits occur — a free certificate tested below.
+_BENFORD_MICROS = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_digit_audit(spark, sf_dir):
+    """Benford first-significant-digit audit of l_extendedprice — the
+    classic fabricated-/truncated-data screen: observed leading-digit
+    counts against Benford micro-probabilities, with the residual as an
+    exact integer (delta_micros = 10⁶·n_obs − exp_micros·n_total; the
+    analyst divides by 10⁶·n_total client-side).
+
+    The leading digit comes from the STRING form of the exact centi
+    integer (round(price·100) — scaling by 100 never changes the
+    leading digit), because the arithmetic route
+    ``x div 10^floor(log10 x)`` runs through float log10 and can
+    misclassify at power-of-ten boundaries.  One combinable 9-key
+    groupBy + a broadcast one-row total attach; expectations are
+    shared integer literals.  (TPC-H prices are bounded uniform-ish,
+    NOT Benford — the audit correctly reports large residuals; the
+    differential gate grades the computation, not the hypothesis.)
+    """
+    li = t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    centi = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    digit = F.substring(centi.cast("string"), 1, 1).cast("long")
+    g = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    total = g.agg(F.sum("n_obs").alias("n_total"))
+    exp = F.create_map(
+        *[F.lit(x) for d, m in _BENFORD_MICROS.items() for x in (d, m)]
+    )[F.col("digit")].cast("long")
+    return (
+        g.join(F.broadcast(total))
+        .withColumn("exp_micros", exp)
+        .select(
+            "digit",
+            "n_obs",
+            "n_total",
+            "exp_micros",
+            (
+                F.lit(1_000_000) * F.col("n_obs")
+                - F.col("exp_micros") * F.col("n_total")
+            ).alias("delta_micros"),
+        )
+    )
+
+
+_BENFORD_VALUES = ", ".join(
+    f"({d}, {m})" for d, m in _BENFORD_MICROS.items()
+)
+
+BENFORD_ORACLE = f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+                                   AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM lineitem),
+    g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+          FROM d GROUP BY digit),
+    t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM g),
+    e(digit, exp_micros) AS (VALUES {_BENFORD_VALUES})
+    SELECT g.digit, g.n_obs, t.n_total,
+           CAST(e.exp_micros AS BIGINT) AS exp_micros,
+           CAST(1000000 * g.n_obs - e.exp_micros * t.n_total AS BIGINT)
+             AS delta_micros
+    FROM g, t
+    JOIN e ON e.digit = g.digit
+"""
+
+
 STAGED = {
     "sample_per_key_deterministic": (
         sample_per_key_deterministic,
@@ -520,6 +665,11 @@ STAGED = {
     ),
     "changepoint_cusum_alerts": (changepoint_cusum_alerts, CUSUM_ORACLE),
     "events_debounce_lag": (events_debounce_lag, DEBOUNCE_ORACLE),
+    "weighted_median_price_by_flag": (
+        weighted_median_price_by_flag,
+        WEIGHTED_MEDIAN_ORACLE,
+    ),
+    "benford_digit_audit": (benford_digit_audit, BENFORD_ORACLE),
 }
 
 

@@ -277,3 +277,49 @@ def test_debounce_hand_computed(spark):
     assert out[7] is None                      # u2's first row of type A
     assert out[2] == 27 * 3_600_000_000        # vs the DROPPED 23h row
     assert out[6] == 86_400_000_000            # boundary: exactly 24h kept
+
+
+def test_weighted_median_hand_computed(spark):
+    """Lower weighted median (smallest v with 2*cumw >= total): flag A
+    with (10,w1),(20,w2),(30,w1) -> 20; flag B hits the exact-half
+    boundary (10,w1),(20,w1) -> 10; groups never mix despite the
+    shared global cumsum."""
+    import processo_etl_spark.plans.staged_r11 as st
+
+    rows = [
+        ("A", 10.0, 1.0), ("A", 20.0, 2.0), ("A", 30.0, 1.0),
+        ("B", 10.0, 1.0), ("B", 20.0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_extendedprice double, l_quantity double"
+    )
+    out = {
+        r["l_returnflag"]: (r["w_total"], r["weighted_median_price"])
+        for r in _inject(df, st.weighted_median_price_by_flag, spark)
+    }
+    assert out == {"A": (4, 20.0), "B": (2, 10.0)}
+
+
+def test_benford_hand_computed(spark):
+    """String-derived leading digit survives the power-of-ten
+    boundaries float log10 misclassifies (1000.00 -> 1, 999.99 -> 9,
+    0.01 -> 1), absent digits yield no row, and with all nine digits
+    present the exact residuals sum to zero (the literals sum to 1e6)."""
+    import processo_etl_spark.plans.staged_r11 as st
+
+    rows = [(1000.00,), (999.99,), (0.01,), (914.44,), (55.00,)]
+    df = spark.createDataFrame(rows, "l_extendedprice double")
+    out = {
+        r["digit"]: r for r in _inject(df, st.benford_digit_audit, spark)
+    }
+    assert set(out) == {1, 5, 9}
+    assert out[1]["n_obs"] == 2 and out[9]["n_obs"] == 2
+    assert out[5]["n_obs"] == 1 and out[5]["n_total"] == 5
+    assert out[1]["exp_micros"] == 301030
+    assert out[1]["delta_micros"] == 1_000_000 * 2 - 301030 * 5
+    # certificate on real data: all nine digits occur at sf0.001, so
+    # the exact residuals cancel and the total matches the fact count
+    full = st.benford_digit_audit(spark, SF).collect()
+    assert len(full) == 9
+    assert sum(r["delta_micros"] for r in full) == 0
+    assert full[0]["n_total"] == catalog.load(spark, SF, "lineitem").count()
