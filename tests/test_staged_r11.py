@@ -323,3 +323,134 @@ def test_benford_hand_computed(spark):
     assert len(full) == 9
     assert sum(r["delta_micros"] for r in full) == 0
     assert full[0]["n_total"] == catalog.load(spark, SF, "lineitem").count()
+
+
+def test_cusum_closed_form_property():
+    """No Spark: the windowable closed form P - min(0, runmin P) equals
+    the sequential recurrence max(0, S + x - k) on arbitrary integer
+    paths (hypothesis), including all-negative and all-positive drifts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    K = 6000
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-50_000, max_value=50_000),
+            min_size=0,
+            max_size=60,
+        )
+    )
+    def check(xs):
+        s, p, mn = 0, 0, 0
+        for x in xs:
+            s = max(0, s + x - K)        # textbook recurrence
+            p += x - K                   # drifted prefix sum
+            mn = min(mn, p)              # running min incl. P_0 = 0
+            assert s == p - mn
+
+    check()
+
+
+def test_staged_fixture_simulations(spark):
+    """Pure-Python replay of the whole sf0.001 fixture for the three
+    sequential heads: the Spark output must equal a row-by-row
+    simulation (ordering (ts, event_id), centi rounding via
+    round-half-even on near-integers is exact here)."""
+    import processo_etl_spark.plans.staged_r11 as st
+
+    ev = sorted(
+        catalog.load(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    # --- CUSUM simulation
+    sim, state = {}, {}
+    for r in ev:
+        x = round(r["value"] * 100)
+        s = max(0, state.get(r["user_id"], 0) + x - 6000)
+        state[r["user_id"]] = s
+        sim[r["event_id"]] = s
+    got = {
+        r["event_id"]: (r["s_cusum"], r["is_alert"])
+        for r in st.changepoint_cusum_alerts(spark, SF).collect()
+    }
+    assert len(got) == len(sim)
+    for eid, s in sim.items():
+        assert got[eid] == (s, s > 20000)
+    # --- debounce simulation (lag-relative, per (user, type))
+    last: dict = {}
+    kept = {}
+    for r in ev:
+        key = (r["user_id"], r["event_type"])
+        us = int(r["ts"].timestamp() * 1_000_000)
+        prev = last.get(key)
+        if prev is None or us - prev >= 86_400_000_000:
+            kept[r["event_id"]] = None if prev is None else us - prev
+        last[key] = us
+    got_d = {
+        r["event_id"]: r["gap_us"]
+        for r in st.events_debounce_lag(spark, SF).collect()
+    }
+    # timestamps are naive UTC; .timestamp() applies the local offset,
+    # but gaps are differences so any constant offset cancels -> only
+    # membership + None-ness need the weaker check when offsets differ
+    assert set(got_d) == set(kept)
+    assert {k for k, v in kept.items() if v is None} == {
+        k for k, v in got_d.items() if v is None
+    }
+    # --- markov simulation
+    from collections import Counter
+
+    pairs: Counter = Counter()
+    prev_by_user: dict = {}
+    for r in ev:
+        p = prev_by_user.get(r["user_id"])
+        if p is not None:
+            pairs[(p, r["event_type"])] += 1
+        prev_by_user[r["user_id"]] = r["event_type"]
+    src_tot: Counter = Counter()
+    for (s_, _), n in pairs.items():
+        src_tot[s_] += n
+    got_m = {
+        (r["src_type"], r["dst_type"]): (r["n_pairs"], r["n_src_out"])
+        for r in st.markov_event_transitions(spark, SF).collect()
+    }
+    assert got_m == {
+        k: (n, src_tot[k[0]]) for k, n in pairs.items()
+    }
+
+
+def test_weighted_median_fixture_simulation(spark):
+    """Pure-Python replay of the weighted median over the real
+    lineitem fixture: sort each flag's (price, qty) pairs and take the
+    smallest price whose doubled cumulative weight reaches the total."""
+    import processo_etl_spark.plans.staged_r11 as st
+
+    rows = (
+        catalog.load(spark, SF, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    acc: dict = {}
+    for r in rows:
+        acc.setdefault(r["l_returnflag"], []).append(
+            (r["l_extendedprice"], int(r["l_quantity"]))
+        )
+    expect = {}
+    for flag, pairs in acc.items():
+        pairs.sort()
+        total = sum(w for _, w in pairs)
+        cum = 0
+        for price, w in pairs:
+            cum += w
+            if 2 * cum >= total:
+                expect[flag] = (total, price)
+                break
+    got = {
+        r["l_returnflag"]: (r["w_total"], r["weighted_median_price"])
+        for r in st.weighted_median_price_by_flag(spark, SF).collect()
+    }
+    assert got == expect
