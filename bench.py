@@ -222,25 +222,25 @@ def main() -> int:
         cold[name] = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
-    stall_retries: list[str] = []
+    stall_retries: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         _run(spark, queries, name, sf_dir)
         timings[name] = round(time.perf_counter() - t0, 3)
-        # Stall guard (r10): one-off scheduler/GC hiccups occasionally
+        # Stall probe (r10): one-off scheduler/GC hiccups occasionally
         # inflate a single warm query far past its own COLD time (the
         # session that added this measured heaps_vocab_growth at 6.06 s
         # warm vs 1.22 s cold, then 1.18 s on the very next run — pure
         # host noise, not a plan change).  A warm run slower than 2.5×
-        # its cold run on the same JVM is physically a stall, so re-run
-        # once and keep the min.  Bounded: at most one retry per query,
-        # and only on the >2.5× outlier path.
+        # its cold run on the same JVM is physically a stall, so run it
+        # once more and RECORD the retry — the headline `value` keeps
+        # the original steady measurement untouched (methodology stays
+        # the r5 steady-pass sum, comparable across rounds); only the
+        # noise-robust `value_best` companion reads the retry.
         if timings[name] > max(1.0, 2.5 * cold[name]):
             t0 = time.perf_counter()
             _run(spark, queries, name, sf_dir)
-            retry = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings[name], retry)
-            stall_retries.append(name)
+            stall_retries[name] = round(time.perf_counter() - t0, 3)
 
     env["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
     total = round(sum(timings.values()), 3)
@@ -252,12 +252,17 @@ def main() -> int:
         "sf": sf_val,
         "n_queries": len(HEADLINE),
         "cold_value": round(sum(cold.values()), 3),
-        # best-observed per query (min of the cold and steady passes) —
-        # a noise-robust companion total: a one-off stall in EITHER
-        # pass cannot inflate it, so cross-host comparisons can read
-        # value_best next to the calib_* fingerprint.
+        # best-observed per query (min of the cold pass, the steady
+        # pass, and any stall-probe retry) — a noise-robust companion
+        # total a one-off stall cannot inflate; cross-host comparisons
+        # read it next to the calib_* fingerprint.  The headline
+        # `value` above never includes retries.
         "value_best": round(
-            sum(min(cold[n], timings[n]) for n in HEADLINE), 3
+            sum(
+                min(cold[n], timings[n], stall_retries.get(n, float("inf")))
+                for n in HEADLINE
+            ),
+            3,
         ),
         "stall_retries": stall_retries,
         "env": env,

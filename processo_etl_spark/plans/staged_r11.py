@@ -532,7 +532,12 @@ def weighted_median_price_by_flag(spark, sf_dir):
     )
     hist = li.groupBy("flag", "price").agg(F.sum("w").alias("w"))
     cum = distributed_cumsum(hist, ["flag", "price"], "w", out_col="cw")
-    totals = hist.groupBy("flag").agg(F.sum("w").alias("tw"))
+    # totals come from the CUMSUM OUTPUT, whose ranged input is already
+    # persisted inside distributed_cumsum — deriving them from `hist`
+    # would re-scan and re-aggregate the whole fact table (review
+    # finding: the cache manager never substitutes the persisted
+    # superset plan for the narrower hist).
+    totals = cum.groupBy("flag").agg(F.sum("w").alias("tw"))
     base = totals.withColumn(
         "base",
         F.coalesce(
@@ -590,7 +595,12 @@ def benford_digit_audit(spark, sf_dir):
     integer (round(price·100) — scaling by 100 never changes the
     leading digit), because the arithmetic route
     ``x div 10^floor(log10 x)`` runs through float log10 and can
-    misclassify at power-of-ten boundaries.  One combinable 9-key
+    misclassify at power-of-ten boundaries.  Benford is defined for
+    POSITIVE magnitudes only, so rows with centi < 1 are excluded on
+    BOTH engines (review finding: a zero centi would emit a Spark
+    digit-0/NULL-expectation row the oracle's inner join drops, and a
+    negative one would crash DuckDB's CAST('-…' prefix); the filter
+    makes digit ∈ 1..9 by construction).  One combinable 9-key
     groupBy + a broadcast one-row total attach; expectations are
     shared integer literals.  (TPC-H prices are bounded uniform-ish,
     NOT Benford — the audit correctly reports large residuals; the
@@ -598,9 +608,16 @@ def benford_digit_audit(spark, sf_dir):
     """
     li = t(spark, sf_dir, "lineitem").select("l_extendedprice")
     centi = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    digit = F.substring(centi.cast("string"), 1, 1).cast("long")
-    g = li.select(digit.alias("digit")).groupBy("digit").agg(
-        F.count(F.lit(1)).alias("n_obs")
+    g = (
+        li.select(centi.alias("centi"))
+        .filter(F.col("centi") >= 1)
+        .select(
+            F.substring(F.col("centi").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
     )
     total = g.agg(F.sum("n_obs").alias("n_total"))
     exp = F.create_map(
@@ -627,11 +644,12 @@ _BENFORD_VALUES = ", ".join(
 )
 
 BENFORD_ORACLE = f"""
-    WITH d AS (
-      SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
-                                   AS BIGINT) AS VARCHAR), 1, 1)
-                  AS BIGINT) AS digit
+    WITH c AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS centi
       FROM lineitem),
+    d AS (
+      SELECT CAST(substr(CAST(centi AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM c WHERE centi >= 1),
     g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
           FROM d GROUP BY digit),
     t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM g),

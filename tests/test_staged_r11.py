@@ -358,6 +358,8 @@ def test_staged_fixture_simulations(spark):
     sequential heads: the Spark output must equal a row-by-row
     simulation (ordering (ts, event_id), centi rounding via
     round-half-even on near-integers is exact here)."""
+    import datetime
+
     import processo_etl_spark.plans.staged_r11 as st
 
     ev = sorted(
@@ -383,9 +385,13 @@ def test_staged_fixture_simulations(spark):
     # --- debounce simulation (lag-relative, per (user, type))
     last: dict = {}
     kept = {}
+    utc = datetime.timezone.utc
     for r in ev:
         key = (r["user_id"], r["event_type"])
-        us = int(r["ts"].timestamp() * 1_000_000)
+        # pin the naive fixture timestamp to UTC: a bare .timestamp()
+        # applies the HOST zone, and across a DST boundary the local
+        # offsets of two events differ, so gaps would not cancel
+        us = int(r["ts"].replace(tzinfo=utc).timestamp() * 1_000_000)
         prev = last.get(key)
         if prev is None or us - prev >= 86_400_000_000:
             kept[r["event_id"]] = None if prev is None else us - prev
@@ -394,13 +400,7 @@ def test_staged_fixture_simulations(spark):
         r["event_id"]: r["gap_us"]
         for r in st.events_debounce_lag(spark, SF).collect()
     }
-    # timestamps are naive UTC; .timestamp() applies the local offset,
-    # but gaps are differences so any constant offset cancels -> only
-    # membership + None-ness need the weaker check when offsets differ
-    assert set(got_d) == set(kept)
-    assert {k for k, v in kept.items() if v is None} == {
-        k for k, v in got_d.items() if v is None
-    }
+    assert got_d == kept
     # --- markov simulation
     from collections import Counter
 
