@@ -107,19 +107,48 @@ def driver_canon_probe(cols, rows) -> str | None:
         return f"{type(e).__name__}: {str(e)[:120]}"
 
 
-def table_multiset(cols, rows):
+def table_multiset(cols, rows, quantize: bool = False):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = {}
     for r in rows:
         key = tuple(norm_cell(r[i]) for i in order)
+        if quantize:
+            # norm_cell tags floats as ("f", repr(v)); re-round the repr
+            # to 12 significant digits (nan stays "nan": float("nan")
+            # formats to "nan" and never equals itself only as a raw
+            # float — the string form compares fine)
+            key = tuple(
+                ("f", f"{float(c[1]):.12g}")
+                if isinstance(c, tuple) and c[0] == "f" and c[1] != "nan"
+                else c
+                for c in key
+            )
         out[key] = out.get(key, 0) + 1
     return sorted(cols), out
 
 
 def main() -> int:
-    argv = [a for a in sys.argv[1:] if a not in ("--schema", "--json")]
+    argv = [
+        a
+        for a in sys.argv[1:]
+        if a not in ("--schema", "--json", "--quantize12")
+    ]
     schema_only = "--schema" in sys.argv[1:]
     write_json = "--json" in sys.argv[1:]
+    # --quantize12 (r10, sf2.5 stress conviction): round float cells to
+    # 12 significant digits before the multiset compare.  DuckDB's
+    # DECIMAL→DOUBLE cast double-rounds (int128→double, then the scale
+    # division) and lands 1 ulp off the correctly-rounded value once the
+    # UNSCALED decimal exceeds 2^53 — measured on q1's sum_charge at
+    # sf2.5: exact decimal 70632264676.794900, Spark/Python
+    # …6.7949 (correct), DuckDB cast …6.79489.  The engine is right and
+    # the oracle cast is the artifact, so big-scale stress sweeps may
+    # tolerate ≤1e-12 relative cast noise.  NEVER valid with --json:
+    # committed evidence artifacts stay exact.
+    quantize = "--quantize12" in sys.argv[1:]
+    if quantize and write_json:
+        print("ERROR: --quantize12 cannot write evidence artifacts (--json)")
+        return 2
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     name_filter = argv[1:]
     if schema_only:
@@ -258,8 +287,8 @@ def main() -> int:
             record(name, "fail", err=f"driver-canonicalizer probe: {canon_err}")
             print(f"FAIL  {name}: driver-canonicalizer probe would crash: {canon_err}")
             continue
-        sc, sm = table_multiset(scols, srows)
-        dc, dm = table_multiset(dcols, drows)
+        sc, sm = table_multiset(scols, srows, quantize)
+        dc, dm = table_multiset(dcols, drows, quantize)
         if sc != dc:
             failures.append(name)
             record(name, "fail", err=f"columns differ spark={sc} duck={dc}")
