@@ -244,3 +244,29 @@ def test_rollup_merge_is_order_insensitive_and_matches_direct(spark):
             ).collect()
         }
         assert merged == direct
+
+
+def test_quantize12_multiset_tolerance():
+    """--quantize12 (r10 sf2.5 conviction): the 1-ulp DuckDB
+    DECIMAL->DOUBLE cast artifact (70632264676.79489 vs the correctly
+    rounded 70632264676.7949) hashes equal under quantization, while a
+    12th-significant-digit difference still mismatches, exact mode
+    still catches the ulp, and non-float cells are untouched."""
+    co = _load_check_oracles()
+    cols = ["x", "n"]
+    spark_rows = [(70632264676.7949, 7)]
+    duck_rows = [(70632264676.79489, 7)]
+    exact_s = co.table_multiset(cols, spark_rows)
+    exact_d = co.table_multiset(cols, duck_rows)
+    assert exact_s != exact_d                      # exact mode: ulp caught
+    q_s = co.table_multiset(cols, spark_rows, quantize=True)
+    q_d = co.table_multiset(cols, duck_rows, quantize=True)
+    assert q_s == q_d                              # quantized: artifact forgiven
+    # a genuine 12th-digit error is NOT forgiven
+    off = co.table_multiset(cols, [(70632264686.7949, 7)], quantize=True)
+    assert off != q_s
+    # integers / strings / NaN never change representation
+    mixed_cols = ["a", "b", "c"]
+    mixed = [(5, "x", float("nan"))]
+    assert co.table_multiset(mixed_cols, mixed, quantize=True) == \
+        co.table_multiset(mixed_cols, mixed)
