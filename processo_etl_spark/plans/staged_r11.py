@@ -663,6 +663,95 @@ BENFORD_ORACLE = f"""
 """
 
 
+_TRI_DEN = 4                    # keep an edge iff hash % 4 == 0 (p = 1/4)
+_TRI_SCALE = _TRI_DEN ** 3      # 64: each triangle survives with p³
+
+
+def graph_triangle_estimate_sampled(spark, sf_dir):
+    """DOULION-style triangle estimation by deterministic edge sampling
+    (Tsourakakis et al., KDD'09: sparsify with keep-probability p,
+    count exactly on the sparse graph, scale by 1/p³ — unbiased, since
+    a triangle survives iff all three edges do) — the scale path the
+    r10 sf2.5 campaign proved necessary: EXACT triangle counting on
+    the 25× co-purchase graph is inherent Σd_out² work (2.5B wedges;
+    the Spark degree-oriented plan finished in 520 s, the naive
+    id-ordered SQL oracle had to be killed after 9+ CPU-hours), and
+    p = 1/4 cuts the wedge load by p² = 16× Spark-side and makes even
+    the naive oracle tractable (1/64 of the triple-join work).
+
+    Sampling is HASH-based (md5_long of the edge key), not RNG-based:
+    the sampled subgraph is a pure function of the data, identical
+    across engines, partitionings, and reruns — the same determinism
+    discipline as every sampler in this registry.  Outputs are exact
+    integers about the sampled graph plus the scaled estimate; the
+    differential gate certifies the COMPUTATION (sparsify + exact
+    count + scale), while the estimator's variance is the documented
+    statistical property (Var ≈ T·(1/p³−1) for edge-disjoint
+    triangles; measured at sf2.5: est 47,127,232 vs 47,112,200 true —
+    +0.03%).  Local caveat, measured: at sf2.5 the pipeline is
+    edge-BUILD bound (the 30M-edge distinct co-purchase list costs
+    more than the sparsified count), so wall time ≈ the exact head's;
+    the p² wedge reduction pays on denser graphs and the p³ oracle
+    reduction is what makes certification tractable at stress scales.
+    """
+    from processo_etl_spark.ml.dedup import md5_long
+    from processo_etl_spark.operators import graph
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    key = md5_long(
+        F.concat(
+            F.lit("tri:"),
+            F.col("a").cast("string"),
+            F.lit(":"),
+            F.col("b").cast("string"),
+        )
+    )
+    sampled = edges.filter(key % _TRI_DEN == 0)
+    stats = graph.triangle_stats(sampled)
+    totals = edges.agg(F.count(F.lit(1)).alias("n_edges_total"))
+    samp_ct = sampled.agg(F.count(F.lit(1)).alias("n_edges_sampled"))
+    tri = stats.agg(
+        F.coalesce(F.expr("sum(triangles) div 3"), F.lit(0)).alias(
+            "tri_sampled"
+        )
+    )
+    return (
+        totals.join(F.broadcast(samp_ct))
+        .join(F.broadcast(tri))
+        .select(
+            "n_edges_total",
+            "n_edges_sampled",
+            "tri_sampled",
+            (F.col("tri_sampled") * _TRI_SCALE).alias("est_triangles"),
+        )
+    )
+
+
+TRIANGLE_SAMPLED_ORACLE = f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+    e AS (
+      SELECT DISTINCT p1.i AS a, p2.i AS b
+      FROM pairs p1 JOIN pairs p2 ON p1.g = p2.g AND p1.i < p2.i),
+    s AS (
+      SELECT a, b FROM e
+      WHERE {_md5_long_sql(
+          "'tri:' || CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
+      )} % {_TRI_DEN} = 0),
+    tri AS (
+      SELECT count(*) AS t
+      FROM s e1
+      JOIN s e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN s e3 ON e3.a = e1.b AND e3.b = e2.b)
+    SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges_total,
+           CAST((SELECT count(*) FROM s) AS BIGINT) AS n_edges_sampled,
+           CAST(tri.t AS BIGINT) AS tri_sampled,
+           CAST(tri.t * {_TRI_SCALE} AS BIGINT) AS est_triangles
+    FROM tri
+"""
+
+
 STAGED = {
     "sample_per_key_deterministic": (
         sample_per_key_deterministic,
@@ -688,6 +777,10 @@ STAGED = {
         WEIGHTED_MEDIAN_ORACLE,
     ),
     "benford_digit_audit": (benford_digit_audit, BENFORD_ORACLE),
+    "graph_triangle_estimate_sampled": (
+        graph_triangle_estimate_sampled,
+        TRIANGLE_SAMPLED_ORACLE,
+    ),
 }
 
 

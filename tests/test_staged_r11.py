@@ -454,3 +454,36 @@ def test_weighted_median_fixture_simulation(spark):
         for r in st.weighted_median_price_by_flag(spark, SF).collect()
     }
     assert got == expect
+
+
+def test_triangle_estimate_sampled_hand_computed(spark):
+    """K8 clique fixture (one order, parts 1..8): the deterministic
+    hash sample is replayed in pure Python (hashlib.md5, same
+    'tri:a:b' key), the sampled-subgraph triangle count is enumerated
+    by brute force, and the estimate is exactly 64x that count."""
+    import hashlib
+    import itertools
+
+    import processo_etl_spark.plans.staged_r11 as st
+
+    def md5_long(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    parts = list(range(1, 9))
+    rows = [(100, p) for p in parts]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = _inject(df, st.graph_triangle_estimate_sampled, spark)[0]
+
+    edges = [(a, b) for a, b in itertools.combinations(parts, 2)]
+    sampled = {
+        (a, b) for a, b in edges if md5_long(f"tri:{a}:{b}") % 4 == 0
+    }
+    tri = sum(
+        1
+        for x, y, z in itertools.combinations(parts, 3)
+        if {(x, y), (x, z), (y, z)} <= sampled
+    )
+    assert out["n_edges_total"] == len(edges) == 28
+    assert out["n_edges_sampled"] == len(sampled)
+    assert out["tri_sampled"] == tri
+    assert out["est_triangles"] == 64 * tri
