@@ -73,6 +73,11 @@ _PLAN_MODULES = (
     "media",
     "privacy",
     "profile",
+    # r11 activation (VERDICT r10 #2): the ten heads banked in r10 —
+    # differentially tested (tests/test_staged_r11.py) and three-scale
+    # pre-swept (30/30 hash-matched, SCALE.md) — now register and fill
+    # tier-1 (ungraded oracle-backed) slots ahead of re-certification.
+    "staged_r11",
 )
 
 # Driver-visibility window (VERDICT r1 #1, rotated per VERDICT r4 #1): the
@@ -262,24 +267,27 @@ _ROTATION_HEADS = (
     # drift_probe_* rows first — they localize the diverging column
     # class (ints/round-double/boolean); the probes themselves retire
     # after one grade (_ONE_SHOT_PROBES) and must NOT be re-added.
-    # ---- r11 handoff: once the r10 CORRECTNESS file lands, the
-    # never-graded pool is EMPTY (the r10 window held the full 34-query
-    # drain + 1 re-certify) and every subsequent window self-fills with
-    # OLDEST-evidence-first re-certification (_window_order tier 3,
-    # asserted by tests/test_plans.py): r11 = pinned 15 + the ~10
-    # r1-greens (except_custkeys, iqr_outlier_count, rollup_revenue,
-    # cube_counts, …) + r2/r4-greens — verified by simulation with a
-    # synthetic CORRECTNESS_r10.  Add NEW queries normally; ungraded
-    # oracle-backed names always pre-empt re-certification slots.  If
-    # any r10 row came back red, it stays in the pool and re-windows
-    # automatically ahead of re-certifies — diagnose with the SCALE.md
-    # determinism rules (decimal / HUGEINT / float-fold) before
-    # touching the plan.  FOUR pre-certified heads are BANKED in
-    # plans/staged_r11.py (sample_per_key_deterministic,
+    # ---- r11 status (supersedes the r10 handoff; VERDICT r10 #1/#2):
+    # the r10 drain completed — all 50 r10 rows recorded, the ten
+    # stream_* jobs drew their designed rows-only grade (err ==
+    # "no_oracle", now recognized as certifying by _grade_rounds; the
+    # r10-era claim that the pool would be empty was wrong only because
+    # a synthetic simulation file used err: None for rows-only rows).
+    # The TEN staged_r11 heads (sample_per_key_deterministic,
     # split_temporal_embargo, feature_binning_equidepth,
-    # anomaly_rolling_zscore — each already differentially tested vs
-    # its oracle, tests/test_staged_r11.py): activate them first thing
-    # in r11 per that module's docstring.
+    # anomaly_rolling_zscore, markov_event_transitions,
+    # changepoint_cusum_alerts, events_debounce_lag,
+    # weighted_median_price_by_flag, benford_digit_audit,
+    # graph_triangle_estimate_sampled) are ACTIVATED this round — they
+    # fill tier-1 ungraded-oracle-backed slots; the remaining ~25
+    # rotation slots fall to tier-3 oldest-evidence-first re-certify
+    # (r1-era greens first: intersect_custkeys, except_custkeys,
+    # iqr_outlier_count, rollup_revenue, cube_counts, …).  Add NEW
+    # queries normally; ungraded oracle-backed names always pre-empt
+    # re-certification slots.  If any row comes back red, it stays in
+    # the pool and re-windows automatically ahead of re-certifies —
+    # diagnose with the SCALE.md determinism rules (decimal / HUGEINT /
+    # float-fold) before touching the plan.
 )
 
 # The canary probes (shared definition — processo_etl_spark/grading.py).
@@ -297,12 +305,21 @@ _ONE_SHOT_PROBES = frozenset(
 )
 
 
-def _grade_rounds() -> dict[str, int]:
+def _grade_rounds(root=None) -> dict[str, int]:
     """name -> latest round with a PASSING row in CORRECTNESS_r*.json.
 
+    ``root`` (tests only) overrides the directory scanned for
+    ``CORRECTNESS_r*.json``; production callers use the repo root.
+
     A row certifies its query only if it recorded no error and no
-    explicit check failure (absent check keys — the rows-only grade —
-    still certify).  A query that FAILED a past round stays in the
+    explicit check failure.  ``err == "no_oracle"`` is NOT an error:
+    it is the driver's DESIGNED verdict for oracle-less (rows-only)
+    jobs — the real r10 file records all ten ``stream_*`` rows as
+    ``{"err": "no_oracle", "spark_rows": N, ...}`` and that row IS the
+    grade the r10 drain existed to obtain (VERDICT r10 #1), so it
+    certifies.  Any OTHER non-None ``err`` means the driver crashed
+    before comparing — zero signal, the query stays in the pool.
+    A query that FAILED a past round stays in the
     rotation pool, so it re-enters the window until it earns a green
     row instead of being retired by the attempt — EXCEPT the
     ``_ONE_SHOT_PROBES``, which retire on any recorded row.  The round
@@ -314,8 +331,9 @@ def _grade_rounds() -> dict[str, int]:
     from pathlib import Path
 
     rounds: dict[str, int] = {}
-    root = Path(__file__).resolve().parents[2]
-    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
+    for p in sorted(Path(root).glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)", p.stem)
         rnd = int(m.group(1)) if m else 0
         try:
@@ -324,9 +342,11 @@ def _grade_rounds() -> dict[str, int]:
             continue
         for name, row in rows.items():
             if isinstance(row, dict):
-                if row.get("err") is not None:
-                    # an err row ran no comparison — zero signal, so
-                    # even a one-shot probe retries after an infra crash
+                if row.get("err") not in (None, "no_oracle"):
+                    # a crash row ran no comparison — zero signal, so
+                    # even a one-shot probe retries after an infra
+                    # crash.  "no_oracle" is excluded: it is the
+                    # driver's rows-only GRADE, not a crash (r10 #1).
                     continue
                 if name not in _ONE_SHOT_PROBES and any(
                     row.get(k) is False

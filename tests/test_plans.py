@@ -153,6 +153,74 @@ def test_registry_integrity_and_priority_window():
     assert set(oracles) <= set(queries)
 
 
+def test_rows_only_driver_grade_retires_from_rotation(tmp_path):
+    """VERDICT r10 #1 regression: the driver records oracle-less jobs as
+    ``{"err": "no_oracle", "spark_rows": N}`` (the LITERAL shape of all
+    ten stream_* rows in the real CORRECTNESS_r10.json) — that row is a
+    certifying rows-only grade, not a crash, so the job must leave the
+    rotation pool.  Any other non-None err is a crash and stays zero
+    signal.  Fed through a synthetic root so the assertion is about the
+    row shape, not the current repo state; plus the at-HEAD check that
+    the real r11+ window contains no stream_* names."""
+    import json
+
+    from processo_etl_spark.plans import _WINDOW, _grade_rounds
+
+    synthetic = {
+        # literal r10 rows-only shape (copied from CORRECTNESS_r10.json)
+        "stream_sessionize_stateful": {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": 150,
+            "oracle_rows": None,
+            "err": "no_oracle",
+        },
+        # a genuine crash row: must NOT certify
+        "crashed_job": {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": "Py4JJavaError: boom",
+        },
+        # a normal green row: certifies
+        "green_query": {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": True,
+            "spark_rows": 10,
+            "oracle_rows": 10,
+            "err": None,
+        },
+    }
+    (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps(synthetic))
+    rounds = _grade_rounds(root=tmp_path)
+    assert rounds.get("stream_sessionize_stateful") == 10, (
+        "rows-only (err='no_oracle') driver grade must certify"
+    )
+    assert "crashed_job" not in rounds, "crash rows must stay zero-signal"
+    assert rounds.get("green_query") == 10
+
+    # At HEAD with the REAL CORRECTNESS files: every ORACLE-LESS
+    # stream_* job drew its rows-only grade in r10, so none may
+    # re-enter the window.  (The r11 stream_batch_equiv_* certificates
+    # are oracle-backed and ungraded — they BELONG in the window.)
+    real = _grade_rounds()
+    oracles = plans.all_oracles()
+    streams = [
+        n
+        for n in plans.all_queries()
+        if n.startswith("stream_") and n not in oracles
+    ]
+    assert streams, "rows-only stream_* jobs should be registered"
+    assert all(real.get(n, 0) >= 10 for n in streams)
+    window = list(plans.all_queries())[:_WINDOW]
+    leaked = [n for n in window if n in streams]
+    assert not leaked, f"rows-only-graded stream_* jobs leaked back: {leaked}"
+
+
 def _load_check_oracles():
     import importlib.util
 
@@ -270,3 +338,17 @@ def test_quantize12_multiset_tolerance():
     mixed = [(5, "x", float("nan"))]
     assert co.table_multiset(mixed_cols, mixed, quantize=True) == \
         co.table_multiset(mixed_cols, mixed)
+    # ADVICE r10: floats NESTED in array cells get the same tolerance —
+    # a 1-ulp cast artifact inside array<double> must hash equal under
+    # quantization (it was a false FAIL before the recursive re-round),
+    # including arrays nested two deep.
+    arr_cols = ["v"]
+    arr_s = [([70632264676.7949, [1.25, 70632264676.7949]],)]
+    arr_d = [([70632264676.79489, [1.25, 70632264676.79489]],)]
+    assert co.table_multiset(arr_cols, arr_s) != co.table_multiset(arr_cols, arr_d)
+    assert co.table_multiset(arr_cols, arr_s, quantize=True) == \
+        co.table_multiset(arr_cols, arr_d, quantize=True)
+    # a genuine nested 12th-digit error is still caught
+    arr_off = [([70632264686.7949, [1.25, 70632264676.7949]],)]
+    assert co.table_multiset(arr_cols, arr_off, quantize=True) != \
+        co.table_multiset(arr_cols, arr_s, quantize=True)
