@@ -1715,3 +1715,130 @@ def new_vs_returning_daily(spark, sf_dir):
             ).alias("returning_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ⇔ batch equivalence certificates (VERDICT r10 #7): the ten
+# stream_* jobs carry rows-only driver grades by design (a memory-sink
+# drain has no DuckDB twin), so these heads give the streaming surface
+# HASH-graded driver evidence instead: run the real streaming job AND
+# its batch twin on the same source, count disagreements Spark-side,
+# and emit exact integers whose oracle is the batch semantics in pure
+# SQL plus a literal 0 mismatch count.  If the streaming engine ever
+# diverges from the batch plan (state fold bug, watermark drop, sink
+# dedup error), n_mismatch / n_users_stream moves and the driver's
+# value-hash goes red — the equivalence the tests assert becomes driver
+# -certified.  Reference relevance: the reference's monthly batch is
+# the "batch twin" contract these certificates pin (SURVEY §2.9 is a
+# scale extension, not reference parity).
+
+
+@register(
+    "stream_batch_equiv_sessionize",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+             THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    batch AS (
+      SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+             count(*) AS n_events
+      FROM seq GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users_stream,
+           CAST(count(*) AS BIGINT) AS n_users_batch,
+           CAST(SUM(n_sessions) AS BIGINT) AS total_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM batch
+    """,
+)
+def stream_batch_equiv_sessionize(spark, sf_dir):
+    """Certificate: the applyInPandasWithState interval-merge
+    sessionizer (streaming/jobs.sessionize_stateful, drained with
+    availableNow) produces EXACTLY the batch lag-window sessionization
+    (sessionize_gap) — per user, not just in aggregate.  The full-outer
+    join counts any user where the two engines disagree on n_sessions
+    or n_events (or that only one engine emitted); the oracle computes
+    the batch semantics in SQL and pins n_mismatch = 0, so any
+    streaming divergence is a driver hash mismatch."""
+    from processo_etl_spark.streaming import jobs
+
+    stream = jobs.run_sessionize_stateful_availablenow(spark, sf_dir).select(
+        F.col("user_id"),
+        F.col("n_sessions").alias("s_sessions"),
+        F.col("n_events").alias("s_events"),
+    )
+    batch = sessionize_gap(spark, sf_dir).select(
+        F.col("user_id"),
+        F.col("n_sessions").alias("b_sessions"),
+        F.col("n_events").alias("b_events"),
+    )
+    joined = stream.join(batch, "user_id", "full_outer")
+    disagree = (
+        F.col("s_sessions").isNull()
+        | F.col("b_sessions").isNull()
+        | (F.col("s_sessions") != F.col("b_sessions"))
+        | (F.col("s_events") != F.col("b_events"))
+    )
+    return joined.agg(
+        F.count("s_sessions").cast("bigint").alias("n_users_stream"),
+        F.count("b_sessions").cast("bigint").alias("n_users_batch"),
+        F.sum("b_sessions").cast("bigint").alias("total_sessions"),
+        F.sum("b_events").cast("bigint").alias("total_events"),
+        F.sum(disagree.cast("long")).cast("bigint").alias("n_mismatch"),
+    )
+
+
+@register(
+    "stream_batch_equiv_tumbling",
+    oracle="""
+    WITH batch AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT CAST(count(*) AS BIGINT) AS n_windows_stream,
+           CAST(count(*) AS BIGINT) AS n_windows_batch,
+           CAST(SUM(n) AS BIGINT) AS total_events,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM batch
+    """,
+)
+def stream_batch_equiv_tumbling(spark, sf_dir):
+    """Certificate: the watermarked streaming tumbling-window aggregate
+    (streaming/jobs.tumbling_counts, complete-mode availableNow drain)
+    equals the batch window() plan cell-for-cell — (window_start,
+    event_type) keys, exact counts, and the exact-decimal value sums
+    (compared for equality Spark-side; both sides fold in DECIMAL so
+    the doubles are bit-identical when correct).  A watermark that
+    wrongly dropped a late micro-batch, a state-store bug, or a sink
+    replay duplicate all surface as n_mismatch > 0 / a key-count drift
+    → driver hash mismatch."""
+    from processo_etl_spark.streaming import jobs
+
+    stream = jobs.run_tumbling_count_availablenow(spark, sf_dir).select(
+        F.col("window_start"),
+        F.col("event_type"),
+        F.col("n").alias("s_n"),
+        F.col("total_value").alias("s_value"),
+    )
+    batch = tumbling_window_counts(spark, sf_dir).select(
+        F.col("window_start"),
+        F.col("event_type"),
+        F.col("n").alias("b_n"),
+        F.col("total_value").alias("b_value"),
+    )
+    joined = stream.join(batch, ["window_start", "event_type"], "full_outer")
+    disagree = (
+        F.col("s_n").isNull()
+        | F.col("b_n").isNull()
+        | (F.col("s_n") != F.col("b_n"))
+        | (F.col("s_value") != F.col("b_value"))
+    )
+    return joined.agg(
+        F.count("s_n").cast("bigint").alias("n_windows_stream"),
+        F.count("b_n").cast("bigint").alias("n_windows_batch"),
+        F.sum("b_n").cast("bigint").alias("total_events"),
+        F.sum(disagree.cast("long")).cast("bigint").alias("n_mismatch"),
+    )
