@@ -34,6 +34,23 @@ def main() -> int:
         if a and b:
             print(f"{label:>7}: {a:8.2f} -> {b:8.2f}  ({(b - a) / a:+.1%})")
 
+    # Calibration-normalized ratio (VERDICT r10 #6): divide the raw
+    # steady-total ratio by the CPU-calibration ratio so host slowdown
+    # cancels mechanically.  calib_cpu_2m_ms is a fixed single-thread
+    # 2M-iteration microbench recorded by bench.py on the same host
+    # seconds before the queries ran — if the host is 18% slower, the
+    # calibration is 18% slower too, and the normalized ratio isolates
+    # the code's contribution.  (Normalization assumes CPU-bound drift;
+    # a loadavg spike mid-run can still skew individual queries.)
+    a, b = old.get("value"), new.get("value")
+    co = (old.get("env") or {}).get("calib_cpu_2m_ms")
+    cn = (new.get("env") or {}).get("calib_cpu_2m_ms")
+    if a and b and co and cn:
+        raw, calib = b / a, cn / co
+        print(f"normalized: raw ratio {raw:.3f} / calib ratio {calib:.3f} "
+              f"= {raw / calib:.3f}  "
+              f"(>1 = code slower after discounting host speed)")
+
     qo, qn = old.get("queries") or {}, new.get("queries") or {}
     shared = sorted(set(qo) & set(qn), key=lambda n: abs(qn[n] - qo[n]),
                     reverse=True)

@@ -107,22 +107,31 @@ def driver_canon_probe(cols, rows) -> str | None:
         return f"{type(e).__name__}: {str(e)[:120]}"
 
 
+def _quantize12_cell(c):
+    """Re-round a norm_cell tag to 12 significant digits, RECURSIVELY.
+
+    ADVICE r10: float cells nested inside array columns are tagged
+    ("l", (inner tags...)) by norm_cell — quantizing only top-level
+    ("f", ...) tags would leave an array<double> output failing on
+    1-ulp DECIMAL→DOUBLE cast noise at stress scale (a false FAIL).
+    nan stays "nan" (its string form compares fine)."""
+    if isinstance(c, tuple):
+        if c[0] == "f" and c[1] != "nan":
+            return ("f", f"{float(c[1]):.12g}")
+        if c[0] == "l":
+            return ("l", tuple(_quantize12_cell(x) for x in c[1]))
+    return c
+
+
 def table_multiset(cols, rows, quantize: bool = False):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = {}
     for r in rows:
         key = tuple(norm_cell(r[i]) for i in order)
         if quantize:
-            # norm_cell tags floats as ("f", repr(v)); re-round the repr
-            # to 12 significant digits (nan stays "nan": float("nan")
-            # formats to "nan" and never equals itself only as a raw
-            # float — the string form compares fine)
-            key = tuple(
-                ("f", f"{float(c[1]):.12g}")
-                if isinstance(c, tuple) and c[0] == "f" and c[1] != "nan"
-                else c
-                for c in key
-            )
+            # norm_cell tags floats as ("f", repr(v)); re-round to 12
+            # significant digits, descending into ("l", ...) arrays.
+            key = tuple(_quantize12_cell(c) for c in key)
         out[key] = out.get(key, 0) + 1
     return sorted(cols), out
 

@@ -35,6 +35,73 @@ def count_tests() -> int:
     return n
 
 
+def window_block() -> str:
+    """Generated grading-window digest (VERDICT r10 #5): the pinned
+    listing, the tier-1 (never-graded oracle-backed) fill, the
+    re-certify slot count, and the banked-but-unregistered head count
+    are derived from the registry + CORRECTNESS_r*.json at every run,
+    so handoff comments can never go stale again.  Rewritten between
+    the ``<!-- gen:window -->`` markers in COVERAGE.md / SKILL.md."""
+    from processo_etl_spark.plans import _PINNED, _WINDOW, _grade_rounds
+
+    queries = plans.all_queries()
+    oracles = plans.all_oracles()
+    window = list(queries)[:_WINDOW]
+    gr = _grade_rounds()
+    rotation = window[len(_PINNED):]
+    tier1 = [n for n in rotation if gr.get(n, 0) == 0 and n in oracles]
+    tier2 = [n for n in rotation if gr.get(n, 0) == 0 and n not in oracles]
+    recert = [n for n in rotation if gr.get(n, 0) > 0]
+    banked = banked_heads()
+    lines = [
+        f"- window: {_WINDOW} slots = {len(_PINNED)} pinned + "
+        f"{len(rotation)} rotation",
+        f"- pinned: {', '.join(_PINNED)}",
+        f"- tier-1 never-graded oracle-backed fill ({len(tier1)}): "
+        + (", ".join(tier1) if tier1 else "none — pool drained"),
+    ]
+    if tier2:
+        lines.append(
+            f"- tier-2 never-graded rows-only fill ({len(tier2)}): "
+            + ", ".join(tier2)
+        )
+    lines.append(
+        f"- tier-3 re-certify slots: {len(recert)}"
+        + (
+            f" (oldest evidence r{min(gr[n] for n in recert)})"
+            if recert
+            else ""
+        )
+    )
+    lines.append(
+        f"- banked (implemented, NOT registered) heads: {len(banked)}"
+        + (f" — {', '.join(banked)}" if banked else "")
+    )
+    return "\n".join(lines)
+
+
+def banked_heads() -> list[str]:
+    """Heads in plans/staged_*.py STAGED dicts that are NOT registered.
+
+    r10's stale 'FOUR heads are BANKED' comment (VERDICT r10 'what's
+    missing' #3) motivated deriving this mechanically."""
+    import importlib
+
+    registered = set(plans.all_queries())
+    out = []
+    pkg = ROOT / "processo_etl_spark" / "plans"
+    for p in sorted(pkg.glob("staged_*.py")):
+        mod = importlib.import_module(f"processo_etl_spark.plans.{p.stem}")
+        staged = getattr(mod, "STAGED", {})
+        out.extend(n for n in staged if n not in registered)
+    return out
+
+
+_WINDOW_RE = re.compile(
+    r"(<!-- gen:window -->\n)(?:.*?\n)?(<!-- /gen:window -->)", re.S
+)
+
+
 def rewrite(text: str, n_q: int, n_o: int, n_t: int) -> str:
     text = re.sub(r"\(\d+ tests\)", f"({n_t} tests)", text)
     text = re.sub(r"\b\d+ test functions\b", f"{n_t} test functions", text)
@@ -66,11 +133,15 @@ def main() -> int:
     n_q = len(plans.all_queries())
     n_o = len(plans.all_oracles())
     n_t = count_tests()
+    wblock = window_block()
     stale = []
     for doc in DOCS:
         p = ROOT / doc
         old = p.read_text()
         new = rewrite(old, n_q, n_o, n_t)
+        new = _WINDOW_RE.sub(
+            lambda m: m.group(1) + wblock + "\n" + m.group(2), new
+        )
         if new != old:
             stale.append(doc)
             if not check:
