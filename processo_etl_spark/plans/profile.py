@@ -804,3 +804,92 @@ def events_rfm_segments(spark, sf_dir):
         F.col("f_quartile").cast("int").alias("f_quartile"),
         F.col("m_quartile").cast("int").alias("m_quartile"),
     )
+
+
+@register(
+    "eval_agreement_kappa",
+    oracle="""
+    WITH labeled AS (
+      SELECT
+        CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 800 THEN 1 ELSE 2 END AS a,
+        CASE WHEN length(text) - length(replace(text, ' ', '')) < 30 THEN 0
+             WHEN length(text) - length(replace(text, ' ', '')) < 130 THEN 1
+             ELSE 2 END AS b
+      FROM documents),
+    cont AS (
+      SELECT a, b, count(*) AS n FROM labeled GROUP BY a, b),
+    rows_m AS (SELECT a, SUM(n) AS r FROM cont GROUP BY a),
+    cols_m AS (SELECT b, SUM(n) AS c FROM cont GROUP BY b),
+    pe AS (
+      SELECT CAST(COALESCE(SUM(r * c), 0) AS BIGINT) AS pe_num
+      FROM rows_m JOIN cols_m ON rows_m.a = cols_m.b),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT) AS n_agree
+      FROM cont)
+    SELECT n_docs, n_agree, pe_num,
+           CAST(n_docs * n_agree - pe_num AS BIGINT) AS kappa_num,
+           CAST(n_docs * n_docs - pe_num AS BIGINT) AS kappa_den
+    FROM tot, pe
+    """,
+)
+def eval_agreement_kappa(spark, sf_dir):
+    """Cohen's kappa between two independent document-quality labelers
+    — the inter-annotator-agreement check a labeling/filtering pipeline
+    runs before trusting either signal (two heuristic raters here: a
+    char-length bander and a word-count bander, both 3-class and
+    deterministic on both engines).
+
+    Float-free by construction: with N docs, A = Σ diagonal agreements
+    and pe_num = Σ_i row_i·col_i, kappa = (N·A − pe_num)/(N² − pe_num)
+    — numerator and denominator are EXACT BIGINTs (the strongest
+    portability class; the analyst divides client-side).
+
+    Scale shape: one scan → combinable (a, b) contingency groupBy (≤ 9
+    rows ever, any corpus size); marginals and pe come from the
+    contingency, never the corpus; the final one-row × one-row scalar
+    attach is the allow-listed linear shape.  At 100 TB the whole
+    reduction after the first groupBy touches ≤ 9 rows.
+    """
+    labeled = t(spark, sf_dir, "documents").select(
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 800, 1)
+        .otherwise(2)
+        .alias("a"),
+        F.when(
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", "")) < 30,
+            0,
+        )
+        .when(
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", "")) < 130,
+            1,
+        )
+        .otherwise(2)
+        .alias("b"),
+    )
+    cont = labeled.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    rows_m = cont.groupBy("a").agg(F.sum("n").alias("r"))
+    cols_m = cont.groupBy("b").agg(F.sum("n").alias("c"))
+    pe = (
+        rows_m.join(cols_m, rows_m["a"] == cols_m["b"])
+        .agg(F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0)).alias("pe_num"))
+    )
+    tot = cont.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("n")).otherwise(0)).alias(
+            "n_agree"
+        ),
+    )
+    return tot.crossJoin(F.broadcast(pe)).select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_agree").cast("bigint").alias("n_agree"),
+        F.col("pe_num").cast("bigint").alias("pe_num"),
+        (F.col("n_docs") * F.col("n_agree") - F.col("pe_num"))
+        .cast("bigint")
+        .alias("kappa_num"),
+        (F.col("n_docs") * F.col("n_docs") - F.col("pe_num"))
+        .cast("bigint")
+        .alias("kappa_den"),
+    )

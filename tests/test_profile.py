@@ -324,3 +324,29 @@ def test_file_spans_zorder_locality_on_grid(spark):
     assert (sx_rm, sy_rm) == (16, 256)
     # z-order with 16-row files = 4x4 quadrants -> span 4 each
     assert (sx_zo, sy_zo) == (64, 64)
+
+
+def test_eval_agreement_kappa_hand_values(spark, tmp_path):
+    """Hand-built 6-doc corpus with a fully known contingency: three
+    agreements on the diagonal, balanced 2/2/2 marginals on both
+    raters -> pe_num = 12, kappa = (6*3 - 12)/(36 - 12) = 0.25, i.e.
+    kappa_num=6, kappa_den=24 exactly."""
+    from processo_etl_spark.plans.profile import eval_agreement_kappa
+
+    def doc(i, n_chars, n_spaces):
+        return (i, "w" + " w" * n_spaces, "en", "s", n_chars)
+
+    rows = [
+        doc(1, 100, 10),   # a=0, b=0  (agree)
+        doc(2, 300, 50),   # a=1, b=1  (agree)
+        doc(3, 900, 150),  # a=2, b=2  (agree)
+        doc(4, 100, 50),   # a=0, b=1
+        doc(5, 900, 10),   # a=2, b=0
+        doc(6, 300, 150),  # a=1, b=2
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    r = eval_agreement_kappa(spark, str(tmp_path)).first()
+    assert (r["n_docs"], r["n_agree"], r["pe_num"]) == (6, 3, 12)
+    assert (r["kappa_num"], r["kappa_den"]) == (6, 24)

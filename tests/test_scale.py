@@ -160,6 +160,9 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
         # triangle count) under the one-row totals — linear scalar
         # attach; the triangle count itself is the equi-join wedge plan.
         "graph_triangle_estimate_sampled",
+        # one-row pe_num attach under the one-row totals — everything
+        # after the ≤9-row contingency groupBy is dimension-sized.
+        "eval_agreement_kappa",
     }
     # Unpartitioned ranking/analytic windows move the WHOLE input through
     # one task (Exchange SinglePartition under a Window).  Only the
