@@ -268,6 +268,30 @@ def main() -> int:
         "env": env,
         "queries_cold": cold,
     }
+    # Self-attributing baseline comparison (VERDICT r10 #6): every
+    # artifact carries the raw steady ratio vs the blessed
+    # BENCH_local.json AND the same ratio divided by the CPU-calibration
+    # ratio, so a "1.3x drift" is mechanically split into host speed vs
+    # code without a separate compare run (tools/bench_compare.py prints
+    # the same numbers for any two artifacts).  Host-speed variance of
+    # 2x at loadavg 1 has been observed on this container.
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+            )
+        ) as fh:
+            blessed = json.load(fh)
+        raw = total / blessed["value"]
+        full["vs_blessed_raw"] = round(raw, 3)
+        calib = env.get("calib_cpu_2m_ms")
+        blessed_calib = (blessed.get("env") or {}).get("calib_cpu_2m_ms")
+        if calib and blessed_calib:
+            full["vs_blessed_normalized"] = round(
+                raw / (calib / blessed_calib), 3
+            )
+    except (OSError, ValueError, KeyError, ZeroDivisionError):
+        pass  # no blessed artifact (fresh checkout) — omit the ratios
     # The driver records only the LAST ~2000 chars of stdout (VERDICT r5
     # #2: BENCH_r05 lost the steady total because the one JSON line grew
     # past the tail with queries_cold in front).  Keep the full artifact
