@@ -243,6 +243,13 @@ def main() -> int:
             stall_retries[name] = round(time.perf_counter() - t0, 3)
 
     env["loadavg_after"] = [round(x, 2) for x in os.getloadavg()]
+    # Second calibration at the END of the run (r11): this container's
+    # single-thread speed has been measured swinging 72–212 ms on the
+    # same 102 ms-blessed microbench within one hour, so ONE calibration
+    # sample can mis-attribute a drift in either direction.  Recording
+    # both ends makes instability visible in the artifact; the
+    # normalized ratio below uses their mean and flags disagreement.
+    env["calib_cpu_2m_ms_after"] = _calibrate(spark)["calib_cpu_2m_ms"]
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_total_wall",
@@ -284,12 +291,17 @@ def main() -> int:
             blessed = json.load(fh)
         raw = total / blessed["value"]
         full["vs_blessed_raw"] = round(raw, 3)
-        calib = env.get("calib_cpu_2m_ms")
+        c1 = env.get("calib_cpu_2m_ms")
+        c2 = env.get("calib_cpu_2m_ms_after", c1)
         blessed_calib = (blessed.get("env") or {}).get("calib_cpu_2m_ms")
-        if calib and blessed_calib:
+        if c1 and blessed_calib:
+            calib = (c1 + c2) / 2
             full["vs_blessed_normalized"] = round(
                 raw / (calib / blessed_calib), 3
             )
+            # >25% swing between the two samples means host speed moved
+            # DURING the run — neither ratio is trustworthy that round.
+            full["calib_unstable"] = max(c1, c2) / min(c1, c2) > 1.25
     except (OSError, ValueError, KeyError, ZeroDivisionError):
         pass  # no blessed artifact (fresh checkout) — omit the ratios
     # The driver records only the LAST ~2000 chars of stdout (VERDICT r5
