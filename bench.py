@@ -282,6 +282,14 @@ def main() -> int:
     # code without a separate compare run (tools/bench_compare.py prints
     # the same numbers for any two artifacts).  Host-speed variance of
     # 2x at loadavg 1 has been observed on this container.
+    c1 = env.get("calib_cpu_2m_ms")
+    c2 = env.get("calib_cpu_2m_ms_after", c1)
+    if c1 and c2:
+        # >25% swing between the two samples means host speed moved
+        # DURING the run — no ratio against any baseline is trustworthy
+        # that round.  Recorded unconditionally (review r11: a fresh
+        # checkout without a blessed artifact still needs the flag).
+        full["calib_unstable"] = max(c1, c2) / min(c1, c2) > 1.25
     try:
         with open(
             os.path.join(
@@ -291,17 +299,12 @@ def main() -> int:
             blessed = json.load(fh)
         raw = total / blessed["value"]
         full["vs_blessed_raw"] = round(raw, 3)
-        c1 = env.get("calib_cpu_2m_ms")
-        c2 = env.get("calib_cpu_2m_ms_after", c1)
         blessed_calib = (blessed.get("env") or {}).get("calib_cpu_2m_ms")
         if c1 and blessed_calib:
             calib = (c1 + c2) / 2
             full["vs_blessed_normalized"] = round(
                 raw / (calib / blessed_calib), 3
             )
-            # >25% swing between the two samples means host speed moved
-            # DURING the run — neither ratio is trustworthy that round.
-            full["calib_unstable"] = max(c1, c2) / min(c1, c2) > 1.25
     except (OSError, ValueError, KeyError, ZeroDivisionError):
         pass  # no blessed artifact (fresh checkout) — omit the ratios
     # The driver records only the LAST ~2000 chars of stdout (VERDICT r5

@@ -850,6 +850,13 @@ def eval_agreement_kappa(spark, sf_dir):
     contingency, never the corpus; the final one-row × one-row scalar
     attach is the allow-listed linear shape.  At 100 TB the whole
     reduction after the first groupBy touches ≤ 9 rows.
+
+    Magnitude bound (review r11, same discipline as the drift_chi2
+    guard): kappa_den = N² − pe_num requires N ≤ ⌊√(2⁶³−1)⌋ ≈ 3.037e9
+    docs to fit BIGINT — beyond that Spark's non-ANSI long multiply
+    would WRAP silently while the DuckDB oracle raises.  The guard
+    raises loudly at the first out-of-range N (shard the corpus and
+    pool contingencies — they are 9-row mergeable — before then).
     """
     labeled = t(spark, sf_dir, "documents").select(
         F.when(F.col("n_chars") < 200, 0)
@@ -882,14 +889,23 @@ def eval_agreement_kappa(spark, sf_dir):
             "n_agree"
         ),
     )
+    n_guarded = F.when(
+        F.col("n_docs") > F.lit(3_037_000_499),
+        F.raise_error(
+            "eval_agreement_kappa magnitude guard: N > 3.037e9 docs "
+            "overflows the BIGINT N^2 term (Spark would wrap silently, "
+            "the oracle raises); shard the corpus and pool the 9-row "
+            "contingencies instead"
+        ),
+    ).otherwise(F.col("n_docs"))
     return tot.crossJoin(F.broadcast(pe)).select(
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("n_agree").cast("bigint").alias("n_agree"),
         F.col("pe_num").cast("bigint").alias("pe_num"),
-        (F.col("n_docs") * F.col("n_agree") - F.col("pe_num"))
+        (n_guarded * F.col("n_agree") - F.col("pe_num"))
         .cast("bigint")
         .alias("kappa_num"),
-        (F.col("n_docs") * F.col("n_docs") - F.col("pe_num"))
+        (n_guarded * n_guarded - F.col("pe_num"))
         .cast("bigint")
         .alias("kappa_den"),
     )

@@ -695,38 +695,45 @@ def graph_triangle_estimate_sampled(spark, sf_dir):
     from processo_etl_spark.operators import graph
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # ADVICE r10: three aggregates (totals, sampled count, triangle
-    # stats) hang off this subtree, and the module's own measurement
-    # says the pipeline is edge-BUILD bound — relying on ReuseExchange
-    # to dedupe it is fragile and can triple the dominant cost, so the
-    # distinct edge list is materialized once.
+    # ADVICE r10: the distinct edge list is the dominant cost (the
+    # pipeline is edge-BUILD bound) and FOUR relational references hang
+    # off it (totals + sampled count + the wedge join's two sides), so
+    # it is persisted for the duration of this query only: the bounded
+    # scalars are folded eagerly (the documented literal-inject class —
+    # same as the two-pass median), the cache is released before
+    # returning, and the result is re-emitted as a one-row literal.
+    # This keeps one edge build without leaking a ~|E|-row cache into
+    # the rest of a multi-query session (review r11).
     edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey").persist()
-    key = md5_long(
-        F.concat(
-            F.lit("tri:"),
-            F.col("a").cast("string"),
-            F.lit(":"),
-            F.col("b").cast("string"),
+    try:
+        key = md5_long(
+            F.concat(
+                F.lit("tri:"),
+                F.col("a").cast("string"),
+                F.lit(":"),
+                F.col("b").cast("string"),
+            )
         )
-    )
-    sampled = edges.filter(key % _TRI_DEN == 0)
-    stats = graph.triangle_stats(sampled)
-    totals = edges.agg(F.count(F.lit(1)).alias("n_edges_total"))
-    samp_ct = sampled.agg(F.count(F.lit(1)).alias("n_edges_sampled"))
-    tri = stats.agg(
-        F.coalesce(F.expr("sum(triangles) div 3"), F.lit(0)).alias(
-            "tri_sampled"
+        sampled = edges.filter(key % _TRI_DEN == 0)
+        counts = edges.agg(
+            F.count(F.lit(1)).alias("t"),
+            F.sum((key % _TRI_DEN == 0).cast("long")).alias("s"),
+        ).first()
+        tri = (
+            graph.triangle_stats(sampled)
+            .agg(
+                F.coalesce(F.expr("sum(triangles) div 3"), F.lit(0)).alias(
+                    "tri"
+                )
+            )
+            .first()["tri"]
         )
-    )
-    return (
-        totals.join(F.broadcast(samp_ct))
-        .join(F.broadcast(tri))
-        .select(
-            "n_edges_total",
-            "n_edges_sampled",
-            "tri_sampled",
-            (F.col("tri_sampled") * _TRI_SCALE).alias("est_triangles"),
-        )
+    finally:
+        edges.unpersist()
+    return spark.createDataFrame(
+        [(counts["t"], counts["s"] or 0, tri, tri * _TRI_SCALE)],
+        "n_edges_total bigint, n_edges_sampled bigint, "
+        "tri_sampled bigint, est_triangles bigint",
     )
 
 
@@ -787,10 +794,9 @@ STAGED = {
 
 
 def register_all() -> None:
-    """r11 activation hook: registers every staged head.  Call from the
-    module bottom once this module joins _PLAN_MODULES (see module
-    docstring) — NOT called at import today so the r10 window stays
-    exactly the planned drain."""
+    """Registers every staged head; called at module bottom since the
+    r11 activation (this module is in _PLAN_MODULES — do NOT add a
+    second call, register() raises on duplicate names)."""
     from processo_etl_spark.plans import register
 
     for name, (fn, oracle) in STAGED.items():

@@ -42,14 +42,28 @@ def main() -> int:
     # calibration is 18% slower too, and the normalized ratio isolates
     # the code's contribution.  (Normalization assumes CPU-bound drift;
     # a loadavg spike mid-run can still skew individual queries.)
+    def _calib(art: dict):
+        """Mean of the start/end calibration samples — the SAME estimator
+        bench.py uses for vs_blessed_normalized, so both tools print
+        identical ratios for the same artifacts (review r11: the mean
+        and the start-only sample can disagree by >50% on a host whose
+        speed swings mid-run)."""
+        e = art.get("env") or {}
+        c1 = e.get("calib_cpu_2m_ms")
+        c2 = e.get("calib_cpu_2m_ms_after", c1)
+        return (c1 + c2) / 2 if c1 else None
+
     a, b = old.get("value"), new.get("value")
-    co = (old.get("env") or {}).get("calib_cpu_2m_ms")
-    cn = (new.get("env") or {}).get("calib_cpu_2m_ms")
+    co, cn = _calib(old), _calib(new)
     if a and b and co and cn:
         raw, calib = b / a, cn / co
         print(f"normalized: raw ratio {raw:.3f} / calib ratio {calib:.3f} "
               f"= {raw / calib:.3f}  "
               f"(>1 = code slower after discounting host speed)")
+    for art, label in ((old, "OLD"), (new, "NEW")):
+        if art.get("calib_unstable"):
+            print(f"WARNING: {label} run flagged calib_unstable — host "
+                  f"speed moved during the run; ratios above are suspect")
 
     qo, qn = old.get("queries") or {}, new.get("queries") or {}
     shared = sorted(set(qo) & set(qn), key=lambda n: abs(qn[n] - qo[n]),

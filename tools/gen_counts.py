@@ -48,9 +48,23 @@ def window_block() -> str:
     oracles = plans.all_oracles()
     window = list(queries)[:_WINDOW]
     gr = _grade_rounds()
+    # every name with ANY recorded driver row (passing or not): a
+    # graded-but-red query re-enters the window but must be published
+    # as "red, re-entering", not "never-graded" (review r11 — hiding a
+    # failed grade from the round handoff).
+    import json as _json
+
+    attempted: set[str] = set()
+    for p in sorted(ROOT.glob("CORRECTNESS_r*.json")):
+        try:
+            attempted.update(_json.loads(p.read_text()))
+        except (OSError, ValueError):
+            continue
     rotation = window[len(_PINNED):]
-    tier1 = [n for n in rotation if gr.get(n, 0) == 0 and n in oracles]
-    tier2 = [n for n in rotation if gr.get(n, 0) == 0 and n not in oracles]
+    ungraded = [n for n in rotation if gr.get(n, 0) == 0]
+    red = [n for n in ungraded if n in attempted]
+    tier1 = [n for n in ungraded if n not in red and n in oracles]
+    tier2 = [n for n in ungraded if n not in red and n not in oracles]
     recert = [n for n in rotation if gr.get(n, 0) > 0]
     banked = banked_heads()
     lines = [
@@ -60,6 +74,10 @@ def window_block() -> str:
         f"- tier-1 never-graded oracle-backed fill ({len(tier1)}): "
         + (", ".join(tier1) if tier1 else "none — pool drained"),
     ]
+    if red:
+        lines.append(
+            f"- RED, re-entering until green ({len(red)}): " + ", ".join(red)
+        )
     if tier2:
         lines.append(
             f"- tier-2 never-graded rows-only fill ({len(tier2)}): "
