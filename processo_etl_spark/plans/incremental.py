@@ -108,3 +108,70 @@ def rollup_incremental_merge(spark, sf_dir):
         F.col("mn").cast("double").alias("min_revenue"),
         F.col("mx").cast("double").alias("max_revenue"),
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle="""
+    WITH fps AS (
+      SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents),
+    hist AS (SELECT fp FROM fps WHERE doc_id % 5 <> 0),
+    batch AS (
+      SELECT doc_id, fp FROM fps WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 1000000000000 AS doc_id, fp
+      FROM fps WHERE doc_id % 7 = 0),
+    fresh AS (
+      SELECT b.doc_id, b.fp FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp))
+    SELECT min(doc_id) AS doc_id, fp,
+           CAST(count(*) AS BIGINT) AS n_batch_copies
+    FROM fresh GROUP BY fp
+    """,
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental content-dedup of an ingest batch against a historical
+    fingerprint store — the PRODUCTION dedup shape at 100 TB: the full
+    corpus is never re-deduped; each daily batch is (1) anti-joined
+    against the persisted fingerprint table, then (2) deduped within
+    itself, and survivors' fingerprints are appended to the store.
+
+    The fixture simulates the real ingest mix deterministically at
+    EVERY scale (review r11: a plain doc_id split left the anti-join
+    vacuous — nothing ever straddled it): the store holds docs with
+    doc_id % 5 != 0; the batch is the % 5 == 0 slice PLUS a re-crawl
+    of the % 7 == 0 slice under fresh ids (+10^12).  Re-crawled docs
+    whose original sits in the store are dropped by the anti-join;
+    re-crawls of in-batch docs collapse in the within-batch phase
+    (n_batch_copies = 2); genuinely new docs survive — all three paths
+    carry rows by construction.
+
+    Scale shape: fingerprints reuse the registry-wide
+    md5-of-normalized-text definition (ml.dedup.fingerprint ⇔
+    md5(lower(regexp_replace(trim(text))))); the anti-join and the
+    within-batch keep-min groupBy share ONE shuffle key (fp); the
+    store ships only fingerprints — the 100 TB corpus text never
+    moves.  Complements dedup_exact (full-corpus, ml/dedup.py:40) and
+    anti_join_new_keys (key-based insert-if-absent): this is
+    content-hash-based *incremental* curation.
+    """
+    from processo_etl_spark.ml.textstats import doc_fingerprint
+
+    fps = doc_fingerprint(t(spark, sf_dir, "documents"), "text", "doc_id")
+    hist = fps.filter(F.col("doc_id") % 5 != 0).select("fp")
+    batch = fps.filter(F.col("doc_id") % 5 == 0).unionByName(
+        fps.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + F.lit(1_000_000_000_000)).alias("doc_id"),
+            "fp",
+        )
+    )
+    return (
+        batch.join(hist, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_batch_copies"),
+        )
+        .select("doc_id", "fp", "n_batch_copies")
+    )
