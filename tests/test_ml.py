@@ -2536,3 +2536,23 @@ def test_audio_silence_trim_voiced_tail_past_grid(spark):
     assert r["n_frames_voiced"] == 1
     assert r["trim_start_samples"] == 39 * 32
     assert r["kept_samples"] == 32
+
+
+def test_dedup_incremental_batch_exercises_all_three_paths(spark):
+    """The incremental-dedup certificate is only meaningful if every
+    phase carries rows (review r11: the first fixture split left the
+    anti-join vacuous — nothing ever straddled it, so a broken join key
+    would still have passed).  On sf0.001: batch = 100 new + 72
+    re-crawls; 57 re-crawls hit the store (anti-join drops), 15
+    re-crawls collapse within-batch (n_batch_copies = 2), 100 clean
+    survivors remain."""
+    from processo_etl_spark.plans.incremental import dedup_incremental_batch
+
+    out = dedup_incremental_batch(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) == 100
+    collapsed = [r for r in rows if r["n_batch_copies"] == 2]
+    assert len(collapsed) == 15          # within-batch phase fired
+    assert all(r["n_batch_copies"] in (1, 2) for r in rows)
+    # anti-join phase fired: 172-row batch -> 115 kept rows (100 fps)
+    assert sum(r["n_batch_copies"] for r in rows) == 115
