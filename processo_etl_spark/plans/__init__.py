@@ -305,11 +305,17 @@ _ONE_SHOT_PROBES = frozenset(
 )
 
 
-def _grade_rounds(root=None) -> dict[str, int]:
+def _grade_rounds(root=None, rounds=None) -> dict[str, int]:
     """name -> latest round with a PASSING row in CORRECTNESS_r*.json.
 
     ``root`` (tests only) overrides the directory scanned for
     ``CORRECTNESS_r*.json``; production callers use the repo root.
+    ``rounds`` (optional iterable of ints) restricts the scan to those
+    round numbers — tools/gen_counts.py uses it to regenerate the
+    committed window digest against the exact CORRECTNESS round set the
+    digest was built from (VERDICT r11 #1: the driver drops a NEW
+    CORRECTNESS file after the docs freeze every round, so an
+    unrestricted regeneration could never match the committed text).
 
     A row certifies its query only if it recorded no error and no
     explicit check failure.  ``err == "no_oracle"`` is NOT an error:
@@ -330,12 +336,15 @@ def _grade_rounds(root=None) -> dict[str, int]:
     import re
     from pathlib import Path
 
-    rounds: dict[str, int] = {}
+    graded: dict[str, int] = {}
     if root is None:
         root = Path(__file__).resolve().parents[2]
+    allowed = None if rounds is None else frozenset(rounds)
     for p in sorted(Path(root).glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)", p.stem)
         rnd = int(m.group(1)) if m else 0
+        if allowed is not None and rnd not in allowed:
+            continue
         try:
             rows = json.loads(p.read_text())
         except (OSError, ValueError):
@@ -348,13 +357,22 @@ def _grade_rounds(root=None) -> dict[str, int]:
                     # crash.  "no_oracle" is excluded: it is the
                     # driver's rows-only GRADE, not a crash (r10 #1).
                     continue
+                if row.get("err") == "no_oracle" and name in _ORACLES:
+                    # ADVICE r11: "no_oracle" certifies only queries
+                    # that are rows-only BY DESIGN (no registered
+                    # oracle).  For an oracle-backed query it means the
+                    # driver failed to ship/read the oracle — zero
+                    # signal, so the query re-windows until it earns a
+                    # real hash grade instead of being silently retired
+                    # on a rows-only count.
+                    continue
                 if name not in _ONE_SHOT_PROBES and any(
                     row.get(k) is False
                     for k in ("rows_match", "schema_match", "hash_match")
                 ):
                     continue
-            rounds[name] = max(rounds.get(name, 0), rnd)
-    return rounds
+            graded[name] = max(graded.get(name, 0), rnd)
+    return graded
 
 
 def _graded_names() -> frozenset:
@@ -362,15 +380,19 @@ def _graded_names() -> frozenset:
     return frozenset(_grade_rounds())
 
 
-def _window_order(registry_order: list[str]) -> list[str]:
+def _window_order(
+    registry_order: list[str], root=None, rounds=None
+) -> list[str]:
     """The first-_WINDOW grading order: pinned core + rotation slots.
 
     Fill priority: (1) never-graded oracle-backed, (2) never-graded
     rows-only, (3) re-certification of already-graded queries in
     OLDEST-evidence-first order (last grade round ascending, registry
     order as the tie-break) so stale r4-era greens refresh before
-    recent ones."""
-    grade_rounds = _grade_rounds()
+    recent ones.  ``root`` / ``rounds`` pass through to
+    ``_grade_rounds`` so tools/gen_counts.py can reproduce the window
+    as of a recorded CORRECTNESS round set (VERDICT r11 #1)."""
+    grade_rounds = _grade_rounds(root=root, rounds=rounds)
     graded = frozenset(grade_rounds)
     pinned = [n for n in _PINNED if n in registry_order]
     taken = set(pinned)

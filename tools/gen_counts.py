@@ -35,34 +35,69 @@ def count_tests() -> int:
     return n
 
 
-def window_block() -> str:
+def rounds_present(root: Path | None = None) -> list[int]:
+    """Sorted round numbers of the CORRECTNESS_r*.json files on disk."""
+    root = root or ROOT
+    out = set()
+    for p in root.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"CORRECTNESS_r(\d+)", p.stem)
+        if m:
+            out.add(int(m.group(1)))
+    return sorted(out)
+
+
+def window_block(rounds: frozenset[int], root: Path | None = None) -> str:
     """Generated grading-window digest (VERDICT r10 #5): the pinned
     listing, the tier-1 (never-graded oracle-backed) fill, the
     re-certify slot count, and the banked-but-unregistered head count
-    are derived from the registry + CORRECTNESS_r*.json at every run,
-    so handoff comments can never go stale again.  Rewritten between
-    the ``<!-- gen:window -->`` markers in COVERAGE.md / SKILL.md."""
-    from processo_etl_spark.plans import _PINNED, _WINDOW, _grade_rounds
+    are derived from the registry + the CORRECTNESS files of the given
+    ``rounds`` set.  Rewritten between the ``<!-- gen:window
+    rounds=... -->`` markers in COVERAGE.md / SKILL.md; the stamp
+    records which round set the digest was built from, and ``--check``
+    regenerates against that SAME set, so a new CORRECTNESS file the
+    driver drops after the docs freeze (VERDICT r11 #1) can never make
+    the committed digest retroactively stale."""
+    from processo_etl_spark.plans import (
+        _ORACLES,
+        _PINNED,
+        _QUERIES,
+        _WINDOW,
+        _grade_rounds,
+        _load,
+        _window_order,
+    )
 
-    queries = plans.all_queries()
-    oracles = plans.all_oracles()
-    window = list(queries)[:_WINDOW]
-    gr = _grade_rounds()
-    # every name with ANY recorded driver row (passing or not): a
-    # graded-but-red query re-enters the window but must be published
-    # as "red, re-entering", not "never-graded" (review r11 — hiding a
-    # failed grade from the round handoff).
+    root = root or ROOT
+    _load()
+    window = _window_order(list(_QUERIES), root=root, rounds=rounds)
+    oracles = _ORACLES
+    gr = _grade_rounds(root=root, rounds=rounds)
+    # names with an explicit check-key False in some round (a TRUE red
+    # grade): a red query re-enters the window and must be published as
+    # "red, re-entering", not "never-graded" (review r11).  Crash rows
+    # (non-None err) are deliberately NOT red — _grade_rounds treats
+    # them as zero-signal, so publishing them as failed grades would
+    # misreport an infra crash as a red result (ADVICE r11).
     import json as _json
 
-    attempted: set[str] = set()
-    for p in sorted(ROOT.glob("CORRECTNESS_r*.json")):
+    true_red: set[str] = set()
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", p.stem)
+        if not m or int(m.group(1)) not in rounds:
+            continue
         try:
-            attempted.update(_json.loads(p.read_text()))
+            rows = _json.loads(p.read_text())
         except (OSError, ValueError):
             continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                true_red.add(name)
     rotation = window[len(_PINNED):]
     ungraded = [n for n in rotation if gr.get(n, 0) == 0]
-    red = [n for n in ungraded if n in attempted]
+    red = [n for n in ungraded if n in true_red]
     tier1 = [n for n in ungraded if n not in red and n in oracles]
     tier2 = [n for n in ungraded if n not in red and n not in oracles]
     recert = [n for n in rotation if gr.get(n, 0) > 0]
@@ -115,8 +150,14 @@ def banked_heads() -> list[str]:
     return out
 
 
+# Opening marker optionally carries the round-set stamp the digest was
+# built from: ``<!-- gen:window rounds=1,2,...,11 -->``.  Legacy
+# unstamped markers match too (group 2 is then None) and are upgraded
+# to the stamped form on the next rewrite.
 _WINDOW_RE = re.compile(
-    r"(<!-- gen:window -->\n)(?:.*?\n)?(<!-- /gen:window -->)", re.S
+    r"(<!-- gen:window(?: rounds=([\d,]+))? -->\n)(?:.*?\n)?"
+    r"(<!-- /gen:window -->)",
+    re.S,
 )
 
 
@@ -151,15 +192,34 @@ def main() -> int:
     n_q = len(plans.all_queries())
     n_o = len(plans.all_oracles())
     n_t = count_tests()
-    wblock = window_block()
+    present = rounds_present()
+    blocks: dict[frozenset[int], str] = {}  # per-round-set memo
+
+    def _sub(m: re.Match) -> str:
+        # --check regenerates against the round set STAMPED in the doc
+        # (what the committed digest could have known); a rewrite
+        # always re-stamps with the rounds on disk.  An unstamped
+        # legacy marker falls back to the on-disk set either way.
+        if check and m.group(2):
+            use = frozenset(int(x) for x in m.group(2).split(","))
+        else:
+            use = frozenset(present)
+        if use not in blocks:
+            blocks[use] = window_block(use)
+        stamp = ",".join(str(r) for r in sorted(use))
+        return (
+            f"<!-- gen:window rounds={stamp} -->\n"
+            + blocks[use]
+            + "\n"
+            + m.group(3)
+        )
+
     stale = []
     for doc in DOCS:
         p = ROOT / doc
         old = p.read_text()
         new = rewrite(old, n_q, n_o, n_t)
-        new = _WINDOW_RE.sub(
-            lambda m: m.group(1) + wblock + "\n" + m.group(2), new
-        )
+        new = _WINDOW_RE.sub(_sub, new)
         if new != old:
             stale.append(doc)
             if not check:
