@@ -39,6 +39,16 @@ import re
 # outputs, and permanently excluded from graded window slots.
 DECIMAL_CANARIES = frozenset({"canary_decimal_12_2", "canary_decimal_20_6"})
 
+# Queries whose PLAN CONSTRUCTION executes bounded eager jobs (the
+# documented two-pass literal-inject class: fold a scalar, inject it as
+# a literal, release the cache before returning).  Schema-only sweeps
+# (tools/check_oracles.py --schema) must skip them alongside stream_*:
+# "build the plan lazily, read the schema" would otherwise run the full
+# upstream job — for the triangle head that is the 30M-edge distinct
+# co-purchase build at stress scales (ADVICE r11).  The main
+# differential path still runs and grades them.
+EAGER_AT_BUILD = frozenset({"graph_triangle_estimate_sampled"})
+
 # The r9 one-shot diagnostic whose PURPOSE was emitting bare
 # ``sum(BIGINT)`` (DuckDB HUGEINT) to localize the drift_chi2_sources
 # hash divergence — its red driver row is the recorded proof that the

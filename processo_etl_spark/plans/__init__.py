@@ -78,6 +78,10 @@ _PLAN_MODULES = (
     # pre-swept (30/30 hash-matched, SCALE.md) — now register and fill
     # tier-1 (ungraded oracle-backed) slots ahead of re-certification.
     "staged_r11",
+    # r12 (VERDICT r11 #4): streaming⇔batch equivalence certificates
+    # for the remaining eight stream_* jobs — oracle-backed, so they
+    # fill tier-1 slots ahead of the r4-era re-certification fill.
+    "stream_equiv",
 )
 
 # Driver-visibility window (VERDICT r1 #1, rotated per VERDICT r4 #1): the

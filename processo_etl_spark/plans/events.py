@@ -1776,11 +1776,14 @@ def stream_batch_equiv_sessionize(spark, sf_dir):
         F.col("n_events").alias("b_events"),
     )
     joined = stream.join(batch, "user_id", "full_outer")
+    # eqNullSafe everywhere (ADVICE r11, same class as the tumbling
+    # certificate): one-sided NULLs must count as disagreement, never
+    # null out the OR and vanish from the sum.
     disagree = (
         F.col("s_sessions").isNull()
         | F.col("b_sessions").isNull()
-        | (F.col("s_sessions") != F.col("b_sessions"))
-        | (F.col("s_events") != F.col("b_events"))
+        | ~F.col("s_sessions").eqNullSafe(F.col("b_sessions"))
+        | ~F.col("s_events").eqNullSafe(F.col("b_events"))
     )
     return joined.agg(
         F.count("s_sessions").cast("bigint").alias("n_users_stream"),
@@ -1830,11 +1833,15 @@ def stream_batch_equiv_tumbling(spark, sf_dir):
         F.col("total_value").alias("b_value"),
     )
     joined = stream.join(batch, ["window_start", "event_type"], "full_outer")
+    # eqNullSafe, not `!=` (ADVICE r11): if exactly ONE side's value is
+    # NULL while the counts match, plain inequality yields NULL, the OR
+    # stays NULL, and sum() would skip the row — the exact
+    # value-corruption class this certificate exists to catch.
     disagree = (
         F.col("s_n").isNull()
         | F.col("b_n").isNull()
-        | (F.col("s_n") != F.col("b_n"))
-        | (F.col("s_value") != F.col("b_value"))
+        | ~F.col("s_n").eqNullSafe(F.col("b_n"))
+        | ~F.col("s_value").eqNullSafe(F.col("b_value"))
     )
     return joined.agg(
         F.count("s_n").cast("bigint").alias("n_windows_stream"),

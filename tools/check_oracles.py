@@ -65,6 +65,7 @@ def decimal_cast_hazards(oracle_sql: str) -> list[str]:
 # never drift apart.
 from processo_etl_spark.grading import (  # noqa: E402
     DECIMAL_CANARIES as DECIMAL_OUTPUT_EXEMPT,
+    EAGER_AT_BUILD,
     HUGEINT_PROBE_EXEMPT,
     decimal_output_cols,
     double_output_cols,
@@ -170,7 +171,14 @@ def main() -> int:
         all_oracles = plans.all_oracles()
         bad = []
         for name, fn in plans.all_queries().items():
-            if name in DECIMAL_OUTPUT_EXEMPT or name.startswith("stream_"):
+            if (
+                name in DECIMAL_OUTPUT_EXEMPT
+                or name in EAGER_AT_BUILD  # literal-inject heads run
+                # their full upstream job at plan construction (ADVICE
+                # r11: the triangle head's 30M-edge build) — the main
+                # differential path still grades them
+                or name.startswith("stream_")
+            ):
                 continue
             try:
                 schema = fn(spark, sf_dir).schema
