@@ -435,6 +435,85 @@ def stream_batch_equiv_ewma(spark, sf_dir):
 
 
 @register(
+    "stream_batch_equiv_media",
+    oracle="""
+    WITH ids AS (SELECT unnest(generate_series(0, 31)) AS id),
+         ks AS (SELECT unnest(generate_series(0, 63)) AS k),
+         px AS (SELECT (id * 29 + k * 5) % 256 AS v FROM ids CROSS JOIN ks)
+    SELECT CAST(32 AS BIGINT) AS n_files_stream,
+           CAST(32 AS BIGINT) AS n_files_batch,
+           CAST(SUM(v) AS BIGINT) AS total_pixel_mass,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM px
+    """,
+)
+def stream_batch_equiv_media(spark, sf_dir):
+    """Certificate for the binaryFile-STREAM ingest surface: 32
+    deterministic 8×8 grayscale PNGs (pixel k of image i =
+    (i·29 + k·5) mod 256, vendored ml/png codec; two files land in a
+    nested date-partitioned subdir to exercise recursiveFileLookup)
+    are drained through the streaming auto-ingest decode
+    (streaming/jobs.run_media_features_availablenow: binaryFile file
+    stream → Arrow mapInPandas real decode) AND the batch twin
+    (ml/multimodal.read_binary_media + extract_features), full-outer
+    joined on the md5-path media_id, byte counts and the 8-double
+    feature vectors compared null-safely (identical decode code both
+    sides — bitwise when correct).  The oracle additionally pins the
+    DECODED CONTENT in closed form: feature[c] = Σ_r px(r,c)/(8·255),
+    so Σ features × 8·255 per image recovers the exact integer pixel
+    mass, summed across the corpus and stated by SQL from the synth
+    formula — a decode bug that produced plausible-but-wrong pixels
+    would match counts yet miss the mass.  Rounding is exact: each
+    per-image mass is an integer recovered from 8 one-division IEEE
+    quotients, decades above float error.  sf_dir is unused (synthetic
+    fixture corpus, same convention as multimodal_resize)."""
+    import os
+    import tempfile
+
+    from processo_etl_spark.ml import multimodal, png
+    from processo_etl_spark.streaming import jobs
+
+    d = tempfile.mkdtemp(prefix="media_cert_")
+    os.mkdir(os.path.join(d, "2026-08"))
+    for i in range(32):
+        px = bytes((i * 29 + k * 5) % 256 for k in range(64))
+        sub = "2026-08" if i % 16 == 9 else ""
+        with open(os.path.join(d, sub, f"img_{i:03d}.png"), "wb") as fh:
+            fh.write(png.encode_gray(px, 8, 8))
+
+    stream = jobs.run_media_features_availablenow(spark, d).select(
+        "media_id",
+        F.col("n_bytes").alias("s_bytes"),
+        F.col("feature").alias("s_feature"),
+    )
+    batch = multimodal.extract_features(
+        multimodal.read_binary_media(spark, d, glob="*.png"),
+        n_features=8,
+        real_decode=True,
+    ).select(
+        "media_id",
+        F.col("n_bytes").alias("b_bytes"),
+        F.col("feature").alias("b_feature"),
+    )
+    joined = stream.join(batch, "media_id", "full_outer")
+    mass = F.round(
+        F.aggregate("b_feature", F.lit(0.0), lambda a, x: a + x) * 8 * 255
+    ).cast("bigint")
+    return joined.agg(
+        F.count("s_bytes").cast("bigint").alias("n_files_stream"),
+        F.count("b_bytes").cast("bigint").alias("n_files_batch"),
+        F.sum(mass).cast("bigint").alias("total_pixel_mass"),
+        F.sum(
+            _disagree(
+                ("s_bytes", "b_bytes"), ("s_feature", "b_feature")
+            ).cast("long")
+        )
+        .cast("bigint")
+        .alias("n_mismatch"),
+    )
+
+
+@register(
     "stream_batch_equiv_sessionize_tws",
     oracle="""
     WITH seq AS (

@@ -19,6 +19,9 @@ CERT_HEADS = [
     "stream_batch_equiv_cms",
     "stream_batch_equiv_ewma",
     "stream_batch_equiv_sessionize_tws",
+    # r12 addendum: the binaryFile-stream ingest/decode surface, with a
+    # closed-form pixel-mass oracle binding the decoded content.
+    "stream_batch_equiv_media",
 ]
 
 
