@@ -292,6 +292,20 @@ _ROTATION_HEADS = (
     # the pool and re-windows automatically ahead of re-certifies —
     # diagnose with the SCALE.md determinism rules (decimal / HUGEINT /
     # float-fold) before touching the plan.
+    # ---- r12 status (supersedes the r11 handoff; VERDICT r11 #1-#6):
+    # the r11 window came back 50/50 green.  r12 registered the NINE
+    # stream_batch_equiv_* certificates (plans/stream_equiv — the
+    # remaining eight stream_* jobs per VERDICT r11 #4 plus the
+    # binaryFile-media ingest surface); they fill tier-1 ahead of 26
+    # r4-era re-certifies, the whole window pre-swept 0-fail at sf0.01
+    # (SCALE.md r12).  After the r12 CORRECTNESS file lands the pool is
+    # drained again, so the r13 window = 15 pinned + 35 re-certifies
+    # (oldest evidence then: the remaining r4 greens, then r5) unless
+    # r13 registers new heads.  The window digest in COVERAGE.md /
+    # SKILL.md is stamped with its CORRECTNESS round set and gen_counts
+    # --check regenerates against that stamp — run `python
+    # tools/gen_counts.py` (no flag) at round start to re-stamp with
+    # the driver's new file; --check alone never goes stale.
 )
 
 # The canary probes (shared definition — processo_etl_spark/grading.py).
