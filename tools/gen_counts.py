@@ -206,9 +206,14 @@ def main() -> int:
             use = frozenset(present)
         if use not in blocks:
             blocks[use] = window_block(use)
-        stamp = ",".join(str(r) for r in sorted(use))
+        # no stamp when no CORRECTNESS file exists yet (fresh checkout):
+        # `rounds=` with nothing after it would not re-match the marker
+        # regex and the block would freeze forever.
+        stamp = (
+            " rounds=" + ",".join(str(r) for r in sorted(use)) if use else ""
+        )
         return (
-            f"<!-- gen:window rounds={stamp} -->\n"
+            f"<!-- gen:window{stamp} -->\n"
             + blocks[use]
             + "\n"
             + m.group(3)
