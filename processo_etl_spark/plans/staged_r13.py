@@ -144,10 +144,136 @@ DEDUP_CANONICAL_ORACLE = f"""
 """
 
 
+def quantile_daily_histogram_merge(spark, sf_dir):
+    """MERGEABLE quantile summaries — the hll_daily_merge_distinct
+    pattern (constant-size per-day summary, cell-wise merge, never
+    re-touch raw data) completed for QUANTILES: one fixed-grid integer
+    histogram PER DAY over event value (bucket = floor(value·10), a
+    single shared-input IEEE multiply + floor, identical on any
+    engine; ≤ ~4 901 cells for this domain), merged by cell-wise count
+    sum, with p50/p95 read off the merged histogram.
+
+    Three facts are pinned per run: (1) the merged histogram equals
+    the direct whole-corpus histogram cell-for-cell (sums commute —
+    n_cell_mismatch via the stream_equiv-style null-safe full-outer
+    compare); (2) the histogram-derived quantile bucket EQUALS the
+    bucket of the true k-th smallest value (bucket_match — the
+    histogram path's error bound is exactly one bucket width, and the
+    k-th value lives in the bucket where the cumulative count first
+    reaches k); (3) exact day/row accounting.  At 100 TB each ingest
+    day persists its ≤5k-cell histogram and any date-range p50/p99 is
+    a merge over that tiny summary table — the quantile analogue of
+    the daily-HLL distinct path, where exact_quantiles_twopass would
+    re-scan raw data per query.
+
+    Plan shape: two combinable groupBys on the bounded bucket grid +
+    one ordered cumsum WINDOW OVER THE ≤5k-ROW HISTOGRAM (a
+    dimension-sized global window, the weighted_median_price_by_flag
+    exception class — activation must add this name to
+    test_scale.allow_global_window with that justification); the exact
+    twin is the certified bracket-and-refine two-pass path (bounded
+    literal-inject at build, like funnel_time_to_convert)."""
+    from pyspark.sql import Window
+
+    from processo_etl_spark.operators import ranking
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = F.floor(F.col("value") * 10).cast("long")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), b.alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    merged = daily.groupBy("b").agg(
+        F.sum("cnt").alias("cnt"),
+        F.count(F.lit(1)).alias("n_day_cells"),
+    )
+    globl = ev.groupBy(b.alias("gb")).agg(F.count(F.lit(1)).alias("g_cnt"))
+    compare = merged.join(
+        globl, merged.b == globl.gb, "full_outer"
+    ).agg(
+        F.sum(
+            (~F.col("cnt").eqNullSafe(F.col("g_cnt"))).cast("long")
+        ).alias("n_cell_mismatch")
+    )
+    n_days = daily.select("day").distinct().count()  # bounded scalar
+    # cumulative counts over the BOUNDED histogram (≤ ~5k rows)
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select("b", "cnt", F.sum("cnt").over(w).alias("cum"))
+    exact = ranking.exact_quantiles_twopass(
+        ev.select(F.col("value").alias("v")), "v", [0.5, 0.95]
+    )  # [(q, k, value)] — bounded two-pass literal inject
+    out = []
+    for q, k, v in exact:
+        est_b = (
+            cum.filter(F.col("cum") >= int(k))
+            .agg(F.min("b").alias("m"))
+            .first()["m"]
+        )
+        out.append(
+            (
+                int(round(q * 100)),
+                int(k),
+                int(est_b),
+                int(v * 10 // 1),
+                int(est_b) == int(v * 10 // 1),
+                int(n_days),
+            )
+        )
+    res = spark.createDataFrame(
+        out,
+        "q_pct int, k bigint, est_bucket bigint, exact_bucket bigint, "
+        "bucket_match boolean, n_days bigint",
+    )
+    return res.crossJoin(F.broadcast(compare))  # one-row scalar attach
+
+
+QUANTILE_MERGE_ORACLE = """
+    WITH ev AS (
+      SELECT CAST(FLOOR(value * 10) AS BIGINT) AS b, ts
+      FROM events WHERE value IS NOT NULL),
+    hist AS (SELECT b, count(*) AS cnt FROM ev GROUP BY 1),
+    cum AS (
+      SELECT b, SUM(cnt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum
+      FROM hist),
+    n AS (SELECT count(*) AS n FROM ev),
+    days AS (SELECT count(DISTINCT CAST(ts AS DATE)) AS d FROM ev),
+    qs AS (SELECT unnest([50, 95]) AS q_pct),
+    ks AS (
+      SELECT q_pct,
+             greatest(1, CAST(ceil(CAST(q_pct AS DOUBLE) / 100.0 * n.n) AS BIGINT)) AS k
+      FROM qs, n),
+    est AS (
+      SELECT ks.q_pct, ks.k,
+             (SELECT min(b) FROM cum WHERE cum >= ks.k) AS est_bucket
+      FROM ks),
+    exact AS (
+      -- bucket of the k-th smallest value: bucket is monotone in
+      -- value, so the k-th element of the bucket-ordered sequence has
+      -- the same bucket as the k-th smallest value (ties within a
+      -- bucket carry the same b, so tie order cannot matter)
+      SELECT q_pct, k,
+             (SELECT s.b FROM (
+                SELECT b, row_number() OVER (ORDER BY b) AS r FROM ev
+              ) s WHERE s.r = est.k) AS exact_bucket
+      FROM est)
+    SELECT CAST(e.q_pct AS INTEGER) AS q_pct,
+           CAST(e.k AS BIGINT) AS k,
+           CAST(e.est_bucket AS BIGINT) AS est_bucket,
+           CAST(x.exact_bucket AS BIGINT) AS exact_bucket,
+           e.est_bucket = x.exact_bucket AS bucket_match,
+           CAST(days.d AS BIGINT) AS n_days,
+           CAST(0 AS BIGINT) AS n_cell_mismatch
+    FROM est e JOIN exact x USING (q_pct, k), days
+"""
+
+
 STAGED = {
     "dedup_cluster_canonical": (
         dedup_cluster_canonical,
         DEDUP_CANONICAL_ORACLE,
+    ),
+    "quantile_daily_histogram_merge": (
+        quantile_daily_histogram_merge,
+        QUANTILE_MERGE_ORACLE,
     ),
 }
 
@@ -156,7 +282,18 @@ def register_all() -> None:
     """r13 activation hook: add this module to ``_PLAN_MODULES`` and
     call this at module bottom (do NOT call it twice — register()
     raises on duplicate names).  NOT called in r12: the heads are
-    banked to keep the refreshed full-registry artifacts exact."""
+    banked to keep the refreshed full-registry artifacts exact.
+    Activation checklist beyond the registration flip:
+    - add ``quantile_daily_histogram_merge`` to
+      test_scale.allow_global_window (ordered cumsum over the ≤5k-row
+      bounded histogram — the weighted_median exception class) and to
+      grading.EAGER_AT_BUILD (three bounded literal-inject jobs at
+      plan construction: day count, the exact two-pass, the per-q
+      histogram lookup);
+    - ``dedup_cluster_canonical`` needs neither (lazy plan, no global
+      window); its oracle replays recursive CC — at stress scales
+      (sf2.5) expect dedup_clusters-like oracle wall times and prefer
+      sf0.5 for the pre-activation sweep."""
     from processo_etl_spark.plans import register
 
     for name, (fn, oracle) in STAGED.items():

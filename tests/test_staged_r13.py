@@ -83,6 +83,47 @@ def test_canonical_pick_semantics(spark):
         assert r["kept_doc"] == min(d for d in group if q[d] == best)
 
 
+def test_quantile_merge_semantics(spark):
+    """On the real fixture: the merged-histogram summary is INTERNALLY
+    consistent — zero cell mismatches vs the direct whole-corpus
+    histogram (sums commute), and the histogram-derived bucket equals
+    the true k-th value's bucket for both quantiles (the one-bucket
+    error bound collapses to equality at bucket granularity)."""
+    out = staged_r13.quantile_daily_histogram_merge(spark, SF).collect()
+    assert {r["q_pct"] for r in out} == {50, 95}
+    for r in out:
+        assert r["n_cell_mismatch"] == 0
+        assert r["bucket_match"] is True
+        assert r["est_bucket"] == r["exact_bucket"]
+        assert r["n_days"] > 0 and r["k"] >= 1
+
+
+def test_quantile_merge_hand_computed(spark, tmp_path):
+    """Tiny corpus with KNOWN quantiles through the same bucket
+    arithmetic: values 0.1..2.0 step 0.1 over two days -> n=20,
+    p50 k=10 -> v=1.0 -> bucket 10; p95 k=19 -> v=1.9 -> bucket 19."""
+    import datetime
+
+    rows = []
+    for i in range(20):
+        day = datetime.datetime(2026, 1, 1 + (i % 2))
+        rows.append((day, (i + 1) / 10.0))
+    spark.createDataFrame(rows, "ts timestamp, value double").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["q_pct"]: r
+        for r in staged_r13.quantile_daily_histogram_merge(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[50]["k"] == 10 and out[50]["est_bucket"] == 10
+    assert out[95]["k"] == 19 and out[95]["est_bucket"] == 19
+    for r in out.values():
+        assert r["bucket_match"] and r["n_cell_mismatch"] == 0
+        assert r["n_days"] == 2
+
+
 def test_canonical_argmax_tiebreak_hand_computed(spark):
     """Hand fixture through the SAME encoding arithmetic: identical
     quality inside a cluster must keep the SMALLEST doc id; a higher
