@@ -182,10 +182,7 @@ def quantile_daily_histogram_merge(spark, sf_dir):
     daily = ev.groupBy(
         F.to_date("ts").alias("day"), b.alias("b")
     ).agg(F.count(F.lit(1)).alias("cnt"))
-    merged = daily.groupBy("b").agg(
-        F.sum("cnt").alias("cnt"),
-        F.count(F.lit(1)).alias("n_day_cells"),
-    )
+    merged = daily.groupBy("b").agg(F.sum("cnt").alias("cnt"))
     globl = ev.groupBy(b.alias("gb")).agg(F.count(F.lit(1)).alias("g_cnt"))
     compare = merged.join(
         globl, merged.b == globl.gb, "full_outer"
@@ -201,6 +198,8 @@ def quantile_daily_histogram_merge(spark, sf_dir):
     exact = ranking.exact_quantiles_twopass(
         ev.select(F.col("value").alias("v")), "v", [0.5, 0.95]
     )  # [(q, k, value)] — bounded two-pass literal inject
+    import math
+
     out = []
     for q, k, v in exact:
         est_b = (
@@ -213,8 +212,8 @@ def quantile_daily_histogram_merge(spark, sf_dir):
                 int(round(q * 100)),
                 int(k),
                 int(est_b),
-                int(v * 10 // 1),
-                int(est_b) == int(v * 10 // 1),
+                int(math.floor(v * 10)),
+                int(est_b) == int(math.floor(v * 10)),
                 int(n_days),
             )
         )
