@@ -47,7 +47,16 @@ DECIMAL_CANARIES = frozenset({"canary_decimal_12_2", "canary_decimal_20_6"})
 # upstream job — for the triangle head that is the 30M-edge distinct
 # co-purchase build at stress scales (ADVICE r11).  The main
 # differential path still runs and grades them.
-EAGER_AT_BUILD = frozenset({"graph_triangle_estimate_sampled"})
+EAGER_AT_BUILD = frozenset(
+    {
+        "graph_triangle_estimate_sampled",
+        # r13 activation: three bounded literal-inject jobs at plan
+        # construction (day count, the exact two-pass quantile bracket,
+        # the per-quantile histogram-bucket lookup) — all over the
+        # ≤5k-cell bounded histogram, never a raw-data re-scan.
+        "quantile_daily_histogram_merge",
+    }
+)
 
 # The r9 one-shot diagnostic whose PURPOSE was emitting bare
 # ``sum(BIGINT)`` (DuckDB HUGEINT) to localize the drift_chi2_sources

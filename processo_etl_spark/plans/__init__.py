@@ -82,6 +82,11 @@ _PLAN_MODULES = (
     # for the remaining eight stream_* jobs — oracle-backed, so they
     # fill tier-1 slots ahead of the r4-era re-certification fill.
     "stream_equiv",
+    # r13 activation (VERDICT r12 #1): the three heads banked in r12 —
+    # differentially tested (tests/test_staged_r13.py) and multi-scale
+    # pre-swept (SCALE.md r12) — now register and fill tier-1
+    # (ungraded oracle-backed) slots ahead of re-certification.
+    "staged_r13",
 )
 
 # Driver-visibility window (VERDICT r1 #1, rotated per VERDICT r4 #1): the

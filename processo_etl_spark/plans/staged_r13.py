@@ -1,12 +1,8 @@
-"""Heads BANKED for r13 — implemented + differentially tested this
-round, NOT registered (the r12 registry froze when the
-LOCAL_CORRECTNESS artifacts were regenerated; registering later would
-leave the committed full-registry evidence one head short — the
-long-standing freeze-then-refresh discipline).  ``STAGED`` is the
-activation contract: r13 adds this module to ``_PLAN_MODULES`` and
-calls ``register_all()`` at the bottom, exactly like staged_r11's r11
-activation.  tools/gen_counts.py's banked-head listing derives from
-this dict mechanically.
+"""Heads banked in r12, ACTIVATED in r13 (VERDICT r12 #1) — implemented
++ differentially tested in r12, registered at r13 start exactly like
+staged_r11's r11 activation: the module joined ``_PLAN_MODULES`` and
+``register_all()`` runs at the bottom.  tools/gen_counts.py's
+banked-head listing derives from the ``STAGED`` dict mechanically.
 
 Current content — the production step after near-dup clustering:
 
@@ -366,14 +362,13 @@ STAGED = {
 
 
 def register_all() -> None:
-    """r13 activation hook: add this module to ``_PLAN_MODULES`` and
-    call this at module bottom (do NOT call it twice — register()
-    raises on duplicate names).  NOT called in r12: the heads are
-    banked to keep the refreshed full-registry artifacts exact.
-    Activation checklist beyond the registration flip:
-    - add ``quantile_daily_histogram_merge`` to
+    """Registers every staged head; called at module bottom since the
+    r13 activation (this module is in _PLAN_MODULES — do NOT add a
+    second call, register() raises on duplicate names).
+    Activation checklist (completed at r13 activation):
+    - ``quantile_daily_histogram_merge`` is in
       test_scale.allow_global_window (ordered cumsum over the ≤5k-row
-      bounded histogram — the weighted_median exception class) and to
+      bounded histogram — the weighted_median exception class) and in
       grading.EAGER_AT_BUILD (three bounded literal-inject jobs at
       plan construction: day count, the exact two-pass, the per-q
       histogram lookup);
@@ -385,3 +380,9 @@ def register_all() -> None:
 
     for name, (fn, oracle) in STAGED.items():
         register(name, oracle)(fn)
+
+
+# r13 ACTIVATED (VERDICT r12 #1): the module now joins _PLAN_MODULES
+# and registers its three heads at import; they enter the tier-1
+# (ungraded oracle-backed) window fill ahead of every re-certify slot.
+register_all()

@@ -163,6 +163,14 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
         # one-row pe_num attach under the one-row totals — everything
         # after the ≤9-row contingency groupBy is dimension-sized.
         "eval_agreement_kappa",
+        # r13 activation: one-row n_cell_mismatch certificate attach
+        # under the ≤2-row quantile relation — linear scalar attach;
+        # the raw events only pass through combinable bucket groupBys.
+        "quantile_daily_histogram_merge",
+        # r13 activation: two ONE-ROW relations (coverage accounting ×
+        # recall certificate) cross-attached — linear scalar attach;
+        # the ANN search itself is the certified cell-equi-join plan.
+        "ann_index_incremental_update",
     }
     # Unpartitioned ranking/analytic windows move the WHOLE input through
     # one task (Exchange SinglePartition under a Window).  Only the
@@ -173,6 +181,12 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
         # |flags|-row TOTALS dimension (3 rows) — never the fact table;
         # the fact-table cumulative itself is distributed_cumsum.
         "weighted_median_price_by_flag",
+        # r13 activation: ordered cumsum over the MERGED fixed-grid
+        # histogram (≤ ~5k cells for this value domain) — a
+        # dimension-sized global window, the weighted_median exception
+        # class; the raw events only ever pass through combinable
+        # groupBys on the bounded bucket grid.
+        "quantile_daily_histogram_merge",
     }
     # Output-schema guard (VERDICT r5 #1): the grading driver's pandas
     # canonicalizer throws on unhashable cells, so every registry output

@@ -1,7 +1,8 @@
-"""Differential + semantic tests for the r13-banked heads
-(plans/staged_r13).  The module is intentionally NOT registered this
-round (the r12 registry froze when the full-registry artifacts were
-regenerated); importing it here does not touch the live registry."""
+"""Differential + semantic tests for the staged_r13 heads
+(plans/staged_r13) — banked in r12, registered since the r13
+activation.  These tests predate the activation and remain the heads'
+independent differential evidence (DuckDB multiset + hand-computed
+semantics), complementing the driver's hash grade."""
 
 from __future__ import annotations
 
