@@ -1,0 +1,366 @@
+"""Heads BANKED for r14 — implemented + differentially tested this
+round, NOT registered (the r13 registry froze at 296 when the
+LOCAL_CORRECTNESS artifacts were regenerated; registering later would
+leave the committed full-registry evidence short — the long-standing
+freeze-then-refresh discipline).  ``STAGED`` is the activation
+contract: r14 adds this module to ``_PLAN_MODULES`` and calls
+``register_all()`` at the bottom, exactly like the staged_r11/r13
+activations.  tools/gen_counts.py's banked-head listing derives from
+this dict mechanically.
+
+Content — the three production shapes VERDICT r12 #6 named:
+
+**merge_upsert_orders** — MERGE INTO semantics (update-matched /
+insert-not-matched) as a pure-Spark batch plan: the lake-scale
+completion of S9 (reference dag.py:286–299 loads Postgres row-by-row
+with an insert-if-absent guard; sources/jdbc.upsert_insert_only is
+the certified set-based form — this head adds the UPDATE branch).
+
+**cdc_apply_latest_wins** — apply a change feed (op ∈ I/U/D with a
+monotonic seq) onto a snapshot: dedupe the feed to the latest change
+per key, then merge with delete support.  The Delta/Iceberg
+"apply-changes" shape, expressed engine-neutrally.
+
+**quantile_drift_by_group** — per-group distribution drift read off
+MERGEABLE fixed-grid histograms (the grouped application of r13's
+quantile_daily_histogram_merge): per (event_type, period) integer
+histograms, per-group medians from the cumulative counts, drift =
+|bucket_even − bucket_odd|.  All-integer outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from processo_etl_spark.plans.common import t
+
+# MERGE fixture: the "existing snapshot" is every order strictly before
+# the cutoff; the arriving batch is the o_orderkey % 7 == 0 slice with
+# a re-priced payload (one IEEE add — identical on any engine).  Batch
+# keys already in the snapshot exercise the UPDATE branch; post-cutoff
+# batch keys exercise INSERT.
+_MERGE_CUTOFF = "1999-01-01"
+
+
+def _merge_fixture(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    target = orders.filter(
+        F.col("o_orderdate") < F.lit(_MERGE_CUTOFF).cast("timestamp")
+    ).select("o_orderkey", "o_totalprice")
+    source = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("new_price"),
+    )
+    return target, source
+
+
+def merge_upsert_orders(spark, sf_dir):
+    """MERGE INTO target USING source ON key — update-matched,
+    insert-not-matched — as the broadcast-friendly two-branch plan:
+
+    - UPDATE/KEEP branch: ``target LEFT JOIN broadcast(source)`` — the
+      wide snapshot rows NEVER shuffle; a small CDC batch broadcasts
+      (Delta's MERGE reads this as "rewrite only the matched files").
+    - INSERT branch: ``source LEFT ANTI JOIN target(keys)`` — only the
+      snapshot's narrow key column enters that shuffle, not the rows.
+
+    This beats the naive full-outer formulation, which shuffles every
+    target column at 100 TB.  Emits the merged relation with an
+    ``action`` audit column (keep/update/insert) — the MERGE metrics a
+    lakehouse writer reports per commit.  Reference parity: S9's
+    insert-if-absent (dag.py:286–299) is the action='insert' branch;
+    the update branch is the lake-scale extension."""
+    target, source = _merge_fixture(spark, sf_dir)
+    matched = (
+        target.join(F.broadcast(source), "o_orderkey", "left")
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.coalesce("new_price", "o_totalprice").alias("o_totalprice"),
+            F.when(F.col("new_price").isNull(), F.lit("keep"))
+            .otherwise(F.lit("update"))
+            .alias("action"),
+        )
+    )
+    inserts = source.join(
+        target.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("new_price").alias("o_totalprice"),
+        F.lit("insert").alias("action"),
+    )
+    return matched.unionByName(inserts)
+
+
+MERGE_UPSERT_ORACLE = f"""
+    WITH target AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderdate < TIMESTAMP '{_MERGE_CUTOFF}'),
+    src AS (
+      SELECT o_orderkey, o_totalprice + 1000.0 AS new_price FROM orders
+      WHERE o_orderkey % 7 = 0)
+    SELECT CAST(t.o_orderkey AS BIGINT) AS o_orderkey,
+           COALESCE(s.new_price, t.o_totalprice) AS o_totalprice,
+           CASE WHEN s.o_orderkey IS NULL THEN 'keep' ELSE 'update' END
+             AS action
+    FROM target t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+    UNION ALL
+    SELECT CAST(s.o_orderkey AS BIGINT) AS o_orderkey,
+           s.new_price AS o_totalprice,
+           'insert' AS action
+    FROM src s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)
+"""
+
+
+def _cdc_fixture(spark, sf_dir):
+    """Deterministic change feed over the orders snapshot.
+
+    Snapshot: keys with ``o_orderkey % 10 != 0``.  Feed (seq unique per
+    key by construction, so latest-wins is deterministic):
+    - seq 1 'I'  key%10==0            (arriving rows, not in snapshot)
+    - seq 2 'U'  key%20==0            (a later update to an arrival)
+    - seq 1 'U'  key%10!=0 ∧ key%3==0 (updates to snapshot rows)
+    - seq 2 'D'  key%10!=0 ∧ key%6==0 (later deletes superseding some)
+    Payload deltas are single IEEE adds (engine-identical)."""
+    orders = t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    base = orders.select("o_orderkey", "o_totalprice")
+    target = base.filter(key % 10 != 0)
+    feed = (
+        base.filter(key % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit(1).alias("seq"),
+            F.lit("I").alias("op"),
+            F.col("o_totalprice").alias("price"),
+        )
+        .unionByName(
+            base.filter(key % 20 == 0).select(
+                "o_orderkey",
+                F.lit(2).alias("seq"),
+                F.lit("U").alias("op"),
+                (F.col("o_totalprice") + F.lit(50.0)).alias("price"),
+            )
+        )
+        .unionByName(
+            base.filter((key % 10 != 0) & (key % 3 == 0)).select(
+                "o_orderkey",
+                F.lit(1).alias("seq"),
+                F.lit("U").alias("op"),
+                (F.col("o_totalprice") + F.lit(100.0)).alias("price"),
+            )
+        )
+        .unionByName(
+            base.filter((key % 10 != 0) & (key % 6 == 0)).select(
+                "o_orderkey",
+                F.lit(2).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("price"),
+            )
+        )
+    )
+    return target, feed
+
+
+def cdc_apply_latest_wins(spark, sf_dir):
+    """Apply a CDC change feed onto a snapshot, latest change per key
+    wins: dedupe the feed with one combinable groupBy (``max_by(op,
+    seq)`` / ``max_by(price, seq)`` — seq is unique per key, so the
+    pick is deterministic on any engine), then merge with delete
+    support:
+
+    - latest op 'D' → the key is absent from the result;
+    - latest op 'I'/'U' → present with the feed payload (apply-as-
+      upsert: an update for an unseen key inserts — the Delta
+      "applyChanges" convention);
+    - keys not in the feed → snapshot row unchanged.
+
+    Same 100 TB shape as merge_upsert_orders: the feed dedupe shuffles
+    only the (small) feed; the apply is a broadcast left join on the
+    snapshot plus a key-only anti join for pure arrivals — the wide
+    snapshot rows never shuffle."""
+    target, feed = _cdc_fixture(spark, sf_dir)
+    latest = feed.groupBy("o_orderkey").agg(
+        F.expr("max_by(op, seq)").alias("op"),
+        F.expr("max_by(price, seq)").alias("price"),
+    )
+    applied = target.join(F.broadcast(latest), "o_orderkey", "left")
+    kept = applied.filter(
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.coalesce("price", "o_totalprice").alias("o_totalprice"),
+        F.when(F.col("op").isNull(), F.lit("keep"))
+        .otherwise(F.lit("upsert"))
+        .alias("action"),
+    )
+    arrivals = (
+        latest.filter(F.col("op") != "D")
+        .join(target.select("o_orderkey"), "o_orderkey", "left_anti")
+        .select(
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.col("price").alias("o_totalprice"),
+            F.lit("upsert").alias("action"),
+        )
+    )
+    return kept.unionByName(arrivals)
+
+
+CDC_APPLY_ORACLE = """
+    WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+    target AS (SELECT * FROM base WHERE o_orderkey % 10 <> 0),
+    feed AS (
+      SELECT o_orderkey, 1 AS seq, 'I' AS op, o_totalprice AS price
+      FROM base WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', o_totalprice + 50.0
+      FROM base WHERE o_orderkey % 20 = 0
+      UNION ALL
+      SELECT o_orderkey, 1, 'U', o_totalprice + 100.0
+      FROM base WHERE o_orderkey % 10 <> 0 AND o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'D', NULL
+      FROM base WHERE o_orderkey % 10 <> 0 AND o_orderkey % 6 = 0),
+    latest AS (
+      SELECT o_orderkey, max_by(op, seq) AS op, max_by(price, seq) AS price
+      FROM feed GROUP BY o_orderkey)
+    SELECT CAST(t.o_orderkey AS BIGINT) AS o_orderkey,
+           COALESCE(l.price, t.o_totalprice) AS o_totalprice,
+           CASE WHEN l.op IS NULL THEN 'keep' ELSE 'upsert' END AS action
+    FROM target t LEFT JOIN latest l ON t.o_orderkey = l.o_orderkey
+    WHERE l.op IS NULL OR l.op <> 'D'
+    UNION ALL
+    SELECT CAST(l.o_orderkey AS BIGINT) AS o_orderkey,
+           l.price AS o_totalprice,
+           'upsert' AS action
+    FROM latest l
+    WHERE l.op <> 'D' AND NOT EXISTS (
+      SELECT 1 FROM target t WHERE t.o_orderkey = l.o_orderkey)
+"""
+
+
+def quantile_drift_by_group(spark, sf_dir):
+    """Per-group median drift between two periods, read entirely off
+    MERGEABLE fixed-grid integer histograms — the grouped application
+    of r13's quantile_daily_histogram_merge: once per-day-per-group
+    histograms are banked (≤ ~5k cells each), ANY period-over-period
+    grouped drift question is a merge over those summaries; raw events
+    are never re-scanned.
+
+    Grid: bucket = floor(value·10) (a single shared-input IEEE
+    multiply + floor, identical on any engine).  Periods: day-of-month
+    parity (deterministic, both present at every swept scale).  Median
+    bucket per (event_type, period) = first bucket whose cumulative
+    count reaches k = (n+1) div 2 — exact integer arithmetic
+    throughout; drift = |bucket_even − bucket_odd|.
+
+    Plan shape: one combinable groupBy on (group, period, bucket), one
+    dimension-sized groupBy for totals, a PARTITIONED ordered cumsum
+    over the bounded histogram relation (|groups|·2·≤5k rows — never
+    the fact table), and a broadcast-sized self-join to pivot the two
+    periods.  All outputs BIGINT/string."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    period = (F.dayofmonth("ts") % 2).cast("int")
+    b = F.floor(F.col("value") * 10).cast("long")
+    hist = ev.groupBy(
+        F.col("event_type"), period.alias("period"), b.alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = hist.groupBy("event_type", "period").agg(
+        F.sum("cnt").alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type", "period")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "event_type", "period", "b", F.sum("cnt").over(w).alias("cum")
+    )
+    med = (
+        cum.join(tot, ["event_type", "period"])
+        .filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("event_type", "period")
+        .agg(F.min("b").alias("p50_b"), F.min("n").alias("n"))
+    )
+    even = med.filter(F.col("period") == 0).select(
+        "event_type",
+        F.col("p50_b").alias("p50_bucket_even"),
+        F.col("n").alias("n_even"),
+    )
+    odd = med.filter(F.col("period") == 1).select(
+        "event_type",
+        F.col("p50_b").alias("p50_bucket_odd"),
+        F.col("n").alias("n_odd"),
+    )
+    return even.join(odd, "event_type").select(
+        "event_type",
+        F.col("p50_bucket_even").cast("bigint").alias("p50_bucket_even"),
+        F.col("p50_bucket_odd").cast("bigint").alias("p50_bucket_odd"),
+        F.abs(F.col("p50_bucket_even") - F.col("p50_bucket_odd"))
+        .cast("bigint")
+        .alias("drift_buckets"),
+        F.col("n_even").cast("bigint").alias("n_even"),
+        F.col("n_odd").cast("bigint").alias("n_odd"),
+    )
+
+
+QUANTILE_DRIFT_ORACLE = """
+    WITH ev AS (
+      SELECT event_type,
+             day(ts) % 2 AS period,
+             CAST(FLOOR(value * 10) AS BIGINT) AS b
+      FROM events WHERE value IS NOT NULL),
+    hist AS (
+      SELECT event_type, period, b, count(*) AS cnt
+      FROM ev GROUP BY 1, 2, 3),
+    tot AS (
+      SELECT event_type, period, SUM(cnt) AS n
+      FROM hist GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, period, b,
+             SUM(cnt) OVER (PARTITION BY event_type, period ORDER BY b
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM hist),
+    med AS (
+      SELECT c.event_type, c.period, MIN(c.b) AS p50_b, MIN(t.n) AS n
+      FROM cum c JOIN tot t USING (event_type, period)
+      WHERE c.cum >= (t.n + 1) // 2
+      GROUP BY 1, 2)
+    SELECT e.event_type,
+           CAST(e.p50_b AS BIGINT) AS p50_bucket_even,
+           CAST(o.p50_b AS BIGINT) AS p50_bucket_odd,
+           CAST(ABS(e.p50_b - o.p50_b) AS BIGINT) AS drift_buckets,
+           CAST(e.n AS BIGINT) AS n_even,
+           CAST(o.n AS BIGINT) AS n_odd
+    FROM (SELECT * FROM med WHERE period = 0) e
+    JOIN (SELECT * FROM med WHERE period = 1) o USING (event_type)
+"""
+
+
+STAGED = {
+    "merge_upsert_orders": (merge_upsert_orders, MERGE_UPSERT_ORACLE),
+    "cdc_apply_latest_wins": (cdc_apply_latest_wins, CDC_APPLY_ORACLE),
+    "quantile_drift_by_group": (
+        quantile_drift_by_group,
+        QUANTILE_DRIFT_ORACLE,
+    ),
+}
+
+
+def register_all() -> None:
+    """r14 activation hook: add this module to ``_PLAN_MODULES`` and
+    call this at module bottom (do NOT call it twice — register()
+    raises on duplicate names).  NOT called in r13: the heads are
+    banked to keep the refreshed full-registry artifacts exact.
+    Activation checklist beyond the registration flip: none — all
+    three heads are lazy plans with no global window and no
+    nested-loop attach (quantile_drift_by_group's cumsum window is
+    PARTITIONED by (event_type, period), so the plan audit passes it
+    without an allow-list entry)."""
+    from processo_etl_spark.plans import register
+
+    for name, (fn, oracle) in STAGED.items():
+        register(name, oracle)(fn)

@@ -1,0 +1,145 @@
+"""Differential + semantic tests for the r14-banked heads
+(plans/staged_r14).  The module is intentionally NOT registered this
+round (the r13 registry froze at 296 when the full-registry artifacts
+were regenerated); importing it here does not touch the live
+registry."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from processo_etl_spark import catalog
+from processo_etl_spark.plans import staged_r14
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle_con():
+    con = duckdb.connect()
+    for tname in catalog.TABLES:
+        con.execute(
+            f"CREATE VIEW {tname} AS SELECT * FROM "
+            f"'{catalog.table_path(SF, tname)}'"
+        )
+    return con
+
+
+def _multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    key = lambda r: tuple(r[i] for i in order)  # noqa: E731
+    return sorted(cols), sorted(map(key, rows))
+
+
+@pytest.mark.parametrize("name", sorted(staged_r14.STAGED))
+def test_staged_head_matches_oracle(spark, name):
+    fn, oracle = staged_r14.STAGED[name]
+    sdf = fn(spark, SF)
+    srows = [tuple(r) for r in sdf.collect()]
+    con = _oracle_con()  # keep alive: the relation weak-refs it
+    res = con.sql(oracle)
+    assert _multiset(sdf.columns, srows) == _multiset(
+        res.columns, res.fetchall()
+    ), f"{name}: Spark vs DuckDB multiset mismatch"
+    assert len(srows) > 0
+
+
+def test_merge_upsert_semantics(spark):
+    """MERGE accounting against independently-computed key sets: every
+    pre-cutoff key appears exactly once (update iff %7), every
+    post-cutoff %7 key inserts, actions partition the output, and
+    updated/inserted rows carry the re-priced payload."""
+    import datetime
+
+    from processo_etl_spark.plans.common import t
+
+    orders = t(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    cutoff = datetime.datetime(1999, 1, 1)
+    base = {
+        r["o_orderkey"]: (r["o_totalprice"], r["o_orderdate"] < cutoff)
+        for r in orders.collect()
+    }
+    rows = staged_r14.merge_upsert_orders(spark, SF).collect()
+    out = {
+        r["o_orderkey"]: (r["o_totalprice"], r["action"]) for r in rows
+    }
+    assert len(rows) == len(out), "one output row per key"
+    for key, (price, in_target) in base.items():
+        is_batch = key % 7 == 0
+        if in_target:
+            want = ("update", price + 1000.0) if is_batch else ("keep", price)
+        elif is_batch:
+            want = ("insert", price + 1000.0)
+        else:
+            assert key not in out
+            continue
+        assert out[key] == (want[1], want[0]), key
+    # exercised all three branches at this scale
+    assert {a for _, a in out.values()} == {"keep", "update", "insert"}
+
+
+def test_cdc_apply_semantics(spark):
+    """Latest-wins apply against a hand evaluation of the fixture
+    rules: %6-and-not-%10 keys are DELETED (D at seq 2 supersedes the
+    seq-1 update), %3-not-%6-not-%10 keys update (+100), %20 keys
+    insert with the seq-2 payload (+50), other %10 keys insert their
+    seq-1 payload, everything else keeps."""
+    from processo_etl_spark.plans.common import t
+
+    base = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in t(spark, SF, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    }
+    out = {
+        r["o_orderkey"]: (r["o_totalprice"], r["action"])
+        for r in staged_r14.cdc_apply_latest_wins(spark, SF).collect()
+    }
+    for key, price in base.items():
+        if key % 10 == 0:
+            delta = 50.0 if key % 20 == 0 else 0.0
+            assert out[key] == (price + delta, "upsert"), key
+        elif key % 6 == 0:
+            assert key not in out, key  # deleted
+        elif key % 3 == 0:
+            assert out[key] == (price + 100.0, "upsert"), key
+        else:
+            assert out[key] == (price, "keep"), key
+    assert len(out) == sum(
+        1 for k in base if k % 10 == 0 or k % 6 != 0
+    )
+
+
+def test_quantile_drift_hand_computed(spark, tmp_path):
+    """Tiny two-group two-period corpus with known medians through the
+    same bucket arithmetic.  Group 'a': even-day values 0.1..0.5 (n=5,
+    k=3 -> 0.3 -> bucket 3), odd-day values 1.1..1.5 (k=3 -> 1.3 ->
+    bucket 13) -> drift 10.  Group 'b': identical halves -> drift 0."""
+    import datetime
+
+    rows = []
+    for i in range(5):
+        v = (i + 1) / 10.0
+        rows.append((datetime.datetime(2024, 1, 2), "a", v))  # even day
+        rows.append((datetime.datetime(2024, 1, 3), "a", v + 1.0))  # odd
+        rows.append((datetime.datetime(2024, 1, 2), "b", v))
+        rows.append((datetime.datetime(2024, 1, 3), "b", v))
+    spark.createDataFrame(
+        [(i, ts, 1, et, v, None) for i, (ts, et, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["event_type"]: r
+        for r in staged_r14.quantile_drift_by_group(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["a"]["p50_bucket_even"] == 3
+    assert got["a"]["p50_bucket_odd"] == 13
+    assert got["a"]["drift_buckets"] == 10
+    assert got["b"]["drift_buckets"] == 0
+    assert got["a"]["n_even"] == got["a"]["n_odd"] == 5
