@@ -8,7 +8,8 @@ contract: r14 adds this module to ``_PLAN_MODULES`` and calls
 activations.  tools/gen_counts.py's banked-head listing derives from
 this dict mechanically.
 
-Content — the three production shapes VERDICT r12 #6 named:
+Content — the production shapes VERDICT r12 #6 named, plus the
+incremental-dimension completion of W1:
 
 **merge_upsert_orders** — MERGE INTO semantics (update-matched /
 insert-not-matched) as a pure-Spark batch plan: the lake-scale
@@ -26,6 +27,12 @@ MERGEABLE fixed-grid histograms (the grouped application of r13's
 quantile_daily_histogram_merge): per (event_type, period) integer
 histograms, per-group medians from the cumulative counts, drift =
 |bucket_even − bucket_odd|.  All-integer outputs.
+
+**dim_incremental_surrogates** — surrogate-key high-watermark
+dimension maintenance: existing natural keys keep their published
+ids, new keys get contiguous ids above the current max.  The
+incremental completion of W1 (reference dag.py:220–237 rebuilds
+dimensions from scratch every run).
 """
 
 from __future__ import annotations
@@ -168,7 +175,18 @@ def cdc_apply_latest_wins(spark, sf_dir):
     wins: dedupe the feed with one combinable groupBy (``max_by(op,
     seq)`` / ``max_by(price, seq)`` — seq is unique per key, so the
     pick is deterministic on any engine), then merge with delete
-    support:
+    support.
+
+    Relation to the certified ``cdc_apply_changes`` (plans/events.py
+    :423, the events-surface CDC fold): that head dedupes its
+    changeset with a per-key ORDERED WINDOW (row_number over seq desc)
+    and emits only the final snapshot.  This head covers the pieces a
+    lakehouse apply-changes job adds on top: an explicit I/U/D op
+    vocabulary with the apply-as-upsert convention, the per-row
+    ``action`` audit column (the MERGE metrics a commit reports), and
+    a WINDOW-FREE feed dedupe — ``max_by`` is a map-side-combinable
+    aggregate, so the feed never sorts, which is the shape that wins
+    when the day's feed is itself large.  Semantics of the apply:
 
     - latest op 'D' → the key is absent from the result;
     - latest op 'I'/'U' → present with the feed payload (apply-as-
@@ -340,8 +358,88 @@ QUANTILE_DRIFT_ORACLE = """
 """
 
 
+def dim_incremental_surrogates(spark, sf_dir):
+    """Incremental dimension maintenance with a surrogate-key high
+    watermark — the production warehouse pattern the one-shot W1
+    builds (operators/star.build_dimension*, reference dag.py:220–237)
+    don't cover: when a new batch arrives, EXISTING natural keys keep
+    their already-published surrogate ids (downstream facts reference
+    them — reassignment corrupts history), and only never-seen keys
+    get new ids, assigned contiguously ABOVE the current max
+    (deterministically: sorted among the new keys).
+
+    Fixture: the established dimension is (p_brand, p_type, p_size)
+    from parts with ``p_partkey % 4 != 0`` (ids 1..N by sorted natural
+    key, the certified build_dimension); the arriving batch is the
+    % 4 == 0 slice, which carries both already-known combos (no-ops)
+    and genuinely new ones (50 at sf0.001, 384 at sf0.01, 517 at
+    sf0.1 — verified against the parquet).
+
+    Plan shape: one collect_set dimension build per side (the shuffle
+    payload is the distinct domain itself), a key-only anti join to
+    isolate new keys, and a broadcast one-row count attach for the
+    watermark offset — the fact table never appears.  At 100 TB the
+    existing dim is a stored table, so the whole job touches only the
+    batch's distinct keys + the dim.  Activation note: the one-row
+    watermark attach is a broadcast nested-loop — add this name to
+    test_scale.allow_nested_loop (the q11/DSIR scalar-attach class)."""
+    from processo_etl_spark.operators import star
+
+    keys = ["p_brand", "p_type", "p_size"]
+    part = t(spark, sf_dir, "part")
+    old = part.filter(F.col("p_partkey") % 4 != 0)
+    arrivals = part.filter(F.col("p_partkey") % 4 == 0)
+    existing = star.build_dimension(old, keys, "dim_id")
+    new_keys = (
+        arrivals.select(*keys)
+        .distinct()
+        .join(existing.select(*keys), keys, "left_anti")
+    )
+    new_ranked = star.build_dimension(new_keys, keys, "rank")
+    watermark = existing.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    new_rows = new_ranked.crossJoin(F.broadcast(watermark)).select(
+        *keys,
+        (F.col("rank") + F.col("__n")).cast("bigint").alias("dim_id"),
+        F.lit("new").alias("status"),
+    )
+    old_rows = existing.select(
+        *keys,
+        F.col("dim_id").cast("bigint").alias("dim_id"),
+        F.lit("existing").alias("status"),
+    )
+    return old_rows.unionByName(new_rows)
+
+
+DIM_INCREMENTAL_ORACLE = """
+    WITH oldk AS (
+      SELECT DISTINCT p_brand, p_type, p_size FROM part
+      WHERE p_partkey % 4 <> 0),
+    newk AS (
+      SELECT DISTINCT p_brand, p_type, p_size FROM part
+      WHERE p_partkey % 4 = 0
+      EXCEPT
+      SELECT p_brand, p_type, p_size FROM oldk)
+    SELECT p_brand, p_type, p_size,
+           CAST(row_number() OVER (ORDER BY p_brand, p_type, p_size)
+             AS BIGINT) AS dim_id,
+           'existing' AS status
+    FROM oldk
+    UNION ALL
+    SELECT p_brand, p_type, p_size,
+           CAST((SELECT count(*) FROM oldk)
+             + row_number() OVER (ORDER BY p_brand, p_type, p_size)
+             AS BIGINT) AS dim_id,
+           'new' AS status
+    FROM newk
+"""
+
+
 STAGED = {
     "merge_upsert_orders": (merge_upsert_orders, MERGE_UPSERT_ORACLE),
+    "dim_incremental_surrogates": (
+        dim_incremental_surrogates,
+        DIM_INCREMENTAL_ORACLE,
+    ),
     "cdc_apply_latest_wins": (cdc_apply_latest_wins, CDC_APPLY_ORACLE),
     "quantile_drift_by_group": (
         quantile_drift_by_group,
@@ -355,11 +453,13 @@ def register_all() -> None:
     call this at module bottom (do NOT call it twice — register()
     raises on duplicate names).  NOT called in r13: the heads are
     banked to keep the refreshed full-registry artifacts exact.
-    Activation checklist beyond the registration flip: none — all
-    three heads are lazy plans with no global window and no
-    nested-loop attach (quantile_drift_by_group's cumsum window is
-    PARTITIONED by (event_type, period), so the plan audit passes it
-    without an allow-list entry)."""
+    Activation checklist beyond the registration flip:
+    - add ``dim_incremental_surrogates`` to
+      test_scale.allow_nested_loop (one-row broadcast watermark
+      attach — the q11/DSIR scalar-attach class);
+    - the other three heads need nothing: lazy plans, no global
+      window (quantile_drift_by_group's cumsum window is PARTITIONED
+      by (event_type, period)), no nested-loop attach."""
     from processo_etl_spark.plans import register
 
     for name, (fn, oracle) in STAGED.items():

@@ -113,6 +113,41 @@ def test_cdc_apply_semantics(spark):
     )
 
 
+def test_dim_incremental_semantics(spark):
+    """High-watermark invariants against an independent rebuild:
+    existing keys carry EXACTLY the ids the standalone dimension build
+    publishes (stability — downstream facts reference them), new keys
+    are exactly the arrival-only combos, their ids are contiguous
+    N+1..N+M in sorted-key order, and no id collides."""
+    from pyspark.sql import functions as F
+
+    from processo_etl_spark.operators import star
+    from processo_etl_spark.plans.common import t
+
+    keys = ["p_brand", "p_type", "p_size"]
+    part = t(spark, SF, "part")
+    standalone = {
+        tuple(r[k] for k in keys): r["dim_id"]
+        for r in star.build_dimension(
+            part.filter(F.col("p_partkey") % 4 != 0), keys, "dim_id"
+        ).collect()
+    }
+    rows = staged_r14.dim_incremental_surrogates(spark, SF).collect()
+    got = {tuple(r[k] for k in keys): (r["dim_id"], r["status"]) for r in rows}
+    assert len(got) == len(rows), "one row per natural key"
+    n = len(standalone)
+    existing = {k: v for k, (v, s) in got.items() if s == "existing"}
+    new = {k: v for k, (v, s) in got.items() if s == "new"}
+    assert existing == standalone  # published ids are stable
+    assert new, "fixture must produce genuinely new keys"
+    # contiguous above the watermark, in sorted-natural-key order
+    assert sorted(new.values()) == list(range(n + 1, n + 1 + len(new)))
+    assert [k for k, _ in sorted(new.items())] == [
+        k for k, _ in sorted(new.items(), key=lambda kv: kv[1])
+    ]
+    assert len(set(got[k][0] for k in got)) == len(got)  # no collisions
+
+
 def test_quantile_drift_hand_computed(spark, tmp_path):
     """Tiny two-group two-period corpus with known medians through the
     same bucket arithmetic.  Group 'a': even-day values 0.1..0.5 (n=5,
