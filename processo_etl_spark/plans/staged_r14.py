@@ -33,6 +33,14 @@ dimension maintenance: existing natural keys keep their published
 ids, new keys get contiguous ids above the current max.  The
 incremental completion of W1 (reference dag.py:220–237 rebuilds
 dimensions from scratch every run).
+
+**bucketed_join_coloc** — shuffle-free co-located SMJ over tables
+bucketed on the join key, with a structural zero-Exchange plan
+certificate.  **partition_overwrite_daily** — dynamic partition
+overwrite (the idempotent daily restatement), certified by reading
+the table back against a raw-parquet oracle.  Together they cover
+the storage-LAYOUT axis (bucketing + partitioned tables) the
+registry's 296 heads exercise only at read time.
 """
 
 from __future__ import annotations
@@ -434,8 +442,146 @@ DIM_INCREMENTAL_ORACLE = """
 """
 
 
+def bucketed_join_coloc(spark, sf_dir):
+    """Shuffle-free co-located join via TABLE BUCKETING — the storage-
+    layout capability SURVEY §"beyond" names (bucketing) that no
+    registered head demonstrated: both join sides are written as
+    parquet tables bucketed 8 ways on the join key (``bucketBy`` +
+    ``sortBy``), and the sort-merge join over them plans with ZERO
+    Exchange operators — the scan's bucket layout satisfies the join's
+    distribution requirement, so at 100 TB the nightly fact↔fact join
+    pays no shuffle at all (this is the pre-shuffled-layout pattern:
+    shuffle once at write time, join free forever after).
+
+    The plan certificate is structural, not timed: the head inspects
+    the JOIN subtree's physical plan STRING at build (a JVM call, no
+    job) and emits ``join_shuffle_free`` — true only when no Exchange
+    appears under the SortMergeJoin.  ``hint("merge")`` pins SMJ so a
+    small-scale broadcast pick cannot fake the certificate.  Rows are
+    the per-priority revenue rollup (decimal-internal, double out —
+    the q1 convention), so the numeric outputs grade against the
+    plain-parquet oracle while the boolean grades the layout claim.
+
+    Activation note: table writes run at plan build (the
+    multimodal_binary_ingest corpus-write precedent) — add to
+    grading.EAGER_AT_BUILD so schema-only sweeps skip it."""
+    import re
+
+    tag = re.sub(r"[^0-9A-Za-z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    t_orders, t_li = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority").write.format(
+        "parquet"
+    ).mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+        t_orders
+    )
+    t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    ).write.format("parquet").mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable(t_li)
+    from processo_etl_spark.plans.common import dsum
+
+    o = spark.table(t_orders).hint("merge")
+    li = spark.table(t_li).hint("merge")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    shuffle_free = "Exchange" not in plan
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            dsum("l_extendedprice").alias("sum_price"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .withColumn("join_shuffle_free", F.lit(bool(shuffle_free)))
+    )
+
+
+BUCKETED_JOIN_ORACLE = """
+    SELECT o.o_orderpriority,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice, 2) AS DECIMAL(12,2)))
+             AS DOUBLE) AS sum_price,
+           CAST(count(*) AS BIGINT) AS n_items,
+           true AS join_shuffle_free
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+"""
+
+
+def partition_overwrite_daily(spark, sf_dir):
+    """Dynamic partition overwrite — the lake daily-restatement
+    pattern: a date-partitioned table takes a corrected batch for a
+    SUBSET of days, and mode("overwrite") under
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` replaces ONLY
+    the partitions present in the batch; every untouched day's data
+    survives byte-for-byte.  (Static overwrite — the default — drops
+    the whole table: the prototype run for this head measured exactly
+    that failure, 30 days → 10.)
+
+    Fixture: events partitioned by day; the restated batch is days
+    1–10 with ``value`` doubled (×2 is a power-of-two multiply —
+    bit-exact on any engine).  The head then reads the TABLE back and
+    emits per-day counts + decimal-exact value sums, so the grade
+    against the raw-parquet oracle (which computes what the table
+    SHOULD contain) certifies both halves: restated days carry the
+    doubled values, untouched days carry the originals — neither
+    survives a wrong overwrite scope.
+
+    At 100 TB this is the idempotent daily reload: re-running a day's
+    job replaces that day exactly, no read-modify-write of the table,
+    no touching the other ~3650 partitions.  Activation note: add to
+    grading.EAGER_AT_BUILD (table writes at plan build)."""
+    import re
+
+    tag = re.sub(r"[^0-9A-Za-z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tbl = f"evt_restate_{tag}"
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", F.to_date("ts").alias("day")
+    )
+    ev.write.format("parquet").mode("overwrite").partitionBy("day").saveAsTable(
+        tbl
+    )
+    batch = ev.filter(F.dayofmonth("day") <= 10).withColumn(
+        "value", F.col("value") * 2
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        batch.select("event_id", "event_type", "value", "day").write.mode(
+            "overwrite"
+        ).insertInto(tbl)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    from processo_etl_spark.plans.common import dsum
+
+    return (
+        spark.table(tbl)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+    )
+
+
+PARTITION_OVERWRITE_ORACLE = """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(
+             CASE WHEN day(CAST(ts AS DATE)) <= 10 THEN value * 2
+                  ELSE value END, 2) AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_value
+    FROM events
+    GROUP BY 1
+"""
+
+
 STAGED = {
     "merge_upsert_orders": (merge_upsert_orders, MERGE_UPSERT_ORACLE),
+    "bucketed_join_coloc": (bucketed_join_coloc, BUCKETED_JOIN_ORACLE),
+    "partition_overwrite_daily": (
+        partition_overwrite_daily,
+        PARTITION_OVERWRITE_ORACLE,
+    ),
     "dim_incremental_surrogates": (
         dim_incremental_surrogates,
         DIM_INCREMENTAL_ORACLE,
@@ -457,6 +603,9 @@ def register_all() -> None:
     - add ``dim_incremental_surrogates`` to
       test_scale.allow_nested_loop (one-row broadcast watermark
       attach — the q11/DSIR scalar-attach class);
+    - add ``bucketed_join_coloc`` and ``partition_overwrite_daily``
+      to grading.EAGER_AT_BUILD (table writes run at plan build —
+      the multimodal_binary_ingest corpus-write precedent);
     - the other three heads need nothing: lazy plans, no global
       window (quantile_drift_by_group's cumsum window is PARTITIONED
       by (event_type, period)), no nested-loop attach."""

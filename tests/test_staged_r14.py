@@ -113,6 +113,58 @@ def test_cdc_apply_semantics(spark):
     )
 
 
+def test_bucketed_join_is_shuffle_free(spark):
+    """The layout certificate itself: the SMJ over the bucketed tables
+    must plan with zero Exchange operators, and the head's boolean
+    must report it.  (The differential test already grades the
+    numeric rollup against the plain-parquet oracle.)"""
+    out = staged_r14.bucketed_join_coloc(spark, SF)
+    rows = out.collect()
+    assert rows and all(r["join_shuffle_free"] is True for r in rows)
+    # independent re-check on the tables the head just (re)wrote
+    o = spark.table("bkt_orders_sf0_001").hint("merge")
+    li = spark.table("bkt_lineitem_sf0_001").hint("merge")
+    plan = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan and "Exchange" not in plan
+
+
+def test_partition_overwrite_preserves_untouched_days(spark):
+    """Dynamic-overwrite scope: every day survives, restated days
+    (1–10) carry doubled sums, untouched days carry the originals —
+    computed independently from the raw parquet."""
+    from pyspark.sql import functions as F
+
+    from processo_etl_spark.plans.common import dsum, t
+
+    got = {
+        r["day"]: (r["n"], r["sum_value"])
+        for r in staged_r14.partition_overwrite_daily(spark, SF).collect()
+    }
+    raw = {
+        r["day"]: (r["n"], r["sum_value"])
+        for r in t(spark, SF, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            dsum("value").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(raw), "no day lost, no day invented"
+    for day, (n, sv) in raw.items():
+        gn, gsv = got[day]
+        assert gn == n
+        if day.day <= 10:
+            assert gsv == pytest.approx(2 * sv, abs=1e-9)
+        else:
+            assert gsv == sv
+
+
 def test_dim_incremental_semantics(spark):
     """High-watermark invariants against an independent rebuild:
     existing keys carry EXACTLY the ids the standalone dimension build
