@@ -41,6 +41,12 @@ overwrite (the idempotent daily restatement), certified by reading
 the table back against a raw-parquet oracle.  Together they cover
 the storage-LAYOUT axis (bucketing + partitioned tables) the
 registry's 296 heads exercise only at read time.
+
+**stream_batch_equiv_cdc_upsert** — hash-graded streaming⇔batch
+equivalence for the changelog → current-state materialization
+(streaming/jobs.cdc_latest_state, the streaming-upsert view): the
+stream-side completion of the CDC/MERGE family above, in the
+stream_equiv certificate idiom.
 """
 
 from __future__ import annotations
@@ -442,6 +448,22 @@ DIM_INCREMENTAL_ORACLE = """
 """
 
 
+def _reset_table(spark, name: str) -> None:
+    """Drop a managed table AND its warehouse directory.  A fresh
+    session's in-memory catalog has no memory of tables a previous
+    session wrote, but their warehouse directories persist — a bare
+    saveAsTable then fails with LOCATION_ALREADY_EXISTS.  Dropping via
+    SQL handles the registered case; removing the leftover directory
+    handles the cross-session one."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+
+
 def bucketed_join_coloc(spark, sf_dir):
     """Shuffle-free co-located join via TABLE BUCKETING — the storage-
     layout capability SURVEY §"beyond" names (bucketing) that no
@@ -469,6 +491,8 @@ def bucketed_join_coloc(spark, sf_dir):
 
     tag = re.sub(r"[^0-9A-Za-z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     t_orders, t_li = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    _reset_table(spark, t_orders)
+    _reset_table(spark, t_li)
     t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority").write.format(
         "parquet"
     ).mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
@@ -534,6 +558,7 @@ def partition_overwrite_daily(spark, sf_dir):
 
     tag = re.sub(r"[^0-9A-Za-z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     tbl = f"evt_restate_{tag}"
+    _reset_table(spark, tbl)
     ev = t(spark, sf_dir, "events").select(
         "event_id", "event_type", "value", F.to_date("ts").alias("day")
     )
@@ -575,8 +600,71 @@ PARTITION_OVERWRITE_ORACLE = """
 """
 
 
+def stream_batch_equiv_cdc_upsert(spark, sf_dir):
+    """Streaming ⇔ batch equivalence certificate for the changelog →
+    current-state materialization (streaming/jobs.cdc_latest_state —
+    the streaming-upsert view, the stream-side completion of this
+    module's CDC/MERGE family): drain the REAL streaming job
+    (complete-mode aggregate, availableNow) AND fold the same
+    changelog batch-side, full-outer-join the two per-key views, and
+    count disagreements null-safely (the stream_equiv convention —
+    a one-sided NULL bumps n_mismatch).  A lost micro-batch, a
+    replay-duplicated fold, or a tombstone that failed to delete all
+    move a per-key value or count and the driver hash goes red.
+
+    The oracle replays the batch semantics in SQL via row_number over
+    seq DESC (seq is unique per key, so the window pick, the struct
+    max, and the streaming fold must all agree); value is a raw
+    parquet passthrough on every path — no float arithmetic."""
+    from processo_etl_spark.streaming import jobs
+
+    stream = jobs.run_cdc_latest_state_availablenow(spark, sf_dir).select(
+        "user_id", F.col("value").alias("s_value")
+    )
+    batch = (
+        jobs.cdc_latest_state(
+            jobs.cdc_changes_from_events(t(spark, sf_dir, "events"))
+        )
+        .filter(F.col("op") != "D")
+        .select("user_id", F.col("value").alias("b_value"))
+    )
+    joined = stream.join(batch, "user_id", "full_outer")
+    disagree = ~F.col("s_value").eqNullSafe(F.col("b_value"))
+    return joined.agg(
+        F.count("s_value").cast("bigint").alias("n_keys_stream"),
+        F.count("b_value").cast("bigint").alias("n_keys_batch"),
+        F.sum(F.col("b_value").isNotNull().cast("long"))
+        .cast("bigint")
+        .alias("n_nonnull_values"),
+        F.sum(disagree.cast("long")).cast("bigint").alias("n_mismatch"),
+    )
+
+
+STREAM_CDC_UPSERT_ORACLE = """
+    WITH ranked AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events),
+    cur AS (
+      SELECT user_id, value FROM ranked WHERE rn = 1 AND op <> 'D')
+    SELECT CAST(count(*) AS BIGINT) AS n_keys_stream,
+           CAST(count(*) AS BIGINT) AS n_keys_batch,
+           CAST(SUM(CAST(value IS NOT NULL AS INTEGER)) AS BIGINT)
+             AS n_nonnull_values,
+           CAST(0 AS BIGINT) AS n_mismatch
+    FROM cur
+"""
+
+
 STAGED = {
     "merge_upsert_orders": (merge_upsert_orders, MERGE_UPSERT_ORACLE),
+    "stream_batch_equiv_cdc_upsert": (
+        stream_batch_equiv_cdc_upsert,
+        STREAM_CDC_UPSERT_ORACLE,
+    ),
     "bucketed_join_coloc": (bucketed_join_coloc, BUCKETED_JOIN_ORACLE),
     "partition_overwrite_daily": (
         partition_overwrite_daily,
@@ -606,9 +694,12 @@ def register_all() -> None:
     - add ``bucketed_join_coloc`` and ``partition_overwrite_daily``
       to grading.EAGER_AT_BUILD (table writes run at plan build —
       the multimodal_binary_ingest corpus-write precedent);
-    - the other three heads need nothing: lazy plans, no global
+    - the remaining heads need nothing: lazy plans, no global
       window (quantile_drift_by_group's cumsum window is PARTITIONED
-      by (event_type, period)), no nested-loop attach."""
+      by (event_type, period)), no nested-loop attach;
+      stream_batch_equiv_cdc_upsert drains at call time like every
+      stream_* head and is skipped by schema-only sweeps via the
+      existing stream_ prefix rule."""
     from processo_etl_spark.plans import register
 
     for name, (fn, oracle) in STAGED.items():
