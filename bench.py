@@ -196,8 +196,20 @@ def _prior_stable_run(root: str) -> dict | None:
                 continue
             rnd = int(m.group(1))
             if best is None or rnd > best[0]:
-                best = (rnd, dict(art, _round=rnd))
+                best = (rnd, dict(art, _round=rnd, _src=os.path.basename(p)))
     return best[1] if best else None
+
+
+def _numeric(d: dict) -> dict[str, float]:
+    """Only the (str, finite number) items of a committed-artifact dict.
+    Malformed artifacts demonstrably occur (BENCH_r03/r05 carry
+    non-dict ``parsed``); arithmetic on a None/str value would crash
+    the gate AFTER measurement and lose the round's bench recording."""
+    out = {}
+    for k, v in (d or {}).items():
+        if isinstance(v, (int, float)) and not isinstance(v, bool) and v > 0:
+            out[k] = float(v)
+    return out
 
 
 def _regression_gate_2r(
@@ -211,12 +223,14 @@ def _regression_gate_2r(
     stable-convictions rule (VERDICT r12 #6).  Returns artifact fields;
     empty dict when this run is unstable or context is missing.
     ``root`` (tests only) overrides the artifact directory."""
+    blessed_q = _numeric(blessed_q)
+    best_now = _numeric(best_now)
     if full.get("calib_unstable") is not False or not blessed_q:
         return {}
     now_slow = {
         n
         for n, b in blessed_q.items()
-        if n in best_now and b and best_now[n] / b >= 2.0
+        if n in best_now and best_now[n] / b >= 2.0
     }
     out: dict = {
         "perf_slow_vs_blessed": {
@@ -226,21 +240,22 @@ def _regression_gate_2r(
     prior = _prior_stable_run(root or os.path.dirname(os.path.abspath(__file__)))
     if prior is None:
         return out
-    pq = prior.get("queries") or {}
-    pr = prior.get("stall_retries") or {}
+    pq = _numeric(prior.get("queries"))
+    pr = _numeric(prior.get("stall_retries"))
     prior_slow = {
         n
         for n, b in blessed_q.items()
-        if n in pq and b and min(pq[n], pr.get(n, float("inf"))) / b >= 2.0
+        if n in pq and min(pq[n], pr.get(n, float("inf"))) / b >= 2.0
     }
     trips = sorted(now_slow & prior_slow)
     out["perf_gate_prior_round"] = prior.get("_round")
+    out["perf_gate_prior_artifact"] = prior.get("_src")
     if trips:
         out["perf_regressions_2r"] = trips
         print(
             "PERF REGRESSION GATE: "
             f"{trips} ran >=2x blessed on TWO consecutive calib-stable "
-            f"runs (this run + BENCH_r{prior.get('_round')}) — optimize "
+            f"runs (this run + {prior.get('_src')}) — optimize "
             "or re-bless with justification",
             file=sys.stderr,
         )
@@ -362,6 +377,14 @@ def main() -> int:
     # normalized ratio below uses their mean and flags disagreement.
     env["calib_cpu_2m_ms_after"] = _calibrate(spark)["calib_cpu_2m_ms"]
     total = round(sum(timings.values()), 3)
+    # The ONE definition of the noise-robust per-query best-of
+    # (cold / steady / stall-retry) — read by both the value_best
+    # companion and the regression gate, so the two can never
+    # desynchronize.
+    best = {
+        n: min(cold[n], timings[n], stall_retries.get(n, float("inf")))
+        for n in HEADLINE
+    }
     full = {
         "metric": "headline_total_wall",
         "value": total,
@@ -375,13 +398,7 @@ def main() -> int:
         # total a one-off stall cannot inflate; cross-host comparisons
         # read it next to the calib_* fingerprint.  The headline
         # `value` above never includes retries.
-        "value_best": round(
-            sum(
-                min(cold[n], timings[n], stall_retries.get(n, float("inf")))
-                for n in HEADLINE
-            ),
-            3,
-        ),
+        "value_best": round(sum(best.values()), 3),
         "stall_retries": stall_retries,
         "env": env,
         "queries_cold": cold,
@@ -418,23 +435,15 @@ def main() -> int:
     # jitter on the same denominator.  This run's side uses the
     # noise-robust best-of (cold/steady/stall-retry, the value_best
     # convention) so a one-off scheduler stall can never trip the gate;
-    # the prior side reads the newest committed BENCH_r*.json that was
-    # itself calib-stable (driver artifacts carry queries +
-    # stall_retries but not queries_cold).  Trips are recorded in the
+    # the prior side reads the newest committed calib-stable artifact
+    # (a driver BENCH_r*.json unwrapped from `parsed`, or a quiet-host
+    # BENCH_quiet_r*.json copy; they carry queries + stall_retries but
+    # not queries_cold).  Trips are recorded in the
     # artifact AND shouted to stderr; exit stays 0 so the driver's
     # bench recording is never lost — the loud part is the judge-read
     # artifact field, per the r12 "fail loudly" mandate.
     full.update(
-        _regression_gate_2r(
-            full,
-            {
-                n: min(
-                    cold[n], timings[n], stall_retries.get(n, float("inf"))
-                )
-                for n in HEADLINE
-            },
-            (blessed or {}).get("queries") or {},
-        )
+        _regression_gate_2r(full, best, (blessed or {}).get("queries") or {})
     )
     # The driver records only the LAST ~2000 chars of stdout (VERDICT r5
     # #2: BENCH_r05 lost the steady total because the one JSON line grew

@@ -448,6 +448,16 @@ DIM_INCREMENTAL_ORACLE = """
 """
 
 
+def _sf_tag(sf_dir: str) -> str:
+    """Identifier-safe table-name tag for an sf_dir — the ONE
+    definition shared by both table-writing heads and their tests
+    (divergent copies would break _reset_table cleanup and the
+    hardcoded names in tests/test_staged_r14.py)."""
+    import re
+
+    return re.sub(r"[^0-9A-Za-z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+
+
 def _reset_table(spark, name: str) -> None:
     """Drop a managed table AND its warehouse directory.  A fresh
     session's in-memory catalog has no memory of tables a previous
@@ -487,9 +497,7 @@ def bucketed_join_coloc(spark, sf_dir):
     Activation note: table writes run at plan build (the
     multimodal_binary_ingest corpus-write precedent) — add to
     grading.EAGER_AT_BUILD so schema-only sweeps skip it."""
-    import re
-
-    tag = re.sub(r"[^0-9A-Za-z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tag = _sf_tag(sf_dir)
     t_orders, t_li = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
     _reset_table(spark, t_orders)
     _reset_table(spark, t_li)
@@ -554,9 +562,7 @@ def partition_overwrite_daily(spark, sf_dir):
     job replaces that day exactly, no read-modify-write of the table,
     no touching the other ~3650 partitions.  Activation note: add to
     grading.EAGER_AT_BUILD (table writes at plan build)."""
-    import re
-
-    tag = re.sub(r"[^0-9A-Za-z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    tag = _sf_tag(sf_dir)
     tbl = f"evt_restate_{tag}"
     _reset_table(spark, tbl)
     ev = t(spark, sf_dir, "events").select(
@@ -619,20 +625,34 @@ def stream_batch_equiv_cdc_upsert(spark, sf_dir):
     from processo_etl_spark.streaming import jobs
 
     stream = jobs.run_cdc_latest_state_availablenow(spark, sf_dir).select(
-        "user_id", F.col("value").alias("s_value")
+        "user_id",
+        F.lit(1).alias("s_present"),
+        F.col("value").alias("s_value"),
     )
     batch = (
         jobs.cdc_latest_state(
             jobs.cdc_changes_from_events(t(spark, sf_dir, "events"))
         )
         .filter(F.col("op") != "D")
-        .select("user_id", F.col("value").alias("b_value"))
+        .select(
+            "user_id",
+            F.lit(1).alias("b_present"),
+            F.col("value").alias("b_value"),
+        )
     )
     joined = stream.join(batch, "user_id", "full_outer")
-    disagree = ~F.col("s_value").eqNullSafe(F.col("b_value"))
+    # key presence is counted via literal markers, NOT the value
+    # column: count("s_value") would drop a live key whose latest
+    # payload is legitimately NULL from the key counts while the
+    # oracle's count(*) kept it (review r13).  The disagreement
+    # predicate covers both presence (one-sided-NULL marker) and the
+    # payload value, null-safely.
+    disagree = ~F.col("s_present").eqNullSafe(F.col("b_present")) | ~F.col(
+        "s_value"
+    ).eqNullSafe(F.col("b_value"))
     return joined.agg(
-        F.count("s_value").cast("bigint").alias("n_keys_stream"),
-        F.count("b_value").cast("bigint").alias("n_keys_batch"),
+        F.count("s_present").cast("bigint").alias("n_keys_stream"),
+        F.count("b_present").cast("bigint").alias("n_keys_batch"),
         F.sum(F.col("b_value").isNotNull().cast("long"))
         .cast("bigint")
         .alias("n_nonnull_values"),

@@ -85,6 +85,36 @@ def test_gate_no_trip_without_prior_stable(tmp_path):
     assert "perf_gate_prior_round" not in out
 
 
+def test_gate_survives_malformed_artifacts(tmp_path):
+    """Committed artifacts can be malformed (BENCH_r03/r05 carry a
+    non-dict parsed; a queries dict can map names to null/strings) —
+    the gate must degrade to skipping the bad values, never crash
+    after measurement and lose the round's bench recording."""
+    _write(tmp_path / "BENCH_r05.json", {"parsed": "not a dict"})
+    _write(
+        tmp_path / "BENCH_r12.json",
+        {
+            "parsed": {
+                "calib_unstable": False,
+                "queries": {"a": None, "b": "fast", "c": 3.0},
+                "stall_retries": {"c": None},
+            }
+        },
+    )
+    out = bench._regression_gate_2r(
+        {"calib_unstable": False},
+        {"a": 9.0, "b": None, "c": 2.5},
+        {"a": 1.0, "b": "x", "c": 1.0},
+        root=str(tmp_path),
+    )
+    # a: blessed ok, now 9x, prior value None (skipped) -> no trip.
+    # b: blessed malformed -> ignored entirely.
+    # c: 2.5x now AND 3x prior (retry None skipped) -> trips.
+    assert out["perf_regressions_2r"] == ["c"]
+    assert set(out["perf_slow_vs_blessed"]) == {"a", "c"}
+    assert out["perf_gate_prior_artifact"] == "BENCH_r12.json"
+
+
 def test_stall_retry_exonerates_current_side(tmp_path):
     """The current side uses best-of (cold/steady/retry) — the caller
     passes min() already; verify a sub-2x best never lands in
