@@ -122,7 +122,11 @@ def pagerank_distributed(
     per-superstep driver action; the update is
     ``(1−d)/n + d·(S + dang/n)`` with the same bracketing as the driver
     twin.  ``localCheckpoint`` (the superstep's single job) truncates
-    lineage each round.
+    lineage each round — r14 measured the lazier alternatives (full
+    unroll with exchange reuse; persist-chained supersteps) and both
+    LOST to the eager checkpoint on fixed overhead, because the
+    dangling-mass branch forks the lineage every superstep and nested
+    cache materialization serializes the stage graph anyway.
 
     ``bit_deterministic=True`` combines per-node contributions as a
     VALUE-SORTED left fold (``aggregate(array_sort(collect_list(..)))``)
@@ -151,33 +155,47 @@ def pagerank_distributed(
         def combine(c):
             return F.sum(c)
 
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionAll(edges.select(F.col("dst").alias("node")))
-        .distinct()
+    # Node universe + out-weights in ONE shuffle (r14: previously a
+    # distinct over the endpoint union PLUS a separate out-weight
+    # groupBy PLUS a left join to flag dangling nodes — three exchanges
+    # where one combinable aggregate suffices): every edge emits its src
+    # with weight and its dst with NULL; sum(w) per node is the
+    # out-weight, NULL out-weight ⟺ dangling.
+    ends = edges.select(
+        F.col("src").alias("node"), F.col("w").alias("ow")
+    ).unionAll(
+        edges.select(F.col("dst").alias("node"), F.lit(None).cast("long"))
     )
-    outs = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    node_info = (
+        ends.groupBy("node")
+        .agg(F.sum("ow").alias("out_w"))
+        .repartition("node")
+        .persist()
+    )
+    outs = node_info.filter(F.col("out_w").isNotNull()).select(
+        F.col("node").alias("src"), "out_w"
+    )
     # Static relations are persisted PRE-PARTITIONED on their join keys,
     # so each superstep shuffles only the (slim) evolving ranks side —
     # the persisted InMemoryRelation's outputPartitioning satisfies the
     # join requirement and the planner skips re-exchanging the edges
     # every iteration (measured 2× off the superstep at sf0.1).
     routed = edges.join(outs, "src").repartition("src").persist()
-    flagged = (
-        nodes.join(
-            outs.select(F.col("src").alias("node"), F.lit(False).alias("dg")),
-            "node",
-            "left",
-        )
-        .select("node", F.coalesce("dg", F.lit(True)).alias("dangling"))
-        .repartition("node")
-        .persist()
+    flagged = node_info.select(
+        "node", F.col("out_w").isNull().alias("dangling")
     )
-    n = flagged.count()
+    n = node_info.count()
     base = (1.0 - damping) / n
     ranks = flagged.select(
         "node", "dangling", F.lit(1.0 / n).alias("rank")
-    ).localCheckpoint()
+    )
+    # No checkpoint on the seed state: flagged is a projection of the
+    # persisted node_info relation, so iteration 1's two consumers read
+    # the cache — the old eager checkpoint here was one more full
+    # materialization job for data that already sits in the block store.
+    ranks = flagged.select(
+        "node", "dangling", F.lit(1.0 / n).alias("rank")
+    )
     for _ in range(iterations):
         # Dangling mass stays IN-PLAN as a broadcast one-row scalar
         # attach (the module's documented crossJoin allow-list shape) —
@@ -218,7 +236,7 @@ def pagerank_distributed(
             .localCheckpoint()
         )
     routed.unpersist()
-    flagged.unpersist()
+    node_info.unpersist()
     return ranks.select("node", F.col("rank").alias("pagerank"))
 
 
