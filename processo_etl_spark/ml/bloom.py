@@ -255,11 +255,17 @@ def bloom_contamination(
     )
     words = bloom_filter_words(eval_grams, "gram", n_bits=n_bits, k=k)
     tk = F.col(toks_col) if toks_col else None
+    # explode_outer, not explode (r14): word_shingles yields >= 1 gram
+    # for every non-NULL text, and the outer explode keeps NULL-text
+    # rows too, so EVERY corpus document survives into the aggregate and
+    # the old restore join (corpus ids left-joined back onto the hit
+    # counts — one more join + corpus re-scan) is provably a no-op and
+    # is gone.  NULL-gram rows contribute zero to all three counters.
     corpus_grams = corpus.select(
         id_col,
-        F.explode(F.array_distinct(word_shingles(text_col, n, toks=tk))).alias(
-            "gram"
-        ),
+        F.explode_outer(
+            F.array_distinct(word_shingles(text_col, n, toks=tk))
+        ).alias("gram"),
     )
     flagged = corpus_grams.withColumn(
         "bloom_hit", bloom_hit_expr(words, F.col("gram"), n_bits, k)
@@ -267,15 +273,16 @@ def bloom_contamination(
     exact = flagged.join(
         F.broadcast(eval_grams.withColumn("exact_hit", F.lit(1))), "gram", "left"
     )
-    hits = exact.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
-        F.sum(F.coalesce("exact_hit", F.lit(0)).cast("long")).alias("n_exact_hits"),
-    )
-    return corpus.select(id_col).join(hits, id_col, "left").select(
-        id_col,
-        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-        F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
-        F.coalesce("n_exact_hits", F.lit(0)).alias("n_exact_hits"),
-        (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("contaminated"),
+    return exact.groupBy(id_col).agg(
+        F.count("gram").alias("n_grams"),
+        F.coalesce(
+            F.sum(F.col("bloom_hit").cast("long")), F.lit(0).cast("long")
+        ).alias("n_bloom_hits"),
+        F.coalesce(
+            F.sum(F.when(F.col("gram").isNotNull(), F.coalesce("exact_hit", F.lit(0))).cast("long")),
+            F.lit(0).cast("long"),
+        ).alias("n_exact_hits"),
+        F.coalesce(
+            F.sum(F.col("bloom_hit").cast("long")) > 0, F.lit(False)
+        ).alias("contaminated"),
     )

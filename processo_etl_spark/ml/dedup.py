@@ -902,58 +902,62 @@ def excise_duplicate_spans(
     fully-boilerplate document survives as an empty ``clean_text`` row
     rather than vanishing, so downstream counts reconcile.
 
-    Plan shape: the same gram doc-frequency shuffle as
+    Plan shape (r14): the same gram doc-frequency shuffle as
     :func:`duplicate_spans` (grams likewise PERSISTED — the frequency
-    branch and the covered-position branch both read them; ~15% off the
-    operator at sf0.1), then covered positions are the dup-gram hits
-    exploded n ways (bounded fan-out, no range join), removed from the
-    token stream with a LEFT ANTI equi-join on (doc, pos).  The per-doc
-    re-assembly sorts a collected (pos, token) list — bounded by
-    document length, the same bound the text column itself already
-    imposes on a row.
+    branch and the hit branch both read them), then the dup-gram START
+    positions aggregate per doc (one shuffle carrying ONLY hit rows —
+    corpus-size × duplication-rate) and the excision itself happens
+    ARRAY-LOCALLY on the token array: covered positions expand n-ways
+    inside the row, ``array_except(sequence(1, len), covered)`` keeps
+    the survivors in order (hash-set difference — linear in document
+    length, not len×hits), and the survivors re-assemble with one
+    ``transform`` + ``concat_ws``.  This replaces the previous
+    token-STREAM plan — posexplode of every token, a LEFT ANTI join of
+    all tokens against the exploded covered positions, and a
+    collect-and-sort re-assembly shuffle of every (pos, token) struct —
+    whose two heavy exchanges moved the whole corpus token-by-token;
+    the only corpus-wide relations now shuffled are grams (already
+    required for doc-frequency) and the hit starts.  Per-row state is
+    bounded by document length, the same bound the text column itself
+    already imposes.
     """
     words = F.split(normalize_text(text_col), " ")
     base = df.select(F.col(id_col).alias("doc_id"), words.alias("w"))
-    toks = base.select(
-        "doc_id", F.posexplode("w").alias("pos0", "t")
-    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "t")
     grams = _positional_grams(df, text_col, id_col, n, toks_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     dup = _dup_gram_keys(grams, min_docs)
-    # No distinct on covered: LEFT ANTI is insensitive to duplicate
-    # build-side rows, and deduping them here costs a full extra
-    # shuffle (measured ~15% of the operator at sf0.1) to shrink a
-    # relation the join only probes.
-    covered = grams.join(dup, on="g").select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
-        ).alias("pos"),
+    starts = (
+        grams.join(dup, on="g")
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("starts"))
     )
-    kept = toks.join(covered, on=["doc_id", "pos"], how="left_anti")
-    agg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens_kept"),
-        F.concat_ws(
-            " ",
+    covered = F.array_distinct(
+        F.flatten(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "t"))),
-                lambda s: s["t"],
-            ),
-        ).alias("clean_text"),
+                F.col("starts"),
+                lambda s: F.sequence(s, s + F.lit(n - 1)),
+            )
+        )
+    )
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1).cast("long"), F.size("w").cast("long")),
+        F.coalesce(covered, F.array().cast("array<long>")),
     )
     return (
-        base.select("doc_id", F.size("w").cast("long").alias("_n_total"))
-        .join(agg, on="doc_id", how="left")
+        base.join(starts, on="doc_id", how="left")
         .select(
             "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_tokens_kept", F.lit(0))
-            .cast("long")
-            .alias("n_tokens_kept"),
-            (F.col("_n_total") - F.coalesce("n_tokens_kept", F.lit(0)))
-            .cast("long")
-            .alias("n_tokens_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    kept_pos, lambda p: F.element_at(F.col("w"), p.cast("int"))
+                ),
+            ).alias("clean_text"),
+            F.size(kept_pos).cast("long").alias("n_tokens_kept"),
+            (F.size("w").cast("long") - F.size(kept_pos)).cast("long").alias(
+                "n_tokens_removed"
+            ),
         )
     )
 

@@ -173,8 +173,15 @@ def collocations_lift_topk(spark, sf_dir):
     so ranking and hash agree bit-for-bit.  Top-100 with full
     tie-break = TakeOrderedAndProject.
     """
-    nab = _bigrams(spark, sf_dir).groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("n_ab")
+    # Both count relations PERSIST (r14): ``nab`` feeds the pair join
+    # AND the t_bg total, ``uni`` is referenced three times (t_uni, the
+    # two per-side joins) — un-persisted, the bigram expansion and the
+    # unigram groupBy re-executed per reference.
+    nab = (
+        _bigrams(spark, sf_dir)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .persist()
     )
     uni = (
         corpus(spark, sf_dir)
@@ -182,6 +189,7 @@ def collocations_lift_topk(spark, sf_dir):
         .filter(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
     )
     t_uni = uni.agg(F.sum("n").alias("t_uni"))
     t_bg = nab.agg(F.sum("n_ab").alias("t_bg"))
@@ -517,7 +525,14 @@ def heaps_vocab_growth(spark, sf_dir):
         "doc_id",
         F.expr("size(filter(toks, t -> t != ''))").alias("ntoks"),
     )
-    ranked = distributed_rank(docs, ["doc_id"], "rn")
+    # Both multi-referenced relations PERSIST (r14): ``ranked`` feeds the
+    # boundary lookup AND the tokens-seen branch, ``bounds`` feeds vocab,
+    # seen, and the final projection — un-persisted, each reference
+    # re-executed the range-partition window (three extra sorts at
+    # sf0.1; the executed plan held three copies of the rank subtree).
+    # Cache cost is docs-sized / 10 rows; the cache manager shares them
+    # across the session like the corpus relation itself.
+    ranked = distributed_rank(docs, ["doc_id"], "rn").persist()
     n_df = docs.agg(F.count(F.lit(1)).alias("n"))
     deciles = n_df.select(
         F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"), "n"
@@ -533,6 +548,7 @@ def heaps_vocab_growth(spark, sf_dir):
             F.col("target_rank").alias("docs_seen"),
             F.col("doc_id").alias("boundary"),
         )
+        .persist()
     )
     tok_first = (
         c.select("doc_id", F.explode("toks").alias("tok"))
