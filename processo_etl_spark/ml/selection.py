@@ -70,11 +70,17 @@ def importance_weights(
     tok_arr = (
         F.col(toks_col) if toks_col else F.split(normalize_text(text_col), " ")
     )
+    # Persisted (r14): the hashed token stream feeds BOTH the bucket
+    # stats and the final per-doc scoring join — un-persisted, the
+    # explode + md5 ran twice per call.  Slimmed to the three columns
+    # the two consumers need before caching.
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         target.alias("is_t"),
         F.explode(tok_arr).alias("tok"),
-    ).withColumn("b", md5_long(F.col("tok")) % b)
+    ).select(
+        "doc_id", "is_t", (md5_long(F.col("tok")) % b).alias("b")
+    ).persist()
 
     # Global totals are the column sums of the B-row bucket stats, so
     # derive them there instead of a third pass over the exploded token

@@ -248,11 +248,24 @@ def constraint_violation_count(spark, sf_dir):
     """,
 )
 def rollup_revenue(spark, sf_dir):
-    """Hierarchical subtotals — `rollup` (absent in reference, free in Spark)."""
+    """Hierarchical subtotals — `rollup` (absent in reference, free in Spark).
+
+    Pre-aggregated to the finest grouping set FIRST (r14, guide §2.3
+    "aggregate before you shuffle"): Spark plans rollup as
+    Expand(3 grouping sets)→HashAggregate, tripling the partial-agg
+    input at fact-table width; aggregating by (flag, status) first and
+    rolling the ~6-row result up re-aggregates EXACT decimal partials
+    (sum-of-sums and sum-of-counts are lossless), so the output is
+    value-identical while the Expand runs over 6 rows, not 3×|lineitem|.
+    """
     li = t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        dsum("l_extendedprice").alias("revenue"),
-        F.count(F.lit(1)).alias("n"),
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_extendedprice")).alias("_rev"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return base.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("_rev").cast("double").alias("revenue"),
+        F.sum("_n").alias("n"),
     )
 
 
@@ -264,11 +277,17 @@ def rollup_revenue(spark, sf_dir):
     """,
 )
 def cube_counts(spark, sf_dir):
-    """All grouping-set combinations — `cube`."""
-    return (
+    """All grouping-set combinations — `cube`.  Pre-aggregated to the
+    finest grouping set first (r14, same lossless sum-of-counts
+    re-aggregation as rollup_revenue) so the 4-way Expand runs over the
+    ~dozen (status, priority) partials, not the fact rows."""
+    base = (
         t(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return base.cube("o_orderstatus", "o_orderpriority").agg(
+        F.sum("_n").alias("n")
     )
 
 
@@ -286,11 +305,19 @@ def grouping_sets_revenue(spark, sf_dir):
     per-status, per-priority, and grand-total revenue in one pass.
     Exact decimal sum internally, DOUBLE out (r2 hash-mismatch fix)."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    # Pre-aggregated to (status, priority) first (r14): the grouping-set
+    # Expand then runs over the handful of exact-decimal partials
+    # instead of 3x the fact rows — sum-of-sums is lossless in decimal.
     return spark.sql(
         """
+        WITH base AS (
+          SELECT o_orderstatus, o_orderpriority,
+                 SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(12,2))) AS _rev
+          FROM __orders_gs GROUP BY o_orderstatus, o_orderpriority
+        )
         SELECT o_orderstatus, o_orderpriority,
-               CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-        FROM __orders_gs
+               CAST(SUM(_rev) AS DOUBLE) AS revenue
+        FROM base
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
