@@ -172,9 +172,22 @@ def _prior_stable_run(root: str) -> dict | None:
     rounds carry no per-query signal (r11's host collapse pushed ten
     queries past 2× with zero plan changes), so the two-round gate
     skips them entirely rather than convicting on one real + one
-    noisy reading."""
+    noisy reading.
+
+    Same-round exclusion (ADVICE r13): two bench attempts minutes apart
+    on the same host must not count as the gate's "two consecutive
+    stable convictions".  When ``$SPARK_GRAFT_ROUND`` names the running
+    round, artifacts from that round (or later) are skipped so the
+    prior conviction always comes from a genuinely earlier round; when
+    unset, behavior is unchanged and the artifact's recorded
+    ``perf_gate_prior_round`` lets a reader apply the same judgment."""
     import glob
     import re
+
+    try:
+        current = int(os.environ.get("SPARK_GRAFT_ROUND", ""))
+    except ValueError:
+        current = None
 
     best: tuple[int, dict] | None = None
     for pat in ("BENCH_r*.json", "BENCH_quiet_r*.json"):
@@ -195,6 +208,8 @@ def _prior_stable_run(root: str) -> dict | None:
             ):
                 continue
             rnd = int(m.group(1))
+            if current is not None and rnd >= current:
+                continue
             if best is None or rnd > best[0]:
                 best = (rnd, dict(art, _round=rnd, _src=os.path.basename(p)))
     return best[1] if best else None
@@ -242,10 +257,18 @@ def _regression_gate_2r(
         return out
     pq = _numeric(prior.get("queries"))
     pr = _numeric(prior.get("stall_retries"))
+    pc = _numeric(prior.get("queries_cold"))
+    # The prior side uses the SAME best-of convention as the current
+    # side — steady, cold, and any stall retry (ADVICE r13: committed
+    # artifacts DO carry queries_cold, and a prior whose steady read was
+    # a sub-2.5×-cold stall with no recorded retry must not convict a
+    # query its own cold pass exonerates).
     prior_slow = {
         n
         for n, b in blessed_q.items()
-        if n in pq and min(pq[n], pr.get(n, float("inf"))) / b >= 2.0
+        if n in pq
+        and min(pq[n], pr.get(n, float("inf")), pc.get(n, float("inf"))) / b
+        >= 2.0
     }
     trips = sorted(now_slow & prior_slow)
     out["perf_gate_prior_round"] = prior.get("_round")
@@ -436,9 +459,11 @@ def main() -> int:
     # noise-robust best-of (cold/steady/stall-retry, the value_best
     # convention) so a one-off scheduler stall can never trip the gate;
     # the prior side reads the newest committed calib-stable artifact
-    # (a driver BENCH_r*.json unwrapped from `parsed`, or a quiet-host
-    # BENCH_quiet_r*.json copy; they carry queries + stall_retries but
-    # not queries_cold).  Trips are recorded in the
+    # from an EARLIER round (a driver BENCH_r*.json unwrapped from
+    # `parsed`, or a quiet-host BENCH_quiet_r*.json copy) and applies
+    # the same best-of over its queries/stall_retries/queries_cold —
+    # committed artifacts carry queries_cold too (ADVICE r13 corrected
+    # the old comment claiming otherwise).  Trips are recorded in the
     # artifact AND shouted to stderr; exit stays 0 so the driver's
     # bench recording is never lost — the loud part is the judge-read
     # artifact field, per the r12 "fail loudly" mandate.
