@@ -313,8 +313,17 @@ def q3_shipping_priority(spark, sf_dir):
     revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     return (
         li.join(
-            o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
-            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            # Explicit broadcast of the doubly-filtered orders⨝customer
+            # side (r14): post-filter size estimates made the planner
+            # broadcast the ~6× larger shipdate-filtered lineitem side
+            # instead (guide §3.1 — estimates are often wrong after
+            # filters; hint the side you know is small).
+            F.broadcast(
+                o.join(
+                    F.broadcast(c.select("c_custkey")),
+                    o.o_custkey == F.col("c_custkey"),
+                ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+            ),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
