@@ -1760,6 +1760,88 @@ def test_bloom_zero_false_negatives_and_merge(spark):
     assert fp < 50
 
 
+def test_excise_spans_fully_covered_doc_empty(spark):
+    """r14 array-local excision: a document whose every token is covered
+    by cross-document duplicated trigrams survives as an EMPTY
+    clean_text row (the old token-stream plan restored it via a join;
+    the array plan must keep it through the left join + array_except)."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),
+            (3, "unrelated filler words beyond reach"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.excise_duplicate_spans(df, "text", "doc_id").collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["clean_text"] == "" and out[1]["n_tokens_kept"] == 0
+    assert out[1]["n_tokens_removed"] == 3
+    assert out[3]["n_tokens_removed"] == 0
+
+
+def test_bloom_contamination_null_text_row_survives(spark):
+    """r14 explode_outer rewrite: the corpus-id restore join is gone, so
+    every corpus document — including a NULL-text one — must still
+    surface exactly once from the per-doc aggregate alone.  (A NULL
+    text shingles to the single empty-string gram via concat_ws's
+    null-skipping, identical before and after the rewrite, so the
+    invariant is row SURVIVAL with zero exact hits, not zero grams.)"""
+    from processo_etl_spark.ml import bloom
+
+    corpus = spark.createDataFrame(
+        [(1, "shared five gram text here today ok"), (2, None)],
+        ["doc_id", "text"],
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "shared five gram text here today ok")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bloom.bloom_contamination(
+            corpus, eval_set, "text", "doc_id", n=5, n_bits=1 << 12, k=4
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_exact_hits"] > 0 and out[1]["contaminated"]
+    assert out[2]["n_grams"] == 1  # the "" gram of a NULL text
+    assert out[2]["n_exact_hits"] == 0
+    assert out[2]["contaminated"] == (out[2]["n_bloom_hits"] > 0)
+
+
+def test_pagerank_broadcast_and_shuffle_modes_bitequal(spark):
+    """r14 vertex-mirroring dispatch: the broadcast-mode superstep
+    (rank vector mirrored to dst-partitioned edges, zero shuffle) and
+    the shuffle-mode superstep (src-partitioned edges) must produce
+    BIT-IDENTICAL ranks — the value-sorted fold makes the combine
+    order-insensitive, so mode choice may never change output."""
+    from processo_etl_spark.operators import graph
+
+    es = [
+        ("a", "b", 1), ("a", "c", 2), ("b", "c", 1), ("c", "d", 1),
+        ("d", "a", 1), ("c", "e", 3), ("b", "f", 1),
+    ]
+    edf = spark.createDataFrame(es, ["src", "dst", "w"])
+    bcast = {
+        r["node"]: r["pagerank"]
+        for r in graph.pagerank_distributed(edf, 0.85, 5).collect()
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuf = {
+            r["node"]: r["pagerank"]
+            for r in graph.pagerank_distributed(edf, 0.85, 5).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert bcast == shuf  # bit-for-bit, not approx
+    assert abs(sum(bcast.values()) - 1.0) < 1e-9
+
+
 def test_bloom_contamination_bounds_exact(spark):
     from processo_etl_spark.ml import bloom
 
