@@ -296,7 +296,11 @@ def _run(spark, queries, name, sf_dir) -> None:
     Measured at sf0.1: per-query isolation via clearCache costs the
     suite ~19% (37.5 s vs 31.5 s steady)."""
     fn = BENCH_OVERRIDES.get(name) or queries[name]
-    _force(fn(spark, sf_dir))
+    spark.sparkContext.setJobDescription(f"bench:{name}")
+    try:
+        _force(fn(spark, sf_dir))
+    finally:
+        spark.sparkContext.setJobDescription(None)
 
 
 def main() -> int:
