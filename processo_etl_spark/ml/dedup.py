@@ -940,9 +940,17 @@ def excise_duplicate_spans(
             )
         )
     )
-    kept_pos = F.array_except(
-        F.sequence(F.lit(1).cast("long"), F.size("w").cast("long")),
-        F.coalesce(covered, F.array().cast("array<long>")),
+    # NULL-text guard: size(NULL) is -1 and Spark's sequence(1, -1)
+    # DESCENDS, so an unguarded kept_pos would read [1, 0, -1] for a
+    # NULL text; the empty array preserves the previous plan's exact
+    # output for that row (no tokens kept, clean_text '').
+    kept_pos = F.when(
+        F.col("w").isNull(), F.array().cast("array<long>")
+    ).otherwise(
+        F.array_except(
+            F.sequence(F.lit(1).cast("long"), F.size("w").cast("long")),
+            F.coalesce(covered, F.array().cast("array<long>")),
+        )
     )
     return (
         base.join(starts, on="doc_id", how="left")
