@@ -103,6 +103,20 @@ def event_type_pagerank(
     )
 
 
+def _broadcast_threshold_bytes(df: DataFrame) -> int:
+    """spark.sql.autoBroadcastJoinThreshold as an int (bytes); suffixed
+    forms fall back to the 10 MiB default (be conservative).  ≤ 0 means
+    broadcasting is disabled and every vertex-mirroring dispatch below
+    must pick the shuffle layout."""
+    thresh = df.sparkSession.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760"
+    )
+    try:
+        return int(thresh)
+    except ValueError:
+        return 10 * 1024 * 1024
+
+
 def pagerank_distributed(
     edges: DataFrame,
     damping: float = 0.85,
@@ -115,18 +129,41 @@ def pagerank_distributed(
     scales with the data (billion-node graphs), unlike
     ``pagerank_from_edges``' driver power method.
 
-    ``edges`` is (src, dst, w).  Per iteration: contributions
+    ``edges`` is (src, dst, w), with NON-NULL weights as a precondition
+    (ADVICE r14): the fused node aggregate classifies a node as
+    dangling iff its summed out-weight is NULL, so a node whose every
+    out-edge carries a NULL ``w`` would be classed dangling and its
+    edges dropped from the routing join — coalesce weights to a default
+    upstream if your graph can contain them.  Per iteration:
+    contributions
     ``(rank·w)/out_w`` route along edges via ONE equi-join on src and
-    combine per dst; dangling mass (nodes without out-edges) is a tiny
-    in-plan aggregate re-attached as a broadcast one-row scalar — no
-    per-superstep driver action; the update is
-    ``(1−d)/n + d·(S + dang/n)`` with the same bracketing as the driver
-    twin.  ``localCheckpoint`` (the superstep's single job) truncates
-    lineage each round — r14 measured the lazier alternatives (full
-    unroll with exchange reuse; persist-chained supersteps) and both
-    LOST to the eager checkpoint on fixed overhead, because the
-    dangling-mass branch forks the lineage every superstep and nested
-    cache materialization serializes the stage graph anyway.
+    combine per dst; the update is ``(1−d)/n + d·(S + dang/n)`` with
+    the same bracketing as the driver twin.  ``localCheckpoint`` (the
+    superstep's single job) truncates lineage each round — r14 measured
+    the lazier alternatives (full unroll with exchange reuse;
+    persist-chained supersteps) and both LOST to the eager checkpoint
+    on fixed overhead, because the dangling-mass branch forks the
+    lineage every superstep and nested cache materialization serializes
+    the stage graph anyway.
+
+    Dangling mass (nodes without out-edges): in the broadcast
+    (vertex-mirrored) layout the scalar rides the rank state itself —
+    each checkpointed rank relation carries a ``d`` column (its own
+    dangling-rank total, computed by one unpartitioned window at the
+    superstep's tail, INSIDE the checkpoint job), and one zero-weight
+    self-edge per node in the static edge cache guarantees the combine
+    covers every node, so the next superstep reads the scalar off the
+    same broadcast it already ships — no separate dangling aggregate,
+    no second broadcast-exchange build per superstep (r15; the r14
+    shape spent 1 aggregate job + 1 broadcast build per superstep on
+    it).  A 0.0 contribution term is an exact identity for both combine
+    modes (the value-sorted fold starts at 0.0 and sorts the extra 0.0
+    first; plain ``F.sum`` adds 0.0 to a positive partial), so the
+    self-edges never change a bit of output.  The single-partition
+    window is bounded by the same n ≤ threshold/64 that justifies the
+    broadcast itself.  In the big-graph shuffle layout the dangling
+    scalar stays a tiny in-plan aggregate re-attached as a broadcast
+    one-row scalar — no per-superstep driver action in either mode.
 
     ``bit_deterministic=True`` combines per-node contributions as a
     VALUE-SORTED left fold (``aggregate(array_sort(collect_list(..)))``)
@@ -161,6 +198,16 @@ def pagerank_distributed(
     # where one combinable aggregate suffices): every edge emits its src
     # with weight and its dst with NULL; sum(w) per node is the
     # out-weight, NULL out-weight ⟺ dangling.
+    # The raw edge relation is consumed TWICE (the fused node aggregate
+    # below and the routed join) — un-persisted, its whole lineage (for
+    # the bench graph: an orders scan plus a lineitem pre-aggregation)
+    # executed once per consumer (r15, measured ~0.9 s of the steady
+    # pass at sf0.1).  MEMORY_AND_DISK is the standard iterative-graph
+    # edge-cache posture (GraphX persists the edge RDD); released at
+    # function exit with the other statics.
+    from pyspark import StorageLevel
+
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     ends = edges.select(
         F.col("src").alias("node"), F.col("w").alias("ow")
     ).unionAll(
@@ -194,34 +241,130 @@ def pagerank_distributed(
     # Both paths run the same arithmetic on the same per-node value
     # multisets — the value-sorted fold makes the combine
     # order-insensitive, so the choice never changes a bit of output.
-    thresh = edges.sparkSession.conf.get(
-        "spark.sql.autoBroadcastJoinThreshold", "10485760"
-    )
-    try:
-        thresh_b = int(thresh)
-    except ValueError:
-        thresh_b = 10 * 1024 * 1024  # suffixed forms: be conservative
+    thresh_b = _broadcast_threshold_bytes(edges)
     broadcast_ranks = thresh_b > 0 and n * 64 <= thresh_b
     # Static relations are persisted PRE-PARTITIONED on the key their
     # superstep consumer needs (dst for the local combine in broadcast
     # mode, src for the rank join in shuffle mode), so the planner never
     # re-exchanges the edges (measured 2× off the superstep at sf0.1).
-    routed = (
-        edges.join(outs, "src")
-        .repartition(F.col("dst") if broadcast_ranks else F.col("src"))
-        .persist()
-    )
+    rt = edges.join(outs, "src").select("src", "dst", "w", "out_w")
+    if broadcast_ranks:
+        # One zero-weight self-edge per node (broadcast mode only, r15):
+        # guarantees every node receives ≥ 1 contribution row, so the
+        # superstep collapses to ONE join — the combine aggregate reads
+        # the node's own dangling flag and the global dangling scalar
+        # off the self row's broadcast-side columns, and the r14 shape's
+        # second join (flagged ⨝ sums) plus the per-superstep dangling
+        # aggregate + broadcast-exchange build are gone.  The self
+        # contribution is (rank·0)/1 = 0.0 — an exact identity for both
+        # combine modes (sorted fold: the extra 0.0 sorts first and
+        # 0.0+0.0 = 0.0; plain sum: +0.0 is exact on positive ranks).
+        tmap = {f.name: f.dataType for f in rt.schema.fields}
+        ntype = node_info.schema["node"].dataType
+        rt = rt.select(
+            F.col("src").cast(ntype).alias("src"),
+            F.col("dst").cast(ntype).alias("dst"),
+            "w",
+            "out_w",
+            F.lit(False).alias("is_self"),
+        ).unionByName(
+            node_info.select(
+                F.col("node").alias("src"),
+                F.col("node").alias("dst"),
+                F.lit(0).cast(tmap["w"]).alias("w"),
+                F.lit(1).cast(tmap["out_w"]).alias("out_w"),
+                F.lit(True).alias("is_self"),
+            )
+        )
+    routed = rt.repartition(
+        F.col("dst") if broadcast_ranks else F.col("src")
+    ).persist()
     # No checkpoint on the seed state: flagged is a projection of the
-    # persisted node_info relation, so iteration 1's two consumers read
+    # persisted node_info relation, so iteration 1's consumers read
     # the cache — the old eager checkpoint here was one more full
     # materialization job for data that already sits in the block store.
     ranks = flagged.select(
         "node", "dangling", F.lit(1.0 / n).alias("rank")
     )
+    # The unpartitioned window that puts the dangling-mass scalar ON the
+    # rank state (broadcast mode): one Exchange SinglePartition over ≤
+    # threshold/64 rows, executed inside the superstep's checkpoint job.
+    # Same value multiset as the old filter+aggregate, so the fold is
+    # IEEE-identical; the plain-sum mode is documented last-ulp
+    # nondeterministic either way.
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    if bit_deterministic:
+        dang_over = F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("dangling"), F.col("rank"))
+                ).over(w_all)
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    else:
+        dang_over = F.coalesce(
+            F.sum(F.when(F.col("dangling"), F.col("rank"))).over(w_all),
+            F.lit(0.0),
+        )
+    # Measured and rejected (r15): two-supersteps-per-checkpoint in
+    # broadcast mode (every other superstep left lazy — sound now that
+    # the single-join shape references the previous rank state exactly
+    # once, under its broadcast).  Interleaved min-of-7 at sf0.1: 3.59 s
+    # lazy vs 3.51 s eager, and the REST job count did not move (23
+    # both ways — the lazy superstep's window stage still materializes
+    # as its own AQE stage job inside the next broadcast build, so no
+    # driver round-trip is actually saved).  Kept the eager checkpoint.
+    if broadcast_ranks:
+        ranks = ranks.withColumn("d", dang_over)
     for _ in range(iterations):
-        # Dangling mass stays IN-PLAN as a broadcast one-row scalar
-        # attach (the module's documented crossJoin allow-list shape) —
-        # no per-superstep driver action; the checkpoint is the one job.
+        if broadcast_ranks:
+            # ONE broadcast hash join per superstep: the rank vector
+            # (with its dangling scalar) ships to the dst-partitioned
+            # edge cache; the combine is node-local (zero shuffle) and
+            # re-derives the node's dangling flag from its self row and
+            # the global scalar from any row (d is constant across the
+            # broadcast side).
+            b_ranks = F.broadcast(ranks)
+            ranks = (
+                routed.join(b_ranks, routed["src"] == b_ranks["node"])
+                .select(
+                    F.col("dst").alias("node"),
+                    ((F.col("rank") * F.col("w")) / F.col("out_w")).alias(
+                        "c"
+                    ),
+                    "is_self",
+                    "dangling",
+                    "d",
+                )
+                .groupBy("node")
+                .agg(
+                    combine(F.col("c")).alias("s"),
+                    F.max(
+                        F.when(F.col("is_self"), F.col("dangling"))
+                    ).alias("dangling"),
+                    F.first("d").alias("d"),
+                )
+                .select(
+                    "node",
+                    "dangling",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (F.col("s") + F.col("d") / F.lit(float(n)))
+                    ).alias("rank"),
+                )
+                .withColumn("d", dang_over)
+                .localCheckpoint()
+            )
+            continue
+        # Shuffle layout (big graphs): dangling mass stays IN-PLAN as a
+        # broadcast one-row scalar attach (the module's documented
+        # crossJoin allow-list shape) — no per-superstep driver action;
+        # the checkpoint is the one job.
         # coalesce: with bit_deterministic=False the combine is F.sum,
         # which returns NULL (not 0.0) over an empty set — on a graph
         # with no dangling nodes that NULL would propagate through the
@@ -231,8 +374,6 @@ def pagerank_distributed(
             F.coalesce(combine(F.col("rank")), F.lit(0.0)).alias("d")
         )
         rank_side = ranks.withColumnRenamed("node", "src")
-        if broadcast_ranks:
-            rank_side = F.broadcast(rank_side)
         sums = (
             rank_side.join(routed, "src")
             .select(
@@ -261,6 +402,7 @@ def pagerank_distributed(
         )
     routed.unpersist()
     node_info.unpersist()
+    edges.unpersist()
     return ranks.select("node", F.col("rank").alias("pagerank"))
 
 
@@ -319,11 +461,35 @@ def label_propagation(
     truncates lineage per round.  Votes are exact int64 sums, so any
     engine agrees bit-for-bit.
 
+    Vertex-mirroring dispatch (r15, ported from
+    ``pagerank_distributed``): when the label vector fits under the
+    broadcast threshold (probed with one ``approx_count_distinct`` over
+    the raw endpoints, 80 B/row — pagerank's 64 B/row sizing plus a
+    1.25× margin for the ±5 % probe error), the labels broadcast each
+    round and the neighbor view persists partitioned by **node**, so
+    the vote join streams the static cache and BOTH groupBys are
+    already node-clustered — a round runs with ZERO shuffle (the r14
+    shape exchanged labels into the join plus two aggregate exchanges
+    per round).  Past the threshold the r14 layout stays: neighbor view
+    partitioned by **nbr** (the join key), shuffled vote aggregation.
+    The seed's eager ``localCheckpoint`` is gone in both modes (it
+    re-materialized a projection of the persisted neighbor view; the
+    r14 pagerank change measured that job as pure overhead).  Both
+    layouts run identical exact-integer arithmetic, so the dispatch
+    never changes a bit of output.
+
     Returns (node, community) — community = the converged label.
     Self-loop edges are ignored (the standard LPA convention); a node
     whose ONLY edges are self-loops is isolated and absent from the
     output, like a node absent from the edge list.
     """
+    probe = edges.agg(
+        (
+            F.approx_count_distinct(src) + F.approx_count_distinct(dst)
+        ).alias("n")
+    ).first()["n"]
+    thresh_b = _broadcast_threshold_bytes(edges)
+    broadcast_labels = thresh_b > 0 and probe * 80 <= thresh_b
     nb = (
         edges.select(
             F.col(src).alias("node"),
@@ -344,17 +510,18 @@ def label_propagation(
         .filter(F.col("node") != F.col("nbr"))
         .groupBy("node", "nbr")
         .agg(F.sum("wt").alias("wt"))
-        .repartition("nbr")
+        .repartition(F.col("node") if broadcast_labels else F.col("nbr"))
         .persist()
     )
-    labels = (
-        nb.select("node").distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint()
+    labels = nb.select("node").distinct().withColumn(
+        "label", F.col("node")
+    )
     for _ in range(iterations):
+        lab_side = labels.withColumnRenamed("node", "nbr")
+        if broadcast_labels:
+            lab_side = F.broadcast(lab_side)
         votes = (
-            nb.join(
-                labels.withColumnRenamed("node", "nbr"), "nbr"
-            )
+            nb.join(lab_side, "nbr")
             .groupBy("node", "label")
             .agg(F.sum("wt").alias("v"))
         )
@@ -555,6 +722,18 @@ def kcore_peel(
     collect, all-integer arithmetic, ``localCheckpoint`` truncating
     lineage per round.  Self-loops are dropped (a self-loop would give
     its node 2 phantom degrees and survive peeling forever).
+
+    Measured and rejected (r15, both on REST counters + interleaved
+    min-of-5 at sf0.1): (a) explicit broadcast hints on the alive set's
+    two semi-join references — AQE's runtime join selection ALREADY
+    rewrites them to broadcast form when the materialized alive set is
+    small (identical 58.96 MB shuffle with and without the hint; the
+    hint only added a node-count probe job, 25→27 jobs), and past the
+    threshold the shuffled semi-join is the correct plan anyway;
+    (b) persisting the per-round alive set so its two semi-join builds
+    share one degree aggregate — the per-round cache materialize +
+    release churn cost more jobs than the duplicated aggregate saves
+    (25→43 jobs, wall 4.44→4.43 s — neutral).  The r14 shape stands.
 
     Returns (node, degree): the endpoints of the surviving edge set
     with their degree AFTER the final round (if the fixpoint was

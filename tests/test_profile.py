@@ -94,6 +94,34 @@ def test_kcore_peel_matches_hand_peel(spark):
         graph.kcore_peel(edges, k=0, rounds=1)
 
 
+def test_kcore_peel_broadcast_and_shuffle_modes_equal(spark):
+    """The alive-set semi-joins execute as AQE runtime broadcasts when
+    the alive set is small and as shuffled semi-joins when broadcasting
+    is disabled; both layouts must produce IDENTICAL peel states —
+    integer-exact filtering, so join strategy can never change
+    output."""
+    from processo_etl_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7), (7, 8), (6, 8), (3, 6)],
+        "src long, dst long",
+    )
+    bcast = sorted(
+        (r["node"], r["degree"])
+        for r in graph.kcore_peel(edges, k=2, rounds=4).collect()
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuf = sorted(
+            (r["node"], r["degree"])
+            for r in graph.kcore_peel(edges, k=2, rounds=4).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert bcast == shuf == [(6, 2), (7, 2), (8, 2)]
+
+
 def test_sign_pack_words_and_hamming_topk(spark):
     from processo_etl_spark.ml import similarity
 

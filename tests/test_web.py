@@ -361,3 +361,35 @@ def test_label_propagation_ignores_self_loops(spark):
         for r in graph.label_propagation(edges, iterations=4).collect()
     }
     assert {got[1], got[2], got[3]} == {1}
+
+
+def test_label_propagation_broadcast_and_shuffle_modes_equal(spark):
+    """r15 vertex-mirroring dispatch (ported from pagerank): the
+    broadcast-label layout (node-partitioned neighbor view, zero
+    shuffle per round) and the shuffled layout (nbr-partitioned) must
+    produce IDENTICAL labels — all-integer votes, so mode choice can
+    never change output."""
+    from processo_etl_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 5), (2, 3, 5), (1, 3, 5),
+            (10, 11, 5), (11, 12, 5), (10, 12, 5),
+            (3, 10, 1), (12, 1, 2), (2, 11, 1),
+        ],
+        ["src", "dst", "w"],
+    )
+    bcast = {
+        r["node"]: r["community"]
+        for r in graph.label_propagation(edges, iterations=3).collect()
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuf = {
+            r["node"]: r["community"]
+            for r in graph.label_propagation(edges, iterations=3).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert bcast == shuf
