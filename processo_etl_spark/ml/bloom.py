@@ -149,14 +149,53 @@ def bloom_filter_words(
     return words
 
 
+def bloom_words_relation(
+    df: DataFrame, key_col: str | Column, n_bits: int = 1 << 16, k: int = 4
+) -> DataFrame:
+    """The filter as a ONE-ROW relation (``words``: dense array<long>,
+    length m/32) — the in-plan twin of :func:`bloom_filter_words`: the
+    same dense word array, built by the same fixed-grid groupBy, but it
+    stays IN the plan and attaches to consumers as a broadcast one-row
+    scalar (``crossJoin(F.broadcast(...))``, the module family's
+    documented scalar-attach shape) instead of a driver ``collect``
+    (r15, guide §5 — no driver round-trip in a query path; the filter
+    build becomes one more broadcast-exchange job inside the consuming
+    query, overlapping its other builds)."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    n_words = n_bits // WORD_BITS
+    return (
+        bloom_build(df, key, n_bits=n_bits, k=k)
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("word"), F.collect_list("bits")
+            ).alias("_m")
+        )
+        .select(
+            F.transform(
+                F.sequence(
+                    F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")
+                ),
+                lambda i: F.coalesce(
+                    F.element_at("_m", i), F.lit(0).cast("long")
+                ),
+            ).alias("words")
+        )
+    )
+
+
 def bloom_hit_expr(
-    words: list[int], key: Column, n_bits: int, k: int
+    words: list[int] | Column, key: Column, n_bits: int, k: int
 ) -> Column:
     """Pure map-side membership test against a collected filter: k flat
     (word, mask) checks against ONE array literal — no join, no
     shuffle, whole-stage-codegen friendly (constant-table loops are
-    unrolled, not HOF-folded; see SCALE.md on HOFs over constants)."""
-    arr = F.lit(words)
+    unrolled, not HOF-folded; see SCALE.md on HOFs over constants).
+
+    ``words`` may also be a Column (the ``words`` array of a
+    :func:`bloom_words_relation` row attached by a broadcast crossJoin)
+    — identical arithmetic, the array is just read from the joined row
+    instead of a plan literal."""
+    arr = words if isinstance(words, Column) else F.lit(words)
     h = md5_long(key) % F.lit(MERSENNE_P)
     hit = F.lit(True)
     for a, b in perm_constants(k):
@@ -196,15 +235,23 @@ def join_bloom_pruned(
     cardinality.
     """
     # keys hash as strings (md5 is a string/binary hash); both sides use
-    # the same canonical form so the zero-false-negative guarantee holds
-    words = bloom_filter_words(
+    # the same canonical form so the zero-false-negative guarantee holds.
+    # The filter enters the plan as a broadcast one-row scalar (r15) —
+    # no driver collect; the probe expression itself is unchanged.
+    filt = bloom_words_relation(
         right.select(F.col(right_key).cast("string").alias(right_key)),
         right_key,
         n_bits=n_bits,
         k=k,
     )
-    pruned = left.filter(
-        bloom_hit_expr(words, F.col(left_key).cast("string"), n_bits, k)
+    pruned = (
+        left.crossJoin(F.broadcast(filt))
+        .filter(
+            bloom_hit_expr(
+                F.col("words"), F.col(left_key).cast("string"), n_bits, k
+            )
+        )
+        .drop("words")
     )
     return pruned.join(right, pruned[left_key] == right[right_key])
 
@@ -228,7 +275,11 @@ def bloom_contamination(
     zero-false-negative guarantee means ``n_bloom_hits ≥ n_exact_hits``
     row-by-row — the registered query exposes both so the guarantee is
     hash-graded, and ``n_bloom_hits − n_exact_hits`` measures the FP
-    cost of the m-bit compression.
+    cost of the m-bit compression.  ``id_col`` must be UNIQUE per
+    corpus row (ADVICE r14; the same precondition the dedup operators
+    state): the per-document aggregate emits one row per distinct id,
+    so duplicate ids would collapse into one merged row where the old
+    restore-join plan emitted one output row per corpus row.
 
     Scale shape vs ``decontaminate.ngram_contamination``: the filter is
     m/32 words instead of the eval set's distinct-gram relation —
@@ -244,8 +295,8 @@ def bloom_contamination(
     """
     from processo_etl_spark.ml.dedup import word_shingles
 
-    # Materialized once: the filter-build collect and the exact-audit
-    # broadcast otherwise each re-run the shingle pipeline + distinct.
+    # Materialized once: the filter build and the exact-audit broadcast
+    # otherwise each re-run the shingle pipeline + distinct.
     eval_grams = (
         eval_set.select(
             F.explode(F.array_distinct(word_shingles(text_col, n))).alias("gram")
@@ -253,7 +304,15 @@ def bloom_contamination(
         .distinct()
         .persist()
     )
-    words = bloom_filter_words(eval_grams, "gram", n_bits=n_bits, k=k)
+    # The filter attaches IN-PLAN as a broadcast one-row scalar (r15,
+    # VERDICT r14 #3): the old bloom_filter_words collect was a blocking
+    # per-pass driver round-trip serialized BEFORE the main query; as a
+    # broadcast build it overlaps the query's other exchange builds and
+    # the query path holds zero driver collects.  The probed word array
+    # is read off the joined row and immediately dropped by the
+    # projection under the per-doc aggregate, so the 16 KiB array never
+    # enters the exchange.
+    filt = bloom_words_relation(eval_grams, "gram", n_bits=n_bits, k=k)
     tk = F.col(toks_col) if toks_col else None
     # explode_outer, not explode (r14): word_shingles yields >= 1 gram
     # for every non-NULL text, and the outer explode keeps NULL-text
@@ -266,10 +325,10 @@ def bloom_contamination(
         F.explode_outer(
             F.array_distinct(word_shingles(text_col, n, toks=tk))
         ).alias("gram"),
-    )
+    ).crossJoin(F.broadcast(filt))
     flagged = corpus_grams.withColumn(
-        "bloom_hit", bloom_hit_expr(words, F.col("gram"), n_bits, k)
-    )
+        "bloom_hit", bloom_hit_expr(F.col("words"), F.col("gram"), n_bits, k)
+    ).drop("words")
     exact = flagged.join(
         F.broadcast(eval_grams.withColumn("exact_hit", F.lit(1))), "gram", "left"
     )

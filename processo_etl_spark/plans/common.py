@@ -34,6 +34,22 @@ def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _CORPUS_CACHE.get(key)
     if df is None:
+        # Measured and REJECTED (r15): repartitioning the corpus to the
+        # session's parallelism before the persist.  The test corpora
+        # are single-row-group parquet files (unsplittable — every scan
+        # is ONE task), so the whole text family's map side runs
+        # single-threaded from this cache; a conditional
+        # repartition(defaultParallelism) was expected to fix that
+        # input skew (guide §2.5).  Full calib-stable bench A/B at
+        # sf0.1: suite 26.5 s → 33.5 s — the per-row-compute queries
+        # won (gopher −29 %, bloom probe −19 %) but every
+        # aggregate-heavy query lost far more (tfidf +0.85 s, ccnet
+        # +0.68 s, boilerplate +0.68 s, duplicate_spans +0.79 s): 32
+        # micro-tasks pay scheduling + lose the single-task map-side
+        # combine that currently collapses each aggregate before its
+        # exchange.  At production scale the scan is many splits and
+        # the map side parallelizes by itself, so the cache stays
+        # scan-partitioned here.
         df = (
             t(spark, sf_dir, "documents")
             .withColumn("toks", tokens_ws("text"))
