@@ -465,9 +465,13 @@ def main() -> int:
     # the prior side reads the newest committed calib-stable artifact
     # from an EARLIER round (a driver BENCH_r*.json unwrapped from
     # `parsed`, or a quiet-host BENCH_quiet_r*.json copy) and applies
-    # the same best-of over its queries/stall_retries/queries_cold —
-    # committed artifacts carry queries_cold too (ADVICE r13 corrected
-    # the old comment claiming otherwise).  Trips are recorded in the
+    # the same best-of over its queries/stall_retries/queries_cold.
+    # NOTE (ADVICE r14): only file-copied quiet artifacts carry
+    # queries_cold — driver BENCH_r*.json artifacts are parsed from the
+    # printed line, which strips it (the `del` below), so the prior
+    # side's cold exoneration applies only to quiet priors; for driver
+    # priors the min simply skips the missing key (same gate, one
+    # fewer exonerating reading).  Trips are recorded in the
     # artifact AND shouted to stderr; exit stays 0 so the driver's
     # bench recording is never lost — the loud part is the judge-read
     # artifact field, per the r12 "fail loudly" mandate.

@@ -308,22 +308,39 @@ def q3_shipping_priority(spark, sf_dir):
     """
     cutoff = F.lit("1997-06-01").cast("timestamp_ntz")
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    o_raw = t(spark, sf_dir, "orders")
+    o = o_raw.filter(F.col("o_orderdate") < cutoff)
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    # Explicit broadcast of the doubly-filtered orders⨝customer side
+    # (r14): post-filter size estimates made the planner broadcast the
+    # ~6× larger shipdate-filtered lineitem side instead (guide §3.1 —
+    # estimates are often wrong after filters; hint the side you know
+    # is small).  Scale gate (r15, ADVICE r14): a blanket hint bypasses
+    # autoBroadcastJoinThreshold and would OOM on a huge orders table,
+    # so it only applies while a conservative bound on the broadcast
+    # side fits the threshold — raw orders scan bytes (file-size
+    # statistics, exact, no job) × 0.25, which over-states the real
+    # side (~9 % of rows at TPC-H date×segment selectivity × 3 of 9
+    # columns ≈ 0.03 of the scan, × a generous 8× parquet→in-memory
+    # inflation).  Past the gate the planner keeps its own choice and
+    # AQE can still rewrite to broadcast from TRUE materialized sizes.
+    oc = o.join(
+        F.broadcast(c.select("c_custkey")),
+        o.o_custkey == F.col("c_custkey"),
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    try:
+        thresh = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except ValueError:
+        thresh = 10 * 1024 * 1024
+    raw_bytes = int(
+        o_raw._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if thresh > 0 and raw_bytes * 0.25 <= thresh:
+        oc = F.broadcast(oc)
     return (
         li.join(
-            # Explicit broadcast of the doubly-filtered orders⨝customer
-            # side (r14): post-filter size estimates made the planner
-            # broadcast the ~6× larger shipdate-filtered lineitem side
-            # instead (guide §3.1 — estimates are often wrong after
-            # filters; hint the side you know is small).
-            F.broadcast(
-                o.join(
-                    F.broadcast(c.select("c_custkey")),
-                    o.o_custkey == F.col("c_custkey"),
-                ).select("o_orderkey", "o_orderdate", "o_orderpriority")
-            ),
+            oc,
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
