@@ -34,27 +34,34 @@ def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _CORPUS_CACHE.get(key)
     if df is None:
-        # Measured and REJECTED (r15): repartitioning the corpus to the
-        # session's parallelism before the persist.  The test corpora
-        # are single-row-group parquet files (unsplittable — every scan
-        # is ONE task), so the whole text family's map side runs
-        # single-threaded from this cache; a conditional
-        # repartition(defaultParallelism) was expected to fix that
-        # input skew (guide §2.5).  Full calib-stable bench A/B at
-        # sf0.1: suite 26.5 s → 33.5 s — the per-row-compute queries
-        # won (gopher −29 %, bloom probe −19 %) but every
-        # aggregate-heavy query lost far more (tfidf +0.85 s, ccnet
-        # +0.68 s, boilerplate +0.68 s, duplicate_spans +0.79 s): 32
-        # micro-tasks pay scheduling + lose the single-task map-side
-        # combine that currently collapses each aggregate before its
-        # exchange.  At production scale the scan is many splits and
-        # the map side parallelizes by itself, so the cache stays
-        # scan-partitioned here.
-        df = (
-            t(spark, sf_dir, "documents")
-            .withColumn("toks", tokens_ws("text"))
-            .persist()
+        base = t(spark, sf_dir, "documents")
+        # Input-skew guard, ROW-based (r15, guide §2.5 "one huge
+        # unsplittable file"): the corpora are few-row-group parquet
+        # files — Spark cannot split inside a row group, so the scan
+        # (and with it the whole text family's map side: tokenize,
+        # shingle, 4×md5 per gram) runs at row-group parallelism no
+        # matter the core count.  The r15 sf2.5 scaling spot-bench
+        # measured the wall: decontaminate_bloom 25.6 s on 32 cores vs
+        # 15.1 s on 8 (ratio 0.59 — the cores only added overhead to a
+        # 2-task corpus).  Bytes-based split rules can't see this
+        # (text is compute-dense: ~100× more work per byte than the
+        # TPC-H tables), so the target is ROWS per task — ~4 k docs
+        # keeps a task several hundred ms of tokenize+hash work.  The
+        # count() is metadata-speed on parquet (row-group footers) and
+        # runs once per (session, sf_dir).  At sf0.1 the target is 2
+        # partitions (suite-neutral — a blanket
+        # repartition(defaultParallelism) was measured at +26 % suite
+        # there: 32 micro-tasks lose map-side combining on the
+        # aggregate-heavy queries); at sf2.5+ the full core count is
+        # engaged, and on a production many-split table the condition
+        # is already satisfied and nothing shuffles.
+        target = min(
+            spark.sparkContext.defaultParallelism,
+            max(1, -(-base.count() // 4000)),
         )
+        if base.rdd.getNumPartitions() < target:
+            base = base.repartition(target)
+        df = base.withColumn("toks", tokens_ws("text")).persist()
         _CORPUS_CACHE[key] = df
     return df
 

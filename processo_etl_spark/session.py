@@ -47,6 +47,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Whole-stage-codegen COMPILE cache (r15): the default 100
+        # entries thrash on any long-lived session running this
+        # engine's registry (37 headline / 296 registered queries hold
+        # far more distinct codegen units), so every re-run recompiled
+        # its evicted stages on the driver — measured 6.7 s → 4.4 s on
+        # the in-suite pagerank steady pass alone (REST: zero GC delta,
+        # task time ≈ wall, pure per-stage compile serialization).
+        # 2000 entries ≈ a few tens of MB of compiled classes; sized to
+        # the registry, not to this machine.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
