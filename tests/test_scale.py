@@ -171,6 +171,13 @@ def test_plan_audit_no_cartesian_no_python_rowudf(spark):
         # recall certificate) cross-attached — linear scalar attach;
         # the ANN search itself is the certified cell-equi-join plan.
         "ann_index_incremental_update",
+        # r15: the Bloom filter's dense word array as a ONE-ROW
+        # relation (bloom_words_relation) cross-attached under the
+        # corpus gram stream / the pruned join's left side — the same
+        # linear scalar-attach shape; replaced the per-pass driver
+        # collect (VERDICT r14 #3: no collects in a query path).
+        "decontaminate_bloom",
+        "join_bloom_pruned_orders",
     }
     # Unpartitioned ranking/analytic windows move the WHOLE input through
     # one task (Exchange SinglePartition under a Window).  Only the

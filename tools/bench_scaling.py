@@ -52,10 +52,6 @@ def inner(cpus: int, sf_dir: str, names: list[str]) -> int:
     spark = session.get_spark(app_name=f"bench_scaling_{cpus}")
     queries = plans.all_queries()
     # Warm-up at sf0.001 (JVM/codegen bring-up, the bench convention).
-    warm_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "..",
-    )
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
